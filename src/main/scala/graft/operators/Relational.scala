@@ -1,0 +1,363 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch relational surface (TPC-H-flavored) over the fixture tables.
+  *
+  * These operators are "inherited" Spark SQL capability (SURVEY.md §2C: the
+  * reference adds nothing to batch relational processing), declared so the
+  * oracle gate exercises scans, joins, aggregation, windows, rollup and set
+  * ops end-to-end on this engine.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation/supplier/part) are broadcast so fact
+  *    joins never shuffle the big side on join key more than once;
+  *  - every aggregate is a partial (map-side combine) + final hash aggregate;
+  *  - all money arithmetic is done in DECIMAL so results are exact and
+  *    reproducible regardless of partitioning / reduction order (a
+  *    double-precision SUM is order-dependent and would be nondeterministic
+  *    across cluster sizes — and would hash-mismatch the oracle).
+  */
+object Relational {
+
+  /** Cast a 2-decimal double column to exact decimal for order-independent sums. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val one = lit(1.00).cast(DecimalType(18, 2))
+
+  def q1_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).as("sum_qty"),
+        sum(dec($"l_extendedprice")).as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("sum_disc_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount")) * (one + dec($"l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1.00 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Orders that shipped anything after their order date, counted by priority
+    * (left-semi join == EXISTS; the fact side streams, no row multiplication). */
+  def q2_order_priority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q2_sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q3 shape: top-10 revenue orders for one market segment. */
+  def q3_topk_revenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  val q3_sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Broadcast dim join: revenue by part brand. */
+  def q4_brand_revenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), $"l_partkey" === p("p_partkey"))
+      .groupBy($"p_brand")
+      .agg(
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q4_sql: String =
+    """SELECT p_brand,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  /** TPC-H Q5 shape: 6-way join, revenue by nation within one region.
+    * All dims broadcast; lineitem⋈orders is the only shuffle join. */
+  def q5_local_supplier_volume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("revenue"))
+  }
+
+  val q5_sql: String =
+    """SELECT n_name,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey  = s_suppkey
+      |JOIN customer ON o_custkey  = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q6 shape: pure pushed-down filter + single aggregate (no shuffle
+    * beyond the final 1-row reduction). */
+  def q6_forecast_revenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6_sql: String =
+    """SELECT
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window function: top-3 suppliers by revenue within each nation. */
+  def q7_supplier_rank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val rev = Tables.lineitem(s, dir)
+      .groupBy($"l_suppkey")
+      .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("revenue"))
+    val w = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"s_suppkey".asc)
+    rev.join(broadcast(sup), $"l_suppkey" === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .select($"n_name", $"s_suppkey", $"s_name", $"revenue")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+  }
+
+  val q7_sql: String =
+    """SELECT * FROM (
+      |  SELECT n_name, s_suppkey, s_name, revenue,
+      |         row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey ASC) AS rk
+      |  FROM (SELECT l_suppkey,
+      |          sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |        FROM lineitem GROUP BY l_suppkey) r
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |) WHERE rk <= 3""".stripMargin
+
+  /** Semi/anti join: customers with vs without orders, by market segment. */
+  def q8_semi_anti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .withColumn("bucket", lit("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .withColumn("bucket", lit("without_orders"))
+    withOrders.unionByName(withoutOrders)
+  }
+
+  val q8_sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers, 'with_orders' AS bucket
+      |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, count(*) AS n_customers, 'without_orders' AS bucket
+      |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Distinct aggregation per event type (exact COUNT DISTINCT shuffles on
+    * (event_type,user_id) first — the plan Spark expands to; at 100 TB swap
+    * in approx_count_distinct, kept exact here for oracle parity). */
+  def q9_distinct_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(dec($"value")).as("total_value"))
+  }
+
+  val q9_sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Global top-N with deterministic tie-break (TakeOrderedAndProject: one
+    * partial top-N per partition, no full sort at scale). */
+  def q10_top_customers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val q10_sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  /** Scalar function surface: string/date/conditional functions, all
+    * whole-stage-codegen built-ins (no UDFs). */
+  def q11_scalar_funcs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"),
+        upper($"o_orderpriority").as("prio_upper"),
+        substring($"o_orderstatus", 1, 1).as("status_c"),
+        length($"o_orderpriority").as("prio_len"),
+        when($"o_totalprice" > 200000.0, "big").otherwise("small").as("size_class"),
+        (dec($"o_totalprice") * lit(2)).as("double_price"))
+      .filter($"o_orderkey" % 7 === 0)
+  }
+
+  val q11_sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(month(o_orderdate) AS INT) AS o_month,
+      |  upper(o_orderpriority) AS prio_upper,
+      |  substr(o_orderstatus, 1, 1) AS status_c,
+      |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+      |  CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS double_price
+      |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin
+
+  /** ROLLUP grouping sets. */
+  def q12_rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  val q12_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Set operations: nations with customers vs suppliers. */
+  def q13_set_ops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.customer(s, dir).select($"c_nationkey".as("nationkey")).distinct()
+    val sn = Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("bucket", lit("both"))
+      .unionByName(cn.except(sn).withColumn("bucket", lit("customer_only")))
+  }
+
+  val q13_sql: String =
+    """SELECT nationkey, 'both' AS bucket FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' AS bucket FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin
+
+  /** Conditional aggregation (TPC-H Q14 shape, kept as two exact sums). */
+  def q14_promo_share(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), $"l_partkey" === p("p_partkey"))
+      .agg(
+        sum(when($"p_type".startsWith("PROMO"),
+              dec($"l_extendedprice") * (one - dec($"l_discount")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo_revenue"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("total_revenue"))
+  }
+
+  val q14_sql: String =
+    """SELECT
+      |  sum(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** Registry consumed by SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1_pricing_summary _,
+    "q2_order_priority" -> q2_order_priority _,
+    "q3_topk_revenue" -> q3_topk_revenue _,
+    "q4_brand_revenue" -> q4_brand_revenue _,
+    "q5_local_supplier_volume" -> q5_local_supplier_volume _,
+    "q6_forecast_revenue" -> q6_forecast_revenue _,
+    "q7_supplier_rank" -> q7_supplier_rank _,
+    "q8_semi_anti" -> q8_semi_anti _,
+    "q9_distinct_agg" -> q9_distinct_agg _,
+    "q10_top_customers" -> q10_top_customers _,
+    "q11_scalar_funcs" -> q11_scalar_funcs _,
+    "q12_rollup" -> q12_rollup _,
+    "q13_set_ops" -> q13_set_ops _,
+    "q14_promo_share" -> q14_promo_share _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1_sql,
+    "q2_order_priority" -> q2_sql,
+    "q3_topk_revenue" -> q3_sql,
+    "q4_brand_revenue" -> q4_sql,
+    "q5_local_supplier_volume" -> q5_sql,
+    "q6_forecast_revenue" -> q6_sql,
+    "q7_supplier_rank" -> q7_sql,
+    "q8_semi_anti" -> q8_sql,
+    "q9_distinct_agg" -> q9_sql,
+    "q10_top_customers" -> q10_sql,
+    "q11_scalar_funcs" -> q11_sql,
+    "q12_rollup" -> q12_sql,
+    "q13_set_ops" -> q13_sql,
+    "q14_promo_share" -> q14_sql,
+  )
+}
