@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`:
+  *
+  *  - exact dedup          — hash-groupBy on a normalized content hash;
+  *  - n-gram Jaccard       — exact all-pairs via a shingle inverted index
+  *                           (explode → self-join → count), the LSH-free
+  *                           reference semantics;
+  *  - MinHash + LSH        — 32-permutation MinHash signatures, 16 bands × 2
+  *                           rows, band-bucket join for candidates, exact
+  *                           Jaccard verification of candidates only — the
+  *                           100 TB path (work ∝ candidates, not pairs²);
+  *  - SimHash              — 60-bit bit-majority fingerprint + 16-bit band;
+  *  - embedding cosine     — sign-bit-blocked near-dup pairs on the
+  *                           embedding column.
+  *
+  * Every hash is derived from md5 so the DuckDB oracle can mirror the exact
+  * algorithm (same signatures, same bands, same candidates): the gate then
+  * proves the distributed implementation computes the declared algorithm
+  * bit-for-bit. Jaccard thresholds are evaluated with cross-multiplied
+  * integer arithmetic — no floating point anywhere in the text path.
+  *
+  * Scale notes: the inverted-index join shuffles on shingle (posting lists
+  * here max out at single digits — no skew); MinHash bands shuffle on
+  * (band, key) which is uniform by construction; candidate verification
+  * re-joins the shingle sets by doc_id, a broadcast-able lookup at dim-table
+  * size and a shuffle join beyond.
+  */
+object Dedup {
+
+  /** Spark SQL fragments (kept as SQL text so the DuckDB oracle is a
+    * line-by-line mirror — both engines run the same lambda pipeline). */
+  private val toksS = "split(trim(text), '\\\\s+')"
+  private val shinglesS =
+    s"CASE WHEN size($toksS) < 3 THEN array(trim(text)) " +
+    s"ELSE array_distinct(transform(sequence(1, size($toksS) - 2), " +
+    s"i -> concat_ws(' ', slice($toksS, i, 3)))) END"
+  /** 60-bit integer hash of a string, identical in Spark and DuckDB. */
+  private def h60S(arg: String, salt: String): String =
+    s"CAST(conv(substring(md5($salt$arg), 1, 15), 16, 10) AS BIGINT)"
+
+  // ---------------------------------------------------------------- exact
+
+  def dedup_exact(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val dedup_exact_sql: String =
+    """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+      |  min(doc_id) AS rep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** All near-dup pairs with word-3-shingle Jaccard >= 0.6, via the shingle
+    * inverted index. Exact (no LSH): the correctness anchor for minhash. */
+  def dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(shinglesS).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val p2 = postings.toDF("doc_id_b", "s")
+    val common = postings.join(p2,
+        postings("s") === p2("s") && postings("doc_id") < p2("doc_id_b"))
+      .groupBy(postings("doc_id").as("doc_id_a"), p2("doc_id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("doc_id_a", "na"), "doc_id_a")
+      .join(sizes.toDF("doc_id_b", "nb"), "doc_id_b")
+      .filter(col("common") * 10 >= (col("na") + col("nb") - col("common")) * 6)
+      .select(col("doc_id_a"), col("doc_id_b"), col("common"),
+        (col("na") + col("nb") - col("common")).as("union_size"),
+        (col("common") * 1000).div(col("na") + col("nb") - col("common")).cast("long").as("jaccard_per_mille"))
+  }
+
+  private val shinglesD =
+    "CASE WHEN len(toks) < 3 THEN [tx] ELSE list_distinct(list_transform(" +
+    "range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END"
+
+  val dedup_ngram_jaccard_sql: String =
+    s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
+       |post AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
+       |          FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |v AS (SELECT ia, ib, common, x.n + y.n - common AS un
+       |      FROM pairs
+       |      JOIN (SELECT doc_id, len(sh) n FROM sh) x ON x.doc_id = ia
+       |      JOIN (SELECT doc_id, len(sh) n FROM sh) y ON y.doc_id = ib)
+       |SELECT ia AS doc_id_a, ib AS doc_id_b, common, un AS union_size,
+       |       CAST((common * 1000) // un AS BIGINT) AS jaccard_per_mille
+       |FROM v WHERE common * 10 >= un * 6""".stripMargin
+
+  // ----------------------------------------------------------- MinHash LSH
+
+  private val NumHashes = 32
+  private val NumBands = 16 // x 2 rows per band
+
+  /** MinHash signatures + banded LSH + exact verification of candidates.
+    * Same output contract as dedup_ngram_jaccard; the oracle mirrors the
+    * banding, so the gate checks the real LSH pipeline, not just recall. */
+  def dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val sig =
+      s"""transform(sequence(0, ${NumHashes - 1}), j ->
+         |  array_min(transform(sh, s ->
+         |    CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', s)), 1, 15), 16, 10) AS BIGINT))))""".stripMargin
+    val bandKeys =
+      s"""transform(sequence(0, ${NumBands - 1}), b ->
+         |  concat(CAST(element_at(sig, 2*b+1) AS STRING), ',', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin
+
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(shinglesS).as("sh"))
+    val withSig = docs.withColumn("sig", expr(sig))
+    val bands = withSig
+      .select(col("doc_id"), posexplode(expr(bandKeys)))
+      .toDF("doc_id", "band", "bkey")
+    val b2 = bands.toDF("doc_id_b", "band", "bkey")
+    val cand = bands.join(b2, Seq("band", "bkey"))
+      .filter(col("doc_id") < col("doc_id_b"))
+      .select(col("doc_id").as("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    val shA = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_id_a").join(shB, "doc_id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union_size", size(col("sh_a")) + size(col("sh_b")) - col("common"))
+      .filter(col("common") * 10 >= col("union_size") * 6)
+      .select(col("doc_id_a"), col("doc_id_b"), col("common"), col("union_size"),
+        (col("common") * 1000).div(col("union_size")).cast("long").as("jaccard_per_mille"))
+  }
+
+  val dedup_minhash_lsh_sql: String =
+    s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
+       |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, ${NumHashes - 1}), j ->
+       |          list_min(list_transform(sh, s ->
+       |            CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sg
+       |        FROM sh),
+       |bands AS (SELECT doc_id, u.b,
+       |            CAST(sg[2*u.b+1] AS VARCHAR) || ',' || CAST(sg[2*u.b+2] AS VARCHAR) AS bkey
+       |          FROM sig, unnest(generate_series(0, ${NumBands - 1})) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id ia, c.doc_id ib
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+       |v AS (SELECT ia, ib, len(list_intersect(x.sh, y.sh)) common,
+       |             len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) un
+       |      FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib)
+       |SELECT ia AS doc_id_a, ib AS doc_id_b,
+       |       CAST(common AS INT) AS common, CAST(un AS INT) AS union_size,
+       |       CAST((common * 1000) // un AS BIGINT) AS jaccard_per_mille
+       |FROM v WHERE common * 10 >= un * 6""".stripMargin
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash over the (multiset of) tokens + a 16-bit band prefix for
+    * bucketing. Pure integer pipeline, mirrored exactly by the oracle. */
+  def dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+    val simhashExpr =
+      s"""aggregate(
+         |  transform(sequence(0, 59), b ->
+         |    CASE WHEN aggregate(hs, 0, (acc, h) ->
+         |           acc + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+    Tables.documents(s, dir)
+      .withColumn("hs", expr(s"transform($toksS, t -> ${h60S("t", "")})"))
+      .withColumn("simhash", expr(simhashExpr))
+      .select(col("doc_id"), col("simhash"),
+        expr("simhash >> 44").as("band16"))
+  }
+
+  val dedup_simhash_sql: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+      |hs AS (SELECT doc_id, list_transform(toks, t ->
+      |         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM tok),
+      |sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+      |         CASE WHEN list_sum(list_transform(hs, h ->
+      |                CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      |       FROM hs)
+      |SELECT doc_id, simhash, simhash >> 44 AS band16 FROM sh""".stripMargin
+
+  // ------------------------------------------------- embedding cosine pairs
+
+  /** Near-dup pairs by embedding cosine >= 0.4, blocked by the 8 sign bits
+    * of the leading dimensions (a random-hyperplane-LSH degenerate case):
+    * candidate pairs share a block, so work is sum(block²) not n². The
+    * cosine test is sqrt-free: dot > 0 and dot² >= t²·|a|²·|b|², evaluated
+    * in index-ordered double arithmetic mirrored by the oracle. */
+  def dedup_embedding(s: SparkSession, dir: String): DataFrame = {
+    val sign8 =
+      """aggregate(transform(sequence(1, 8), i ->
+        |  CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) >= 0.0d THEN shiftleft(1, i-1) ELSE 0 END),
+        |  0, (acc, x) -> acc + x)""".stripMargin
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), expr(sign8).as("blk"),
+        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0d, (acc, v) -> acc + v)").as("n2"))
+    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"), col("blk"), col("n2").as("n2a"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"), col("blk"), col("n2").as("n2b"))
+    a.join(b, Seq("blk"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0d, (acc, v) -> acc + v)"))
+      .filter(col("dot") > 0 && col("dot") * col("dot") >= lit(0.16) * col("n2a") * col("n2b"))
+      .select(col("vec_id_a"), col("vec_id_b"), col("blk"))
+  }
+
+  val dedup_embedding_sql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0 THEN (1 << (i-1)) ELSE 0 END)) AS blk,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |p AS (SELECT a.vec_id ia, b.vec_id ib, a.blk,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      |      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+      |    a.n2 n2a, b.n2 n2b
+      |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+      |SELECT ia AS vec_id_a, ib AS vec_id_b, CAST(blk AS INT) AS blk
+      |FROM p WHERE dot > 0 AND dot * dot >= 0.16 * n2a * n2b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedup_exact _,
+    "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
+    "dedup_minhash_lsh" -> dedup_minhash_lsh _,
+    "dedup_simhash" -> dedup_simhash _,
+    "dedup_embedding" -> dedup_embedding _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedup_exact_sql,
+    "dedup_ngram_jaccard" -> dedup_ngram_jaccard_sql,
+    "dedup_minhash_lsh" -> dedup_minhash_lsh_sql,
+    "dedup_simhash" -> dedup_simhash_sql,
+    "dedup_embedding" -> dedup_embedding_sql,
+  )
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, marker-based language ID, document fingerprinting and
+  * regex tokenization.
+  *
+  * Everything is built from codegen'd built-ins (split / higher-order array
+  * functions / md5) — no UDFs — so the whole stage fuses into one
+  * WholeStageCodegen pass over the scan. Ratios are reported as integer
+  * per-mille (floor) rather than doubles: exact, order-independent, and
+  * identical in any SQL engine (the oracle mirrors the arithmetic).
+  *
+  * Scale: each query is a single narrow map over documents + one partial
+  * aggregate at most — no shuffle except final small aggregations, so it
+  * scales linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text (shared by all queries). */
+  private val tokens: Column = split(trim(col("text")), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private def sqlStopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def text_stats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars_actual"),
+        size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct_tokens"),
+        expr("aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), 0, (acc, x) -> acc + x)")
+          .as("total_token_chars"),
+        array_max(transform(tokens, t => length(t))).as("max_token_len"))
+  }
+
+  val text_stats_sql: String =
+    """SELECT doc_id, lang, source,
+      |  CAST(length(text) AS INT) AS n_chars_actual,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT) AS n_distinct_tokens,
+      |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS INT) AS total_token_chars,
+      |  CAST(list_max(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS INT) AS max_token_len
+      |FROM documents""".stripMargin
+
+  /** Quality signals: stopword density, short-doc flag, repetition rate —
+    * the usual cheap pre-training corpus filters. All integer arithmetic. */
+  def text_quality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens)
+    val stopHits = size(filter(tokens, t => t.isin(stopwords: _*)))
+    val distinctTok = size(array_distinct(tokens))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        stopHits.as("stop_hits"),
+        // per-mille ratios via integer floor-division: exact everywhere
+        (stopHits.cast("long") * 1000 / nTok).cast("long").as("stop_per_mille"),
+        (distinctTok.cast("long") * 1000 / nTok).cast("long").as("uniq_per_mille"),
+        when(nTok < 20, "too_short")
+          .when(stopHits.cast("long") * 1000 / nTok > 150, "stopword_heavy")
+          .when(distinctTok.cast("long") * 1000 / nTok < 400, "repetitive")
+          .otherwise("ok").as("quality_class"))
+  }
+
+  val text_quality_sql: String =
+    s"""SELECT doc_id,
+       |  CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(stop_hits AS INT) AS stop_hits,
+       |  CAST((stop_hits * 1000) // n_tokens AS BIGINT) AS stop_per_mille,
+       |  CAST((uniq * 1000) // n_tokens AS BIGINT) AS uniq_per_mille,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN (stop_hits * 1000) // n_tokens > 150 THEN 'stopword_heavy'
+       |       WHEN (uniq * 1000) // n_tokens < 400 THEN 'repetitive'
+       |       ELSE 'ok' END AS quality_class
+       |FROM (SELECT doc_id,
+       |        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |        len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN $sqlStopList)) AS stop_hits,
+       |        len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS uniq
+       |      FROM documents)""".stripMargin
+
+  /** Marker-word language ID (n-gram-heuristic family): score each language
+    * by counts of its marker words, predict the argmax with a fixed
+    * tie-break order. Deterministic and fully SQL-expressible. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "una"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def text_langid(s: SparkSession, dir: String): DataFrame = {
+    val scores = markers.map { case (lang, ws) =>
+      size(filter(tokens, t => t.isin(ws: _*))).as(s"score_$lang")
+    }
+    val df = Tables.documents(s, dir).select(col("doc_id") +: col("lang").as("labeled_lang") +: scores: _*)
+    // argmax with tie-break = marker declaration order
+    val best = markers.map(_._1).foldRight(lit("und")) { case (lang, other) =>
+      when(
+        markers.map(_._1).takeWhile(_ != lang).foldLeft(lit(true)) { (acc, prev) =>
+          acc && col(s"score_$lang") > col(s"score_$prev")
+        } && col(s"score_$lang") > 0,
+        lit(lang)).otherwise(other)
+    }
+    df.withColumn("predicted_lang", best)
+  }
+
+  val text_langid_sql: String = {
+    val scoreExprs = markers.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN $lst)) AS INT) AS score_$lang"
+    }.mkString(",\n  ")
+    val caseExpr = markers.map(_._1).map { lang =>
+      val gts = markers.map(_._1).takeWhile(_ != lang)
+        .map(p => s"score_$lang > score_$p")
+      val conds = (gts :+ s"score_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
+       |  CASE $caseExpr ELSE 'und' END AS predicted_lang
+       |FROM (SELECT doc_id, lang AS labeled_lang,
+       |  $scoreExprs
+       |FROM documents)""".stripMargin
+  }
+
+  /** Document fingerprints: exact-content hash and order-independent
+    * bag-of-words hash (the classic cheap near-dup prefilters). */
+  def text_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp_exact"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fp_bag"))
+  }
+
+  val text_fingerprint_sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_exact,
+      |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp_bag
+      |FROM documents""".stripMargin
+
+  /** BPE-ish regex tokenization: count lexeme classes without materializing
+    * token arrays (regexp_count is a streaming scan per row). */
+  def text_tokens_regex(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_lexemes"),
+        regexp_count(col("text"), lit("[a-zA-Z]+")).as("n_alpha"),
+        regexp_count(col("text"), lit("[0-9]+")).as("n_numeric"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).as("n_punct"))
+  }
+
+  val text_tokens_regex_sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_lexemes,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INT) AS n_alpha,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numeric,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INT) AS n_punct
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> text_stats _,
+    "text_quality" -> text_quality _,
+    "text_langid" -> text_langid _,
+    "text_fingerprint" -> text_fingerprint _,
+    "text_tokens_regex" -> text_tokens_regex _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> text_stats_sql,
+    "text_quality" -> text_quality_sql,
+    "text_langid" -> text_langid_sql,
+    "text_fingerprint" -> text_fingerprint_sql,
+    "text_tokens_regex" -> text_tokens_regex_sql,
+  )
+}
