@@ -78,7 +78,7 @@ object Dedup {
       .filter(col("common") * 10 >= (col("na") + col("nb") - col("common")) * 6)
       .select(col("doc_id_a"), col("doc_id_b"), col("common"),
         (col("na") + col("nb") - col("common")).as("union_size"),
-        (col("common") * 1000).div(col("na") + col("nb") - col("common")).cast("long").as("jaccard_per_mille"))
+        (col("common") * 1000).divide(col("na") + col("nb") - col("common")).cast("long").as("jaccard_per_mille"))
   }
 
   private val shinglesD =
@@ -135,7 +135,7 @@ object Dedup {
       .withColumn("union_size", size(col("sh_a")) + size(col("sh_b")) - col("common"))
       .filter(col("common") * 10 >= col("union_size") * 6)
       .select(col("doc_id_a"), col("doc_id_b"), col("common"), col("union_size"),
-        (col("common") * 1000).div(col("union_size")).cast("long").as("jaccard_per_mille"))
+        (col("common") * 1000).divide(col("union_size")).cast("long").as("jaccard_per_mille"))
   }
 
   val dedup_minhash_lsh_sql: String =

@@ -29,7 +29,7 @@ object Multimodal {
         col("doc_id"),
         length(col("blob")).as("n_bytes"),
         lower(hex(substring(col("blob"), 1, 8))).as("header_hex"),
-        ((length(col("blob")) + 1023).cast("long").div(1024)).cast("long").as("n_chunks"),
+        ((length(col("blob")) + 1023).cast("long").divide(1024)).cast("long").as("n_chunks"),
         ascii(substring(col("text"), 1, 1)).as("first_byte"))
   }
 
