@@ -1,0 +1,615 @@
+package graft.state
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.util.Properties
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.JavaConverters._
+import scala.collection.mutable
+import scala.util.Try
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.execution.streaming.state._
+import org.apache.spark.sql.types.StructType
+import org.rocksdb._
+
+/** A RocksDB-backed [[StateStoreProvider]] for Spark Structured Streaming —
+  * the graft re-expression of the reference engine
+  * (`ru.chermenin.spark.sql.execution.streaming.state.RocksDbStateStoreProvider`,
+  * reference `RocksDbStateStoreProvider.scala`) against the Spark 4.1 SPI.
+  *
+  * Architecture (reference behaviors cited, none of its code reused):
+  *
+  *  - State is one RocksDB instance per (operator, partition, store name),
+  *    holding `UnsafeRow -> UnsafeRow` pairs as raw bytes (reference
+  *    `:152-162, :258-264`), multi-versioned per micro-batch: version `v` is
+  *    loaded, updated, and committed as `v+1` (reference `:118, :196-217`).
+  *  - Durability = one zip snapshot of the DB directory per committed version
+  *    under the store's checkpoint dir (reference `:448-462`), with the
+  *    previous batch's local directory moved — not re-downloaded — on the
+  *    next load (reference `:299-304, :485-498`), newest-first fallback past
+  *    corrupt snapshots (reference `:384-401`) and retention-bounded cleanup
+  *    on the maintenance thread (reference `:573-592`).
+  *  - Per-key processing-time TTL, the reference's one novel feature
+  *    (`:71-94`): `-1` infinite, `0` stateless, `N>0` seconds since
+  *    creation/last-update/last-access; lazy mode rides RocksDB's TtlDB
+  *    compaction expiry, strict mode gives exact visibility. Unlike the
+  *    reference's in-heap per-store-instance Guava cache (which silently
+  *    forgot deadlines on every new batch and on failover — SURVEY §7.4),
+  *    strict deadlines here live in a parallel RocksDB column family and ride
+  *    the same snapshots, so exact expiry survives both.
+  *
+  * Spark 4 SPI surface beyond the reference: real prefix scans (the
+  * reference's `getRange` ignored its bounds, `:190-193`), byte-ordered range
+  * scans, column families, multi-valued keys (`merge`/`valuesIterator`), and
+  * read-store/upgrade paths — see [[KeyCodec]] and [[ValueCodec]].
+  *
+  * Known reference defects deliberately not reproduced (SURVEY §4): strict
+  * TTL `remove` no-op invalidation (byte-keyed here), `abort` publishing its
+  * dirty directory, `commit` marking Committed before the fallible upload,
+  * and `metrics` guessing memory from schema default sizes.
+  */
+class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
+  import RocksDbStateStoreProvider._
+
+  org.rocksdb.RocksDB.loadLibrary()
+
+  @volatile private var stateStoreId_ : StateStoreId = _
+  @volatile private var keySchema: StructType = _
+  @volatile private var valueSchema: StructType = _
+  @volatile private var keyEncoderSpec: KeyStateEncoderSpec = _
+  @volatile private var useColumnFamilies: Boolean = false
+  @volatile private var useMultipleValuesPerKey: Boolean = false
+  @volatile private var storeConf: StateStoreConf = _
+  @volatile private var hadoopConf: Configuration = _
+  @volatile private var conf: RocksDbConf = _
+  @volatile private var snapshots: SnapshotManager = _
+  @volatile private var tempRoot: File = _
+
+  /** version -> local RocksDB dir holding exactly that committed version
+    * (reference `localSnapshots`, `:114, :299-304`). */
+  private val localSnapshots = new ConcurrentHashMap[Long, File]()
+
+  override def init(
+      stateStoreId: StateStoreId,
+      keySchema: StructType,
+      valueSchema: StructType,
+      keyStateEncoderSpec: KeyStateEncoderSpec,
+      useColumnFamilies: Boolean,
+      storeConfs: StateStoreConf,
+      hadoopConf: Configuration,
+      useMultipleValuesPerKey: Boolean,
+      stateSchemaProvider: Option[StateSchemaProvider]): Unit = {
+    this.stateStoreId_ = stateStoreId
+    this.keySchema = keySchema
+    this.valueSchema = valueSchema
+    this.keyEncoderSpec = keyStateEncoderSpec
+    this.useColumnFamilies = useColumnFamilies
+    this.useMultipleValuesPerKey = useMultipleValuesPerKey
+    this.storeConf = storeConfs
+    this.hadoopConf = hadoopConf
+    this.conf = RocksDbConf(storeConfs, stateStoreId.checkpointRootLocation)
+    this.snapshots = new SnapshotManager(stateStoreId.storeCheckpointLocation, hadoopConf)
+    this.tempRoot = java.nio.file.Files.createTempDirectory(
+      s"graft-state-${stateStoreId.operatorId}-${stateStoreId.partitionId}-").toFile
+    snapshots.ensureBaseDir()
+  }
+
+  override def stateStoreId: StateStoreId = stateStoreId_
+
+  override def getStore(version: Long, uniqueId: Option[String]): StateStore =
+    loadStore(version, readOnly = false)
+
+  override def getReadStore(version: Long, uniqueId: Option[String]): ReadStateStore =
+    loadStore(version, readOnly = true)
+
+  override def upgradeReadStoreToWriteStore(
+      readStore: ReadStateStore, version: Long, uniqueId: Option[String]): StateStore =
+    readStore match {
+      case s: RocksDbStateStore if s.version == version => s.upgradeToWriteStore(); s
+      case _ => getStore(version, uniqueId)
+    }
+
+  /** Resolve a local directory containing committed state for `version` and
+    * open a store over it. Exact version first (local move, else snapshot
+    * download); on corruption fall back loudly to the newest older snapshot,
+    * then to empty state — the reference's resilience contract
+    * (`:384-401`, tested `RocksDbStateStoreProviderSuite.scala:106-133`). */
+  private def loadStore(version: Long, readOnly: Boolean): RocksDbStateStore = synchronized {
+    require(version >= 0, "Version cannot be less than 0")
+    val dir =
+      if (version == 0) freshDir()
+      else {
+        tryMaterialize(version).getOrElse {
+          val candidates = (snapshots.listVersions() ++ localSnapshots.keySet().asScala)
+            .filter(v => v < version && v > 0).distinct.sorted(Ordering.Long.reverse)
+          logWarning(s"State version $version of $stateStoreId_ is missing or unreadable; " +
+            s"falling back (candidates: ${candidates.mkString(",")})")
+          candidates.iterator.flatMap(tryMaterialize).nextOption().getOrElse {
+            logWarning(s"No readable snapshot at all for $stateStoreId_; starting empty at version $version")
+            freshDir()
+          }
+        }
+      }
+    new RocksDbStateStore(version, dir, readOnly)
+  }
+
+  /** Try to produce a local dir holding exactly `v`: move the local snapshot
+    * if registered (zero-copy reuse of the previous batch — the reference's
+    * hot-path trick, `:485-498`), else download + unzip, and verify the DB
+    * opens. */
+  private def tryMaterialize(v: Long): Option[File] = {
+    val fromLocal = Option(localSnapshots.remove(v)).filter(_.isDirectory).map { src =>
+      val dest = freshDir()
+      dest.delete()
+      java.nio.file.Files.move(src.toPath, dest.toPath)
+      dest
+    }
+    val dir = fromLocal.orElse {
+      if (!snapshots.listVersions().contains(v)) None
+      else {
+        val dest = freshDir()
+        Try(snapshots.download(v, dest)).toOption.map(_ => dest)
+      }
+    }
+    dir.filter { d =>
+      val ok = Try { openDb(d, verifyOnly = true) }.isSuccess
+      if (!ok) logWarning(s"Snapshot for version $v of $stateStoreId_ failed to open; ignoring")
+      ok
+    }
+  }
+
+  private def freshDir(): File = {
+    val f = java.nio.file.Files.createTempDirectory(tempRoot.toPath, "db-").toFile
+    f
+  }
+
+  override def doMaintenance(): Unit = {
+    val cutoff = snapshots.cleanup(storeConf.minVersionsToRetain)
+    cutoff.foreach { c =>
+      localSnapshots.entrySet().asScala.filter(_.getKey < c).foreach { e =>
+        if (localSnapshots.remove(e.getKey, e.getValue)) deleteRecursively(e.getValue)
+      }
+    }
+  }
+
+  override def close(): Unit = {
+    localSnapshots.clear()
+    if (tempRoot != null) deleteRecursively(tempRoot)
+  }
+
+  override def toString: String =
+    s"GraftRocksDbStateStoreProvider[op=${stateStoreId_.operatorId},part=${stateStoreId_.partitionId}," +
+      s"name=${stateStoreId_.storeName},query=${conf.queryName},ttl=${conf.ttlSecs}s," +
+      s"strict=${conf.strictExpire}]"
+
+  // ------------------------------------------------------------------
+  // RocksDB plumbing shared by store instances
+  // ------------------------------------------------------------------
+
+  private def cfOptions(): ColumnFamilyOptions = new ColumnFamilyOptions()
+    .setWriteBufferSize(conf.writeBufferSizeMb * 1024L * 1024L)
+    .setMaxWriteBufferNumber(conf.writeBufferNumber)
+    .setCompressionType(CompressionType.SNAPPY_COMPRESSION)
+    .setCompactionStyle(CompactionStyle.UNIVERSAL)
+
+  private case class OpenDb(db: TtlDB, handles: mutable.LinkedHashMap[String, ColumnFamilyHandle])
+
+  /** Open (or create) the DB at `dir` with every column family present on
+    * disk. TtlDB gives the lazy compaction-time expiry floor (reference
+    * `:121`); deadline families never auto-expire. */
+  private def openDb(dir: File, verifyOnly: Boolean): OpenDb = {
+    val dbOptions = new DBOptions()
+      .setCreateIfMissing(true)
+      .setCreateMissingColumnFamilies(true)
+      .setMaxBackgroundJobs(conf.backgroundJobs)
+    val listed = Try {
+      org.rocksdb.RocksDB.listColumnFamilies(new Options(dbOptions, cfOptions()), dir.getAbsolutePath)
+        .asScala.map(new String(_, "UTF-8")).toSeq
+    }.getOrElse(Nil)
+    val names = if (listed.isEmpty) Seq(DefaultCf) else listed
+    val descriptors = names.map(n => new ColumnFamilyDescriptor(n.getBytes("UTF-8"), cfOptions())).asJava
+    val ttls = names.map { n =>
+      Integer.valueOf(if (n.startsWith(InternalCfPrefix) || conf.ttlSecs <= 0) 0 else conf.ttlSecs)
+    }.asJava
+    val handleList = new java.util.ArrayList[ColumnFamilyHandle]()
+    val db = TtlDB.open(dbOptions, dir.getAbsolutePath, descriptors, handleList, ttls, false)
+    val handles = mutable.LinkedHashMap(names.zip(handleList.asScala).toSeq: _*)
+    val opened = OpenDb(db, handles)
+    if (verifyOnly) { closeDb(opened); null } else opened
+  }
+
+  private def closeDb(o: OpenDb): Unit = {
+    o.handles.values.foreach(h => Try(h.close()))
+    Try(o.db.close())
+  }
+
+  // ------------------------------------------------------------------
+  // The store
+  // ------------------------------------------------------------------
+
+  /** Metadata for one user-visible column family. */
+  private case class CfInfo(
+      name: String,
+      keyCodec: KeyCodec,
+      valueCodec: ValueCodec,
+      numValueFields: Int,
+      multiValued: Boolean,
+      isInternal: Boolean,
+      var numKeys: Long)
+
+  /** One open store = one micro-batch's view: loaded at `version`, commits
+    * `version + 1`. Lifecycle `Updating -> Committed | Aborted | Released`
+    * with mutator verification (reference `:124-126`). */
+  class RocksDbStateStore private[state] (
+      override val version: Long,
+      dir: File,
+      private var readOnly: Boolean)
+    extends StateStore {
+
+    private val newVersion = version + 1
+    private object State extends Enumeration { val Updating, Committed, Aborted, Released = Value }
+    @volatile private var state = State.Updating
+
+    private val opened = openDb(dir, verifyOnly = false)
+    private def db: TtlDB = opened.db
+
+    private val cfs = mutable.HashMap.empty[String, CfInfo]
+    private val persistedCounts: Map[String, Long] = readMeta(dir)
+    registerCf(DefaultCf, keySchema, valueSchema, keyEncoderSpec, useMultipleValuesPerKey, isInternal = false)
+
+    private def ttlMs: Long = conf.ttlSecs.toLong * 1000L
+    private def strictTtl: Boolean = conf.strictExpire && conf.ttlSecs > 0
+    private def stateless: Boolean = conf.ttlSecs == 0
+
+    override def id: StateStoreId = stateStoreId_
+
+    private[state] def upgradeToWriteStore(): Unit = {
+      verify(state == State.Updating, "Cannot upgrade a finished store")
+      readOnly = false
+    }
+
+    // -------------------- column families --------------------
+
+    private def registerCf(
+        name: String,
+        cfKeySchema: StructType,
+        cfValueSchema: StructType,
+        spec: KeyStateEncoderSpec,
+        multiValued: Boolean,
+        isInternal: Boolean): CfInfo = {
+      val info = CfInfo(name, KeyCodec(spec), new ValueCodec(cfValueSchema.length, multiValued),
+        cfValueSchema.length, multiValued, isInternal,
+        persistedCounts.getOrElse(name, 0L))
+      cfs.put(name, info)
+      info
+    }
+
+    override def createColFamilyIfAbsent(
+        name: String,
+        cfKeySchema: StructType,
+        cfValueSchema: StructType,
+        spec: KeyStateEncoderSpec,
+        useMultipleValuesPerKey: Boolean,
+        isInternal: Boolean): Unit = synchronized {
+      verify(useColumnFamilies, "Column families are disabled for this store")
+      if (!opened.handles.contains(name)) {
+        val ttl = if (conf.ttlSecs > 0 && !isInternal) conf.ttlSecs else 0
+        val h = db.createColumnFamilyWithTtl(
+          new ColumnFamilyDescriptor(name.getBytes("UTF-8"), cfOptions()), ttl)
+        opened.handles.put(name, h)
+      }
+      if (!cfs.contains(name)) {
+        registerCf(name, cfKeySchema, cfValueSchema, spec, useMultipleValuesPerKey, isInternal)
+      }
+    }
+
+    override def removeColFamilyIfExists(name: String): Boolean = synchronized {
+      verify(name != DefaultCf, "Cannot remove the default column family")
+      val existed = opened.handles.contains(name)
+      opened.handles.remove(name).foreach { h =>
+        db.dropColumnFamily(h)
+        h.close()
+      }
+      cfs.remove(name)
+      opened.handles.remove(deadlineCfName(name)).foreach { h => db.dropColumnFamily(h); h.close() }
+      existed
+    }
+
+    private def cfInfo(name: String): CfInfo =
+      cfs.getOrElse(name, throw StateStoreErrors.unsupportedOperationOnMissingColumnFamily("op", name))
+
+    private def handle(name: String): ColumnFamilyHandle =
+      opened.handles.getOrElse(name,
+        throw StateStoreErrors.unsupportedOperationOnMissingColumnFamily("op", name))
+
+    // -------------------- strict-TTL deadlines --------------------
+
+    private def deadlineCfName(cf: String): String = InternalCfPrefix + "ttl." + cf
+
+    private def deadlineHandleIfExists(cf: String): Option[ColumnFamilyHandle] =
+      opened.handles.get(deadlineCfName(cf))
+
+    private def deadlineHandle(cf: String): ColumnFamilyHandle =
+      opened.handles.getOrElseUpdate(deadlineCfName(cf),
+        db.createColumnFamilyWithTtl(
+          new ColumnFamilyDescriptor(deadlineCfName(cf).getBytes("UTF-8"), cfOptions()), 0))
+
+    private def beLong(v: Long): Array[Byte] = {
+      val out = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { out(i) = (v >>> (8 * (7 - i))).toByte; i += 1 }
+      out
+    }
+    private def beLong(b: Array[Byte]): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+
+    /** Is the key live under strict TTL, *without* resetting its deadline?
+      * Missing deadline (pre-strict data) counts as live — adoption happens
+      * on the next access. */
+    private def isLive(cf: String, keyBytes: Array[Byte]): Boolean = {
+      val d = db.get(deadlineHandle(cf), keyBytes)
+      d == null || (clock() - beLong(d)) <= ttlMs
+    }
+
+    private def touch(cf: String, keyBytes: Array[Byte]): Unit =
+      db.put(deadlineHandle(cf), keyBytes, beLong(clock()))
+
+    // -------------------- reads --------------------
+
+    override def get(key: UnsafeRow, colFamilyName: String): UnsafeRow = {
+      if (stateless) return null
+      val info = cfInfo(colFamilyName)
+      val kBytes = info.keyCodec.encode(key)
+      if (strictTtl && !isLive(colFamilyName, kBytes)) return null
+      val vBytes = db.get(handle(colFamilyName), kBytes)
+      if (vBytes == null) return null
+      // Access resets the TTL deadline (reference `expireAfterAccess`
+      // semantics, proven at RocksDbStateTimeoutSuite.scala:123-170).
+      if (strictTtl && !readOnly) touch(colFamilyName, kBytes)
+      info.valueCodec.decodeSingle(vBytes)
+    }
+
+    override def valuesIterator(key: UnsafeRow, colFamilyName: String): Iterator[UnsafeRow] = {
+      if (stateless) return Iterator.empty
+      val info = cfInfo(colFamilyName)
+      val kBytes = info.keyCodec.encode(key)
+      if (strictTtl && !isLive(colFamilyName, kBytes)) return Iterator.empty
+      info.valueCodec.decodeAll(db.get(handle(colFamilyName), kBytes))
+    }
+
+    private def rowPairIterator(
+        cf: String, lowerBound: Option[Array[Byte]]): StateStoreIterator[UnsafeRowPair] = {
+      val info = cfInfo(cf)
+      val it = db.newIterator(handle(cf))
+      lowerBound match {
+        case Some(b) => it.seek(b)
+        case None => it.seekToFirst()
+      }
+      val raw: Iterator[(Array[Byte], Array[Byte])] = new Iterator[(Array[Byte], Array[Byte])] {
+        override def hasNext: Boolean = it.isValid &&
+          lowerBound.forall(b => startsWith(it.key(), b))
+        override def next(): (Array[Byte], Array[Byte]) = {
+          it.status()
+          val kv = (it.key(), it.value())
+          it.next()
+          kv
+        }
+      }
+      val visible =
+        if (stateless) Iterator.empty
+        // Iterator visibility honors strict expiry but does not reset
+        // deadlines (matching reference `:272-276`).
+        else if (strictTtl) {
+          val dh = deadlineHandle(cf)
+          raw.filter { case (kBytes, _) =>
+            val d = db.get(dh, kBytes)
+            d == null || (clock() - beLong(d)) <= ttlMs
+          }
+        } else raw
+      val pair = new UnsafeRowPair()
+      val rows = visible.map { case (kBytes, vBytes) =>
+        pair.withRows(info.keyCodec.decode(kBytes), info.valueCodec.decodeSingle(vBytes))
+      }
+      new StateStoreIterator(rows, () => it.close())
+    }
+
+    private def startsWith(bytes: Array[Byte], prefix: Array[Byte]): Boolean = {
+      if (bytes.length < prefix.length) return false
+      var i = 0
+      while (i < prefix.length) { if (bytes(i) != prefix(i)) return false; i += 1 }
+      true
+    }
+
+    override def iterator(colFamilyName: String): StateStoreIterator[UnsafeRowPair] =
+      rowPairIterator(colFamilyName, None)
+
+    override def prefixScan(prefixKey: UnsafeRow, colFamilyName: String): StateStoreIterator[UnsafeRowPair] = {
+      val info = cfInfo(colFamilyName)
+      verify(info.keyCodec.supportsPrefixScan,
+        s"Column family $colFamilyName was not created with prefix scan support")
+      rowPairIterator(colFamilyName, Some(info.keyCodec.encodePrefix(prefixKey)))
+    }
+
+    // -------------------- writes --------------------
+
+    private def verifyWritable(): Unit = {
+      verify(state == State.Updating, "Cannot modify an already committed or aborted state store")
+      verify(!readOnly, "Cannot modify a read-only state store")
+    }
+
+    override def put(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit = synchronized {
+      verifyWritable()
+      require(value != null, "Cannot put a null value")
+      val info = cfInfo(colFamilyName)
+      val kBytes = info.keyCodec.encode(key)
+      if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) == null) {
+        info.numKeys += 1
+      }
+      db.put(handle(colFamilyName), kBytes, info.valueCodec.encodeSingle(value))
+      if (strictTtl) touch(colFamilyName, kBytes)
+    }
+
+    override def putList(key: UnsafeRow, values: Array[UnsafeRow], colFamilyName: String): Unit = synchronized {
+      verifyWritable()
+      val info = cfInfo(colFamilyName)
+      verify(info.multiValued, s"putList on single-valued column family $colFamilyName")
+      require(values != null && values.nonEmpty, "Cannot put an empty value list")
+      val kBytes = info.keyCodec.encode(key)
+      if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) == null) {
+        info.numKeys += 1
+      }
+      db.put(handle(colFamilyName), kBytes, info.valueCodec.encodeFrames(values))
+      if (strictTtl) touch(colFamilyName, kBytes)
+    }
+
+    override def merge(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit = synchronized {
+      verifyWritable()
+      val info = cfInfo(colFamilyName)
+      verify(info.multiValued, s"merge on single-valued column family $colFamilyName")
+      require(value != null, "Cannot merge a null value")
+      val kBytes = info.keyCodec.encode(key)
+      val existing = db.get(handle(colFamilyName), kBytes)
+      if (conf.trackTotalNumberOfRows && existing == null) info.numKeys += 1
+      db.put(handle(colFamilyName), kBytes, info.valueCodec.appendFrame(existing, value))
+      if (strictTtl) touch(colFamilyName, kBytes)
+    }
+
+    override def mergeList(key: UnsafeRow, values: Array[UnsafeRow], colFamilyName: String): Unit =
+      values.foreach(v => merge(key, v, colFamilyName))
+
+    override def remove(key: UnsafeRow, colFamilyName: String): Unit = synchronized {
+      verifyWritable()
+      val info = cfInfo(colFamilyName)
+      val kBytes = info.keyCodec.encode(key)
+      if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) != null) {
+        info.numKeys -= 1
+      }
+      db.delete(handle(colFamilyName), kBytes)
+      // Deadline removed with the key — byte-keyed, so actually effective
+      // (the reference's UnsafeRow-vs-bytes cache invalidation was a no-op,
+      // SURVEY §4 defect 1).
+      if (strictTtl) db.delete(deadlineHandle(colFamilyName), kBytes)
+    }
+
+    // -------------------- lifecycle --------------------
+
+    override def commit(): Long = synchronized {
+      verify(state == State.Updating, "Cannot commit already committed or aborted state store")
+      verify(!readOnly, "Cannot commit a read-only state store")
+      try {
+        writeMeta(dir, cfs.values.map(i => i.name -> i.numKeys).toMap)
+        val flushOptions = new FlushOptions().setWaitForFlush(true)
+        try db.flush(flushOptions, opened.handles.values.toSeq.asJava)
+        finally flushOptions.close()
+        closeDb(opened)
+        snapshots.upload(dir, newVersion)
+        registerLocalSnapshot(newVersion, dir)
+        // Committed only after the durable upload succeeded (the reference
+        // flipped state first — SURVEY §4 defect 5).
+        state = State.Committed
+        if (storeConf.commitValidationEnabled) {
+          StateStore.reportCommitToCoordinator(newVersion, stateStoreId_, hadoopConf)
+        }
+        newVersion
+      } catch {
+        case NonFatal(e) =>
+          throw new IllegalStateException(s"Error committing version $newVersion into $this", e)
+      }
+    }
+
+    override def abort(): Unit = synchronized {
+      if (state == State.Updating) {
+        state = State.Aborted
+        closeDb(opened)
+        // Discard, never publish, the dirty directory (the reference
+        // registered it under newVersion + 1 — SURVEY §4 defect 3).
+        deleteRecursively(dir)
+        logInfo(s"Aborted version $newVersion for $this")
+      }
+    }
+
+    override def release(): Unit = synchronized {
+      if (state == State.Updating) {
+        verify(readOnly, "release() is only valid on a read store; use commit()/abort()")
+        state = State.Released
+        closeDb(opened)
+        // A read store never wrote: its dir still holds exactly `version`,
+        // so park it for zero-copy reuse by the next load.
+        if (version > 0) registerLocalSnapshot(version, dir) else deleteRecursively(dir)
+      }
+    }
+
+    private def registerLocalSnapshot(v: Long, d: File): Unit = {
+      Option(localSnapshots.put(v, d)).filter(_ != d).foreach(deleteRecursively)
+      val cutoff = v - math.max(storeConf.minVersionsToRetain, 1) + 1
+      localSnapshots.entrySet().asScala.filter(_.getKey < cutoff).foreach { e =>
+        if (localSnapshots.remove(e.getKey, e.getValue)) deleteRecursively(e.getValue)
+      }
+    }
+
+    override def metrics: StateStoreMetrics = {
+      val user = cfs.values.filter(!_.isInternal)
+      val numKeys =
+        if (conf.trackTotalNumberOfRows) user.map(_.numKeys).sum
+        else user.map(i => Try(db.getLongProperty(handle(i.name), "rocksdb.estimate-num-keys")).getOrElse(0L)).sum
+      val memory = opened.handles.values.map { h =>
+        Try(db.getLongProperty(h, "rocksdb.cur-size-all-mem-tables")).getOrElse(0L) +
+          Try(db.getLongProperty(h, "rocksdb.total-sst-files-size")).getOrElse(0L)
+      }.sum
+      StateStoreMetrics(numKeys, math.max(memory, 1L), Map.empty, Map.empty)
+    }
+
+    override def getStateStoreCheckpointInfo(): StateStoreCheckpointInfo =
+      StateStoreCheckpointInfo(id.partitionId, newVersion, None, None)
+
+    override def hasCommitted: Boolean = state == State.Committed
+
+    private def verify(condition: => Boolean, msg: String): Unit =
+      if (!condition) throw new IllegalStateException(msg)
+
+    override def toString: String =
+      s"GraftRocksDbStateStore[op=${id.operatorId},part=${id.partitionId},name=${id.storeName}," +
+        s"version=$version,readOnly=$readOnly,state=$state]"
+  }
+}
+
+object RocksDbStateStoreProvider {
+  val DefaultCf: String = StateStore.DEFAULT_COL_FAMILY_NAME
+  private[state] val InternalCfPrefix = "$graft."
+  private[state] val MetaFileName = "_GRAFT_META.properties"
+
+  /** Injectable wall clock so TTL tests are deterministic (the reference used
+    * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`). */
+  @volatile private[state] var clock: () => Long = () => System.currentTimeMillis()
+
+  private[state] def writeMeta(dir: File, counts: Map[String, Long]): Unit = {
+    val props = new Properties()
+    counts.foreach { case (cf, n) => props.setProperty(s"numKeys.$cf", n.toString) }
+    val out = new FileOutputStream(new File(dir, MetaFileName))
+    try props.store(out, "graft state store metadata") finally out.close()
+  }
+
+  private[state] def readMeta(dir: File): Map[String, Long] = {
+    val f = new File(dir, MetaFileName)
+    if (!f.isFile) return Map.empty
+    val props = new Properties()
+    val in = new FileInputStream(f)
+    try props.load(in) finally in.close()
+    props.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("numKeys."))
+      .map(k => k.stripPrefix("numKeys.") -> props.getProperty(k).toLong)
+      .toMap
+  }
+
+  private[state] def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.state
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.internal.Logging
+
+import scala.util.Try
+
+/** Durable snapshot I/O for one state store instance (operator × partition ×
+  * store name).
+  *
+  * Snapshot format follows the reference (`RocksDbStateStoreProvider.scala:
+  * 448-462, 517-566, 597-619`): one ZIP per committed version named
+  * `state.snapshot.<version>` under the store's checkpoint directory on an
+  * HDFS-compatible filesystem, containing the raw RocksDB files. Uploads go
+  * through a temporary file + rename so a crashed commit never leaves a
+  * half-written snapshot under the final name.
+  *
+  * At 100 TB the full-snapshot-per-batch model is O(state) upload per commit;
+  * that matches the reference's contract and keeps recovery trivial
+  * (download + unzip = exact DB). Changelog checkpointing is the planned
+  * phase-2 upgrade (SURVEY §7.2 M6) and slots behind this same interface.
+  */
+final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Logging {
+
+  private lazy val fs: FileSystem = baseDir.getFileSystem(hadoopConf)
+
+  def ensureBaseDir(): Unit = fs.mkdirs(baseDir)
+
+  def snapshotFile(version: Long): Path = new Path(baseDir, s"state.snapshot.$version")
+
+  /** Versions with a durable snapshot present (reference `fetchVersions`,
+    * `:597-613`). */
+  def listVersions(): Seq[Long] = {
+    if (!fs.exists(baseDir)) return Nil
+    fs.listStatus(baseDir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("state.snapshot.")) Try(name.stripPrefix("state.snapshot.").toLong).toOption
+      else None
+    }
+  }
+
+  /** Zip `localDir`'s RocksDB files into `state.snapshot.<version>`.
+    * RocksDB info logs (`LOG`, `LOG.old.*`) are excluded — dead weight the
+    * reference also stripped before upload (`:438-443`). */
+  def upload(localDir: File, version: Long): Unit = {
+    val target = snapshotFile(version)
+    val tmp = new Path(baseDir, s".state.snapshot.$version.${System.nanoTime()}.tmp")
+    val out = new ZipOutputStream(fs.create(tmp, true))
+    try {
+      val files = Option(localDir.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && !f.getName.startsWith("LOG"))
+      val buf = new Array[Byte](64 * 1024)
+      files.foreach { f =>
+        out.putNextEntry(new ZipEntry(f.getName))
+        val in = new FileInputStream(f)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        out.closeEntry()
+      }
+    } finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"Failed to publish snapshot $target")
+    }
+  }
+
+  /** Unzip `state.snapshot.<version>` into `destDir` (must exist, empty). */
+  def download(version: Long, destDir: File): Unit = {
+    val in = new ZipInputStream(fs.open(snapshotFile(version)))
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var entry: ZipEntry = in.getNextEntry
+      while (entry != null) {
+        val target = new File(destDir, new File(entry.getName).getName) // no path traversal
+        val out = new FileOutputStream(target)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally out.close()
+        in.closeEntry()
+        entry = in.getNextEntry
+      }
+    } finally in.close()
+  }
+
+  /** Delete durable snapshots older than `maxVersion - retain + 1`
+    * (reference `cleanup`, `:573-592`). Returns the cutoff. */
+  def cleanup(retain: Int): Option[Long] = {
+    val versions = listVersions()
+    if (versions.isEmpty) return None
+    val cutoff = versions.max - math.max(retain, 1) + 1
+    versions.filter(_ < cutoff).foreach { v =>
+      Try(fs.delete(snapshotFile(v), false)).failed.foreach { e =>
+        logWarning(s"Failed to delete expired snapshot version $v under $baseDir: $e")
+      }
+    }
+    Some(cutoff)
+  }
+}

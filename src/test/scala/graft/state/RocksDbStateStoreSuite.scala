@@ -1,0 +1,270 @@
+package graft.state
+
+import java.io.{File, FileOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.execution.streaming.state._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import StateStoreTestHelper._
+
+/** Provider lifecycle conformance, the graft equivalent of the reference's
+  * `RocksDbStateStoreProviderSuite.scala:41-192`: snapshotting, retention
+  * cleanup, corrupted-snapshot fallback, metrics, plus the Spark-4-only
+  * surface (prefix scan, range scan, column families, multi-value) the
+  * reference never had.
+  */
+class RocksDbStateStoreSuite extends AnyFunSuite {
+
+  test("put, get, remove, iterate within one version") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      val store = provider.getStore(0, None)
+      assert(get(store, "a").isEmpty)
+      put(store, "a", 1)
+      put(store, "b", 2)
+      put(store, "a", 3) // overwrite
+      assert(get(store, "a").contains(3))
+      assert(get(store, "b").contains(2))
+      remove(store, "b")
+      assert(get(store, "b").isEmpty)
+      assert(readAll(store) === Map("a" -> 3))
+      assert(store.metrics.numKeys === 1)
+      assert(store.commit() === 1)
+      assert(store.hasCommitted)
+    } finally provider.close()
+  }
+
+  test("committed state is durable across provider instances") {
+    val ckpt = newCheckpointDir()
+    val p1 = newProvider(ckpt)
+    try {
+      val s0 = p1.getStore(0, None)
+      put(s0, "a", 1)
+      s0.commit()
+      val s1 = p1.getStore(1, None)
+      assert(get(s1, "a").contains(1))
+      put(s1, "a", 2)
+      put(s1, "b", 20)
+      s1.commit()
+    } finally p1.close()
+    // brand-new provider (simulates executor restart): must read from FS
+    assert(getData(ckpt, 1) === Map("a" -> 1))
+    assert(getData(ckpt, 2) === Map("a" -> 2, "b" -> 20))
+  }
+
+  test("snapshotting and maintenance cleanup respect retention") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt) // minBatchesToRetain = 3
+    try {
+      (0 until 10).foreach { v =>
+        val store = provider.getStore(v, None)
+        put(store, "a", v)
+        assert(store.commit() === v + 1)
+      }
+      assert(snapshotFiles(ckpt).sorted === (1L to 10L))
+      provider.doMaintenance()
+      assert(snapshotFiles(ckpt).sorted === (8L to 10L))
+      // retained versions all still readable
+      (8 to 10).foreach { v => assert(getData(ckpt, v) === Map("a" -> (v - 1))) }
+    } finally provider.close()
+  }
+
+  test("corrupted snapshot falls back to older version, then empty") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      (0 until 3).foreach { v =>
+        val store = provider.getStore(v, None)
+        put(store, "a", v)
+        store.commit()
+      }
+    } finally provider.close()
+
+    // corrupt version 3's snapshot: garbage bytes
+    val snap3 = new File(new File(new File(ckpt), "0"), "0/state.snapshot.3")
+    val out = new FileOutputStream(snap3)
+    out.write(Array.fill[Byte](64)(0x7f)); out.close()
+    assert(getData(ckpt, 3) === Map("a" -> 1)) // fell back to version 2
+
+    // corrupt everything: empty store
+    Seq(1, 2).foreach { v =>
+      val f = new File(new File(new File(ckpt), "0"), s"0/state.snapshot.$v")
+      val o = new FileOutputStream(f); o.write(Array.fill[Byte](64)(0x11)); o.close()
+    }
+    assert(getData(ckpt, 3) === Map.empty)
+  }
+
+  test("abort discards uncommitted changes and does not publish") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      val s0 = provider.getStore(0, None)
+      put(s0, "a", 1)
+      s0.commit()
+      val s1 = provider.getStore(1, None)
+      put(s1, "a", 999)
+      s1.abort()
+      assert(!s1.hasCommitted)
+      assert(snapshotFiles(ckpt).sorted === Seq(1L))
+      // reload version 1 (local dir was consumed then discarded -> FS download)
+      assert(getData(ckpt, 1) === Map("a" -> 1))
+      intercept[IllegalStateException] { put(s1, "b", 2) }
+    } finally provider.close()
+  }
+
+  test("metrics reports exact key count and growing memory") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      val store = provider.getStore(0, None)
+      val m0 = store.metrics
+      assert(m0.numKeys === 0)
+      (1 to 100).foreach(i => put(store, s"k$i", i))
+      remove(store, "k100")
+      val m1 = store.metrics
+      assert(m1.numKeys === 99)
+      assert(m1.memoryUsedBytes > 0)
+      store.commit()
+      // count survives reload through a fresh provider
+      val p2 = newProvider(ckpt)
+      try {
+        val reloaded = p2.getStore(1, None)
+        assert(reloaded.metrics.numKeys === 99)
+        reloaded.abort()
+      } finally p2.close()
+    } finally provider.close()
+  }
+
+  test("read store: getReadStore, release parks the dir for reuse, upgrade path") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      val s0 = provider.getStore(0, None)
+      put(s0, "a", 1)
+      s0.commit()
+
+      val read = provider.getReadStore(1, None)
+      assert(get(read, "a").contains(1))
+      intercept[IllegalStateException] { put(read.asInstanceOf[StateStore], "x", 1) }
+      read.release()
+
+      // released dir must be reusable as version 1
+      val s1 = provider.getStore(1, None)
+      assert(get(s1, "a").contains(1))
+      put(s1, "b", 2)
+      s1.commit()
+
+      val read2 = provider.getReadStore(2, None)
+      val write2 = provider.upgradeReadStoreToWriteStore(read2, 2, None)
+      put(write2, "c", 3)
+      assert(write2.commit() === 3)
+      assert(getData(ckpt, 3) === Map("a" -> 1, "b" -> 2, "c" -> 3))
+    } finally provider.close()
+  }
+
+  test("prefix scan returns exactly the keys under the prefix") {
+    val ckpt = newCheckpointDir()
+    val kSchema = StructType(Seq(
+      StructField("session", StringType), StructField("seq", IntegerType)))
+    val proj = UnsafeProjection.create(Array[DataType](StringType, IntegerType))
+    def k(session: String, seq: Int): UnsafeRow =
+      proj(InternalRow(UTF8String.fromString(session), seq)).copy()
+    val prefixProj = UnsafeProjection.create(Array[DataType](StringType))
+    def prefix(session: String): UnsafeRow =
+      prefixProj(InternalRow(UTF8String.fromString(session))).copy()
+
+    val provider = newProvider(ckpt, kSchema = kSchema,
+      keySpec = PrefixKeyScanStateEncoderSpec(kSchema, 1))
+    try {
+      val store = provider.getStore(0, None)
+      store.put(k("alpha", 1), valueRow(11), StateStore.DEFAULT_COL_FAMILY_NAME)
+      store.put(k("alpha", 2), valueRow(12), StateStore.DEFAULT_COL_FAMILY_NAME)
+      store.put(k("beta", 1), valueRow(21), StateStore.DEFAULT_COL_FAMILY_NAME)
+      store.put(k("alphax", 9), valueRow(99), StateStore.DEFAULT_COL_FAMILY_NAME)
+
+      val scanned = store.prefixScan(prefix("alpha"), StateStore.DEFAULT_COL_FAMILY_NAME)
+        .map(p => (p.key.getUTF8String(0).toString, p.key.getInt(1), p.value.getInt(0))).toSet
+      assert(scanned === Set(("alpha", 1, 11), ("alpha", 2, 12)))
+
+      // full key decode round-trips through iterator too
+      val all = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+        .map(p => (p.key.getUTF8String(0).toString, p.key.getInt(1))).toSet
+      assert(all === Set(("alpha", 1), ("alpha", 2), ("beta", 1), ("alphax", 9)))
+      store.commit()
+    } finally provider.close()
+  }
+
+  test("range scan iterates in logical order of ordering columns") {
+    val ckpt = newCheckpointDir()
+    val kSchema = StructType(Seq(
+      StructField("expiry", LongType, nullable = false), StructField("id", StringType)))
+    val proj = UnsafeProjection.create(Array[DataType](LongType, StringType))
+    def k(expiry: Long, id: String): UnsafeRow =
+      proj(InternalRow(expiry, UTF8String.fromString(id))).copy()
+
+    val provider = newProvider(ckpt, kSchema = kSchema,
+      keySpec = RangeKeyScanStateEncoderSpec(kSchema, Seq(0)))
+    try {
+      val store = provider.getStore(0, None)
+      Seq(500L -> "e", -3L -> "a", 0L -> "b", 42L -> "c", Long.MaxValue -> "f", 43L -> "d")
+        .foreach { case (exp, id) =>
+          store.put(k(exp, id), valueRow(1), StateStore.DEFAULT_COL_FAMILY_NAME)
+        }
+      val order = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+        .map(p => p.key.getLong(0)).toSeq
+      assert(order === Seq(-3L, 0L, 42L, 43L, 500L, Long.MaxValue))
+      store.commit()
+    } finally provider.close()
+  }
+
+  test("column families: isolation, multi-value merge, removal") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt, useColumnFamilies = true)
+    try {
+      val store = provider.getStore(0, None)
+      store.createColFamilyIfAbsent("listState", keySchema, valueSchema,
+        NoPrefixKeyStateEncoderSpec(keySchema), useMultipleValuesPerKey = true, isInternal = false)
+      put(store, "a", 1) // default CF
+      store.merge(keyRow("a"), valueRow(10), "listState")
+      store.merge(keyRow("a"), valueRow(11), "listState")
+      store.putList(keyRow("b"), Array(valueRow(20), valueRow(21), valueRow(22)), "listState")
+
+      assert(get(store, "a").contains(1))
+      assert(store.valuesIterator(keyRow("a"), "listState").map(valueInt).toSeq === Seq(10, 11))
+      assert(store.valuesIterator(keyRow("b"), "listState").map(valueInt).toSeq === Seq(20, 21, 22))
+      assert(store.get(keyRow("a"), "listState").getInt(0) === 10) // first value
+      store.commit()
+
+      // durable across a fresh provider; CF re-created on the new store
+      val p2 = newProvider(ckpt, useColumnFamilies = true)
+      try {
+        val s2 = p2.getStore(1, None)
+        s2.createColFamilyIfAbsent("listState", keySchema, valueSchema,
+          NoPrefixKeyStateEncoderSpec(keySchema), useMultipleValuesPerKey = true, isInternal = false)
+        assert(s2.valuesIterator(keyRow("b"), "listState").map(valueInt).toSeq === Seq(20, 21, 22))
+        assert(s2.removeColFamilyIfExists("listState"))
+        assert(!s2.removeColFamilyIfExists("listState"))
+        assert(get(s2, "a").contains(1)) // default CF untouched
+        s2.abort()
+      } finally p2.close()
+    } finally provider.close()
+  }
+
+  test("getStore rejects negative versions and commit is idempotent-guarded") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      intercept[IllegalArgumentException] { provider.getStore(-1, None) }
+      val store = provider.getStore(0, None)
+      put(store, "a", 1)
+      store.commit()
+      intercept[IllegalStateException] { store.commit() }
+      intercept[IllegalStateException] { put(store, "b", 2) }
+    } finally provider.close()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.state
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.execution.streaming.state._
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Test fixtures equivalent to the reference's `RocksDbStateStoreHelper`
+  * (reference `RocksDbStateStoreHelper.scala:34-82`): flat `key: String ->
+  * value: Int` state, provider factory with `minBatchesToRetain = 3`, and
+  * durable readback through a *fresh* provider (tests durability, not
+  * caches — reference `getData`, `:55-62`).
+  */
+object StateStoreTestHelper {
+
+  val keySchema: StructType = StructType(Seq(StructField("key", StringType, nullable = true)))
+  val valueSchema: StructType = StructType(Seq(StructField("value", IntegerType, nullable = true)))
+
+  private val keyProj = UnsafeProjection.create(Array[DataType](StringType))
+  private val valueProj = UnsafeProjection.create(Array[DataType](IntegerType))
+
+  def keyRow(s: String): UnsafeRow = keyProj(InternalRow(UTF8String.fromString(s))).copy()
+  def valueRow(i: Int): UnsafeRow = valueProj(InternalRow(i)).copy()
+  def keyStr(row: UnsafeRow): String = row.getUTF8String(0).toString
+  def valueInt(row: UnsafeRow): Int = row.getInt(0)
+
+  def newCheckpointDir(): String = {
+    val f = Files.createTempDirectory("graft-test-ckpt-").toFile
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  def storeConf(extra: Map[String, String] = Map.empty, minBatchesToRetain: Int = 3): StateStoreConf = {
+    val sqlConf = new SQLConf()
+    sqlConf.setConfString(SQLConf.MIN_BATCHES_TO_RETAIN.key, minBatchesToRetain.toString)
+    sqlConf.setConfString(SQLConf.STATE_STORE_PROVIDER_CLASS.key,
+      classOf[RocksDbStateStoreProvider].getName)
+    extra.foreach { case (k, v) => sqlConf.setConfString(k, v) }
+    new StateStoreConf(sqlConf, Map.empty)
+  }
+
+  /** Fresh provider over the given checkpoint dir (one per call — readback
+    * through a new provider proves durability). */
+  def newProvider(
+      checkpointDir: String,
+      conf: StateStoreConf = storeConf(),
+      opId: Long = 0,
+      partition: Int = 0,
+      keySpec: KeyStateEncoderSpec = null,
+      kSchema: StructType = keySchema,
+      vSchema: StructType = valueSchema,
+      useColumnFamilies: Boolean = false,
+      useMultipleValuesPerKey: Boolean = false): RocksDbStateStoreProvider = {
+    val provider = new RocksDbStateStoreProvider()
+    provider.init(
+      StateStoreId(checkpointDir, opId, partition),
+      kSchema, vSchema,
+      Option(keySpec).getOrElse(NoPrefixKeyStateEncoderSpec(kSchema)),
+      useColumnFamilies, conf, new Configuration(),
+      useMultipleValuesPerKey, None)
+    provider
+  }
+
+  /** All k/v pairs at `version`, read through a brand-new provider. */
+  def getData(checkpointDir: String, version: Long, conf: StateStoreConf = storeConf()): Map[String, Int] = {
+    val provider = newProvider(checkpointDir, conf)
+    try {
+      val store = provider.getStore(version, None)
+      try readAll(store)
+      finally store.abort()
+    } finally provider.close()
+  }
+
+  def readAll(store: ReadStateStore): Map[String, Int] = {
+    val it = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+    try it.map(p => keyStr(p.key) -> valueInt(p.value)).toMap
+    finally it.close()
+  }
+
+  def put(store: StateStore, k: String, v: Int): Unit =
+    store.put(keyRow(k), valueRow(v), StateStore.DEFAULT_COL_FAMILY_NAME)
+
+  def get(store: ReadStateStore, k: String): Option[Int] =
+    Option(store.get(keyRow(k), StateStore.DEFAULT_COL_FAMILY_NAME)).map(valueInt)
+
+  def remove(store: StateStore, k: String): Unit =
+    store.remove(keyRow(k), StateStore.DEFAULT_COL_FAMILY_NAME)
+
+  def snapshotFiles(checkpointDir: String, opId: Long = 0, partition: Int = 0): Seq[Long] = {
+    val dir = new File(new File(new File(checkpointDir), opId.toString), partition.toString)
+    Option(dir.listFiles()).getOrElse(Array.empty[File]).toSeq
+      .map(_.getName).filter(_.startsWith("state.snapshot."))
+      .map(_.stripPrefix("state.snapshot.").toLong)
+  }
+
+  /** Run a block with the provider TTL clock pinned to a mutable variable. */
+  def withFakeClock[A](block: FakeClock => A): A = {
+    val fake = new FakeClock
+    val saved = RocksDbStateStoreProvider.clock
+    RocksDbStateStoreProvider.clock = () => fake.now
+    try block(fake) finally RocksDbStateStoreProvider.clock = saved
+  }
+
+  final class FakeClock {
+    @volatile var now: Long = 1000000000L
+    def advanceSecs(secs: Long): Unit = now += secs * 1000L
+  }
+}
