@@ -73,6 +73,14 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     * (reference `localSnapshots`, `:114, :299-304`). */
   private val localSnapshots = new ConcurrentHashMap[Long, File]()
 
+  /** The store most recently opened by this provider. Spark reads
+    * `iterator()`/`metrics` *after* `commit()` (e.g. Complete-mode output),
+    * so a store must keep its RocksDB open past commit; the provider closes
+    * it when the next version loads (or at provider close). The reference
+    * closed the DB inside `commit()` (`:208`) — and would have segfaulted on
+    * any post-commit read. */
+  @volatile private var lastOpenStore: Option[RocksDbStateStore] = None
+
   override def init(
       stateStoreId: StateStoreId,
       keySchema: StructType,
@@ -120,6 +128,10 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     * (`:384-401`, tested `RocksDbStateStoreProviderSuite.scala:106-133`). */
   private def loadStore(version: Long, readOnly: Boolean): RocksDbStateStore = synchronized {
     require(version >= 0, "Version cannot be less than 0")
+    // Close the previous batch's finished store before (possibly) moving its
+    // directory; a store still Updating (e.g. an in-use read store) is left
+    // alone — its dir is not in the registry yet.
+    lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
     val dir =
       if (version == 0) freshDir()
       else {
@@ -134,7 +146,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
           }
         }
       }
-    new RocksDbStateStore(version, dir, readOnly)
+    val store = new RocksDbStateStore(version, dir, readOnly)
+    lastOpenStore = Some(store)
+    store
   }
 
   /** Try to produce a local dir holding exactly `v`: move the local snapshot
@@ -177,6 +191,8 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   }
 
   override def close(): Unit = {
+    lastOpenStore.foreach(_.ensureClosed())
+    lastOpenStore = None
     localSnapshots.clear()
     if (tempRoot != null) deleteRecursively(tempRoot)
   }
@@ -253,9 +269,25 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     private val newVersion = version + 1
     private object State extends Enumeration { val Updating, Committed, Aborted, Released = Value }
     @volatile private var state = State.Updating
+    @volatile private var dbClosed = false
 
     private val opened = openDb(dir, verifyOnly = false)
-    private def db: TtlDB = opened.db
+    private def db: TtlDB = {
+      verify(!dbClosed, "State store RocksDB instance is already closed")
+      opened.db
+    }
+
+    private[state] def isFinished: Boolean = state != State.Updating
+
+    /** Close the underlying RocksDB (idempotent); metrics stay readable via
+      * the cached values captured here. */
+    private[state] def ensureClosed(): Unit = synchronized {
+      if (!dbClosed) {
+        cachedMetrics = Some(computeMetrics())
+        dbClosed = true
+        closeDb(opened)
+      }
+    }
 
     private val cfs = mutable.HashMap.empty[String, CfInfo]
     private val persistedCounts: Map[String, Long] = readMeta(dir)
@@ -371,8 +403,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       val vBytes = db.get(handle(colFamilyName), kBytes)
       if (vBytes == null) return null
       // Access resets the TTL deadline (reference `expireAfterAccess`
-      // semantics, proven at RocksDbStateTimeoutSuite.scala:123-170).
-      if (strictTtl && !readOnly) touch(colFamilyName, kBytes)
+      // semantics, proven at RocksDbStateTimeoutSuite.scala:123-170); only
+      // while Updating — post-commit reads must not mutate the committed dir.
+      if (strictTtl && !readOnly && state == State.Updating) touch(colFamilyName, kBytes)
       info.valueCodec.decodeSingle(vBytes)
     }
 
@@ -508,11 +541,12 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         val flushOptions = new FlushOptions().setWaitForFlush(true)
         try db.flush(flushOptions, opened.handles.values.toSeq.asJava)
         finally flushOptions.close()
-        closeDb(opened)
         snapshots.upload(dir, newVersion)
         registerLocalSnapshot(newVersion, dir)
         // Committed only after the durable upload succeeded (the reference
-        // flipped state first — SURVEY §4 defect 5).
+        // flipped state first — SURVEY §4 defect 5). The DB stays open:
+        // Spark reads iterator()/metrics after commit; the provider closes
+        // it when the next version loads.
         state = State.Committed
         if (storeConf.commitValidationEnabled) {
           StateStore.reportCommitToCoordinator(newVersion, stateStoreId_, hadoopConf)
@@ -527,7 +561,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     override def abort(): Unit = synchronized {
       if (state == State.Updating) {
         state = State.Aborted
-        closeDb(opened)
+        ensureClosed()
         // Discard, never publish, the dirty directory (the reference
         // registered it under newVersion + 1 — SURVEY §4 defect 3).
         deleteRecursively(dir)
@@ -539,7 +573,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       if (state == State.Updating) {
         verify(readOnly, "release() is only valid on a read store; use commit()/abort()")
         state = State.Released
-        closeDb(opened)
+        ensureClosed()
         // A read store never wrote: its dir still holds exactly `version`,
         // so park it for zero-copy reuse by the next load.
         if (version > 0) registerLocalSnapshot(version, dir) else deleteRecursively(dir)
@@ -554,16 +588,23 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       }
     }
 
-    override def metrics: StateStoreMetrics = {
+    @volatile private var cachedMetrics: Option[StateStoreMetrics] = None
+
+    private def computeMetrics(): StateStoreMetrics = {
       val user = cfs.values.filter(!_.isInternal)
       val numKeys =
         if (conf.trackTotalNumberOfRows) user.map(_.numKeys).sum
-        else user.map(i => Try(db.getLongProperty(handle(i.name), "rocksdb.estimate-num-keys")).getOrElse(0L)).sum
+        else user.map(i => Try(opened.db.getLongProperty(handle(i.name), "rocksdb.estimate-num-keys")).getOrElse(0L)).sum
       val memory = opened.handles.values.map { h =>
-        Try(db.getLongProperty(h, "rocksdb.cur-size-all-mem-tables")).getOrElse(0L) +
-          Try(db.getLongProperty(h, "rocksdb.total-sst-files-size")).getOrElse(0L)
+        Try(opened.db.getLongProperty(h, "rocksdb.cur-size-all-mem-tables")).getOrElse(0L) +
+          Try(opened.db.getLongProperty(h, "rocksdb.total-sst-files-size")).getOrElse(0L)
       }.sum
       StateStoreMetrics(numKeys, math.max(memory, 1L), Map.empty, Map.empty)
+    }
+
+    override def metrics: StateStoreMetrics = synchronized {
+      if (dbClosed) cachedMetrics.getOrElse(StateStoreMetrics(0, 1, Map.empty, Map.empty))
+      else computeMetrics()
     }
 
     override def getStateStoreCheckpointInfo(): StateStoreCheckpointInfo =

@@ -1,0 +1,254 @@
+package graft.state
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end conformance: every classic stateful streaming operator (SURVEY
+  * §2C) runs a real Structured Streaming query with the graft RocksDB
+  * provider and must produce exactly the batch-equivalent answer. This is
+  * the provider-oracle pattern the reference proved integration with
+  * (`RocksDbStateStoreProviderSuite.scala:144-192`), upgraded to whole-query
+  * level.
+  */
+class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-conformance")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = { spark; () }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ckpt(): String = Files.createTempDirectory("graft-stream-ckpt-").toString
+
+  private def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming aggregation (update mode, multiple batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val agg = input.toDF().toDF("k", "v")
+      .groupBy($"k").agg(sum($"v").as("total"), count(lit(1)).as("n"))
+
+    val q = agg.writeStream.format("memory").queryName("agg_sink")
+      .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("b", 2), ("a", 3))
+      q.processAllAvailable()
+      input.addData(("a", 10), ("c", 5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val result = spark.table("agg_sink").as[(String, Long, Long)].collect().toSet
+    assert(result === Set(("a", 14L, 3L), ("b", 2L, 1L), ("c", 5L, 1L)))
+  }
+
+  test("event-time tumbling window with watermark drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "30 seconds"), $"k")
+      .count()
+
+    val q = agg.writeStream.format("memory").queryName("win_sink")
+      .outputMode(OutputMode.Update()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((ts(5), "a"), (ts(10), "a"), (ts(35), "b"))
+      q.processAllAvailable()
+      // watermark now 35-10=25s; an event at t=40 advances it, t=1 is late (window [0,30) < 25? no:
+      // window end 30 > 25 keeps state; event at t=1 still lands in live window)
+      input.addData((ts(70), "b"), (ts(40), "a"))
+      q.processAllAvailable()
+      // watermark 60s: window [0,30) finalized; late event must be dropped
+      input.addData((ts(2), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val result = spark.table("win_sink")
+      .select($"window.start".cast("long"), $"k", $"count")
+      .as[(Long, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case (k, rows) => (k, rows.map(_._3).max) }
+    assert(result === Map((0L, "a") -> 2L, (30L, "b") -> 1L, (30L, "a") -> 1L, (60L, "b") -> 1L))
+  }
+
+  test("streaming dropDuplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, String)]
+    val dedup = input.toDF().toDF("id", "payload").dropDuplicates("id")
+
+    val q = dedup.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((1, "x"), (2, "y"), (1, "dup"))
+      q.processAllAvailable()
+      input.addData((2, "dup"), (3, "z"), (3, "dup"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("dedup_sink").select($"id").as[Int].collect().toSeq
+    assert(ids.sorted === Seq(1, 2, 3))
+  }
+
+  test("stream-stream inner join with event-time constraint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Int)]
+    val imps = MemoryStream[(Timestamp, Int)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val l = imps.toDF().toDF("impTs", "adId").withWatermark("impTs", "20 seconds").alias("l")
+    val r = clicks.toDF().toDF("clickTs", "cAdId").withWatermark("clickTs", "20 seconds").alias("r")
+    val j = l.join(r, expr(
+      "adId = cAdId AND clickTs >= impTs AND clickTs <= impTs + interval 10 seconds"))
+      .select($"adId", $"impTs".cast("long").as("imp"), $"clickTs".cast("long").as("click"))
+
+    val q = j.writeStream.format("memory").queryName("join_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    try {
+      imps.addData((ts(10), 1), (ts(20), 2))
+      clicks.addData((ts(15), 1))
+      q.processAllAvailable()
+      clicks.addData((ts(25), 2), (ts(40), 1)) // t=40 outside 10s window of imp t=10
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("join_sink").as[(Int, Long, Long)].collect().toSet
+    assert(rows === Set((1, 10L, 15L), (2, 20L, 25L)))
+  }
+
+  test("flatMapGroupsWithState accumulates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          val total = state.getOption.getOrElse(0) + rows.map(_._2).sum
+          state.update(total)
+          Iterator((key, total))
+      }
+
+    val q = counted.toDF().toDF("k", "total").writeStream.format("memory")
+      .queryName("fmgws_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("b", 5))
+      q.processAllAvailable()
+      input.addData(("a", 4), ("b", 5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = spark.table("fmgws_sink").as[(String, Int)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+    assert(last === Map("a" -> 7, "b" -> 10))
+  }
+
+  test("session window aggregation (prefix-scan path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val sessions = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window($"ts", "10 seconds"), $"user")
+      .count()
+
+    val q = sessions.writeStream.format("memory").queryName("session_sink")
+      .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((ts(1), "u1"), (ts(5), "u1"), (ts(30), "u1"), (ts(3), "u2"))
+      q.processAllAvailable()
+      input.addData((ts(32), "u1")) // extends the 30s session
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("session_sink")
+      .select($"session_window.start".cast("long"), $"user", $"count")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows === Set((1L, "u1", 2L), (30L, "u1", 2L), (3L, "u2", 1L)))
+  }
+
+  test("streaming global limit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Int]
+    val limited = input.toDF().limit(3)
+
+    val q = limited.writeStream.format("memory").queryName("limit_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(1, 2)
+      q.processAllAvailable()
+      input.addData(3, 4, 5)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.table("limit_sink").count() === 3)
+  }
+
+  test("our provider matches the default HDFS provider on the same query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def runWith(providerClass: Option[String], sinkName: String): Set[(String, Long)] = {
+      val input = MemoryStream[(Timestamp, String)]
+      def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+      val agg = input.toDF().toDF("ts", "k")
+        .withWatermark("ts", "5 seconds")
+        .groupBy($"k").count()
+      val writer = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt())
+      providerClass.foreach(c =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", c))
+      val q = writer.start()
+      try {
+        input.addData((ts(1), "a"), (ts(2), "b"), (ts(3), "a"))
+        q.processAllAvailable()
+        input.addData((ts(10), "a"), (ts(11), "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sinkName).as[(String, Long)].collect().toSet
+    }
+
+    val ours = runWith(None, "ours_sink") // session default = graft provider
+    val theirs = runWith(
+      Some("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"),
+      "theirs_sink")
+    // restore session default for other tests
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    assert(ours === theirs)
+    assert(ours === Set(("a", 3L), ("b", 1L), ("c", 1L)))
+  }
+}
