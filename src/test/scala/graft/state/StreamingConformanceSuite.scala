@@ -217,6 +217,99 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("limit_sink").count() === 3)
   }
 
+  test("transformWithState (arbitrary state v2): ValueState + ListState") {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState, ListState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    class RunningMax extends StatefulProcessor[String, (String, Int), (String, Int, Int)] {
+      @transient private var maxState: ValueState[Int] = _
+      @transient private var seen: ListState[Int] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        maxState = getHandle.getValueState[Int]("max", Encoders.scalaInt, TTLConfig.NONE)
+        seen = getHandle.getListState[Int]("seen", Encoders.scalaInt, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+          timerValues: TimerValues): Iterator[(String, Int, Int)] = {
+        var mx = if (maxState.exists()) maxState.get() else Int.MinValue
+        rows.foreach { r => mx = math.max(mx, r._2); seen.appendValue(r._2) }
+        maxState.update(mx)
+        Iterator((key, mx, seen.get().size))
+      }
+    }
+
+    val input = MemoryStream[(String, Int)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningMax, TimeMode.None(), OutputMode.Update())
+
+    val q = out.toDF().toDF("k", "mx", "n").writeStream.format("memory")
+      .queryName("tws_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 3), ("a", 7), ("b", 1))
+      q.processAllAvailable()
+      input.addData(("a", 5), ("b", 9))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = spark.table("tws_sink").as[(String, Int, Int)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._3) }
+    assert(last("a") === (("a", 7, 3)))
+    assert(last("b") === (("b", 9, 2)))
+  }
+
+  test("state introspection: statestore data source reads our provider's state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val agg = input.toDF().toDF("k", "v").groupBy($"k").agg(sum($"v").as("total"))
+    val checkpoint = ckpt()
+
+    val q = agg.writeStream.format("memory").queryName("introspect_sink")
+      .outputMode(OutputMode.Complete()).option("checkpointLocation", checkpoint).start()
+    try {
+      input.addData(("a", 1), ("b", 2), ("a", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the state rows expose the operator's internal aggregation buffer; the
+    // sum buffer field is named after the function, not the output alias
+    val stateDf = spark.read.format("statestore").load(checkpoint)
+    val rows = stateDf.selectExpr("key.k", "value.sum").as[(String, Long)].collect().toSet
+    assert(rows === Set(("a", 4L), ("b", 2L)))
+  }
+
+  test("implicits: useGraftRocksDbStateStore and stateTimeout wire the confs") {
+    import graft.state.implicits._
+    val builder = SparkSession.builder()
+    builder.useGraftRocksDbStateStore()
+    // builder config is private; verify via a throwaway session in the same JVM
+    // (getOrCreate returns the active session, whose conf was already set by
+    // beforeAll — so assert on the session conf key instead)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass") ===
+      classOf[RocksDbStateStoreProvider].getName)
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val root = ckpt()
+    val writer = input.toDF().toDF("k", "v").groupBy($"k").count()
+      .writeStream.format("memory").outputMode(OutputMode.Complete())
+      .stateTimeout(spark.conf, queryName = "ttlq", expirySecs = 300, checkpointLocation = root)
+
+    assert(spark.conf.get(s"${RocksDbConf.STATE_EXPIRY_SECS}.ttlq") === "300")
+    val q = writer.start()
+    try {
+      input.addData(("a", 1))
+      q.processAllAvailable()
+      // checkpoint was extended with the query name -> provider derives "ttlq"
+      assert(new java.io.File(s"$root/ttlq/state").exists())
+    } finally q.stop()
+    assert(spark.table("ttlq").count() === 1)
+  }
+
   test("our provider matches the default HDFS provider on the same query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
