@@ -21,7 +21,8 @@ object SparkEntry {
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
-    operators.Multimodal.queries
+    operators.Multimodal.queries ++
+    streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -30,5 +31,6 @@ object SparkEntry {
     operators.TextAnalysis.oracles ++
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
-    operators.Multimodal.oracles
+    operators.Multimodal.oracles ++
+    streaming.StreamingQueries.oracles
 }

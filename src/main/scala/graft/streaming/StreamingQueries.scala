@@ -1,0 +1,226 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.state.RocksDbStateStoreProvider
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+
+/** Stateful streaming operators as driver-gated queries (SURVEY §2C).
+  *
+  * Each entry replays the `events` fixture through a real file stream in
+  * several micro-batches (`maxFilesPerTrigger=1` + `Trigger.AvailableNow`),
+  * runs the stateful operator under the graft RocksDB state store provider,
+  * and returns the sink table — whose content is designed to be
+  * batch-equivalent, so a plain DuckDB `GROUP BY`/`JOIN`/islands query is an
+  * exact oracle:
+  *
+  *  - complete-mode aggregations are batch-equivalent by definition;
+  *  - append-mode dedup/join run without watermarks, so no row is ever
+  *    dropped or finalized early;
+  *  - update-mode operators emit per batch, and the final value per key is
+  *    recovered with `max_by` over a monotonically growing column.
+  *
+  * Cross-batch state (the part a batch query can't fake) is exercised
+  * because every operator sees the input split across multiple micro-batch
+  * commits of the state store; cross-restart fault tolerance is covered by
+  * the ScalaTest suites in `graft.state`.
+  */
+object StreamingQueries {
+
+  private val Chunks = 4
+
+  /** Stage a batch DataFrame as a multi-batch file stream. */
+  private def stagedStream(s: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-stream-in-").toString
+    df.repartition(Chunks).write.mode("overwrite").parquet(tmp)
+    s.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    stagedStream(s, Tables.events(s, dir))
+
+  /** Run to a memory sink under our provider; returns the sink table. */
+  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = df.writeStream.format("memory").queryName(sink).outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** Streaming aggregation: per-event-type count + decimal sum (complete mode). */
+  def stream_agg(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value")),
+      OutputMode.Complete(), "stream_agg")
+
+  val stream_agg_sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Event-time tumbling window counts (complete mode). */
+  def stream_window(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      events(s, dir).groupBy(window(col("ts"), "1 hour"), col("event_type")).count(),
+      OutputMode.Complete(), "stream_window")
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("count").as("n_events"))
+
+  val stream_window_sql: String =
+    """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Session windows per user with a 2-hour inactivity gap (complete mode;
+    * exercises the provider's prefix-scan path). */
+  def stream_session(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      events(s, dir).groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Complete(), "stream_session")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  val stream_session_sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '2 hours' THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session DESC
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
+  /** Streaming deduplication on (user_id, event_type) (append mode, no
+    * watermark so dedup is global — exactly DISTINCT). */
+  def stream_dedup(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      events(s, dir).select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      OutputMode.Append(), "stream_dedup")
+
+  val stream_dedup_sql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** Stream-stream inner join: purchases within 1 hour after a click by the
+    * same user (append mode, no watermark so no state eviction). */
+  def stream_join(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+    val clicks = stagedStream(s, base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"), col("ts").as("click_ts")))
+    val purchases = stagedStream(s, base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"), col("ts").as("purchase_ts")))
+    runToTable(s,
+      clicks.join(purchases, expr(
+        """click_user = purchase_user AND
+          |purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
+        .select(col("click_id"), col("purchase_id")),
+      OutputMode.Append(), "stream_join")
+  }
+
+  val stream_join_sql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
+
+  /** flatMapGroupsWithState: running per-user event count + per-mille value
+    * sum (update mode; last emission per key recovered via max_by). */
+  def stream_fmgws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = events(s, dir)
+      .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"))
+      .as[(Long, Long)]
+    val updated = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; total += r._2 }
+          state.update((n, total))
+          Iterator((user, n, total))
+      }
+    runToTable(s, updated.toDF("user_id", "n", "mille"), OutputMode.Update(), "stream_fmgws")
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"), max_by(col("mille"), col("n")).as("sum_mille"))
+  }
+
+  val stream_fmgws_sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_mille
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** transformWithState (arbitrary state v2): per-user running max value
+    * (per-mille) and count in a ValueState (update mode). */
+  def stream_tws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = events(s, dir)
+      .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"))
+      .as[(Long, Long)]
+    val updated = typed.groupByKey(_._1)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Update())
+    runToTable(s, updated.toDF("user_id", "n", "max_mille"), OutputMode.Update(), "stream_tws")
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"), max_by(col("max_mille"), col("n")).as("max_mille"))
+  }
+
+  private class RunningMaxProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("agg", Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, mx) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+      st.update((n, mx))
+      Iterator((user, n, mx))
+    }
+  }
+
+  val stream_tws_sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       max(CAST(floor(value * 1000) AS BIGINT)) AS max_mille
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Streaming global limit (append mode); which rows land is
+    * non-deterministic, so this entry is rows-only checked. */
+  def stream_limit(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, events(s, dir).limit(100).select(col("event_id")),
+      OutputMode.Append(), "stream_limit")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_agg" -> (stream_agg(_, _)),
+    "stream_window" -> (stream_window(_, _)),
+    "stream_session" -> (stream_session(_, _)),
+    "stream_dedup" -> (stream_dedup(_, _)),
+    "stream_join" -> (stream_join(_, _)),
+    "stream_fmgws" -> (stream_fmgws(_, _)),
+    "stream_tws" -> (stream_tws(_, _)),
+    "stream_limit" -> (stream_limit(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "stream_agg" -> stream_agg_sql,
+    "stream_window" -> stream_window_sql,
+    "stream_session" -> stream_session_sql,
+    "stream_dedup" -> stream_dedup_sql,
+    "stream_join" -> stream_join_sql,
+    "stream_fmgws" -> stream_fmgws_sql,
+    "stream_tws" -> stream_tws_sql)
+}
