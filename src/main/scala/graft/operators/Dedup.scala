@@ -62,15 +62,34 @@ object Dedup {
 
   /** All near-dup pairs with word-3-shingle Jaccard >= 0.6, via the shingle
     * inverted index. Exact (no LSH): the correctness anchor for minhash. */
+  /** Posting-list document-frequency cap: a shingle appearing in more than
+    * this many docs is dropped from the inverted index before the self-join.
+    * The join's work is Σ(df²) over shingles — one boilerplate shingle shared
+    * by 10^5 docs would alone contribute 10^10 pairs at corpus scale — so the
+    * cap bounds any single shingle's contribution to MaxDf². At the test
+    * scale factors max(df) is ~25, so the cap provably drops nothing and the
+    * oracle (which mirrors it) is unaffected. */
+  private val MaxDf = 1000
+
   def dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), expr(shinglesS).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    // one exchange on `s` feeds the df aggregation, the cap semi-join, and
+    // both sides of the pair self-join — no repeated shingle computation
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val p2 = postings.toDF("doc_id_b", "s")
-    val common = postings.join(p2,
-        postings("s") === p2("s") && postings("doc_id") < p2("doc_id_b"))
-      .groupBy(postings("doc_id").as("doc_id_a"), p2("doc_id_b"))
+      .repartition(col("s"))
+    val keep = postings.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select(col("s"))
+    // explicit select: the using-join put `s` first, so a positional toDF
+    // rename would swap the columns
+    val capped = postings.join(keep, "s").select(col("doc_id"), col("s"))
+    val p2 = capped.select(col("doc_id").as("doc_id_b"), col("s"))
+    val common = capped.join(p2,
+        capped("s") === p2("s") && capped("doc_id") < p2("doc_id_b"))
+      .groupBy(capped("doc_id").as("doc_id_a"), p2("doc_id_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.toDF("doc_id_a", "na"), "doc_id_a")
@@ -88,7 +107,9 @@ object Dedup {
   val dedup_ngram_jaccard_sql: String =
     s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
-       |post AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |post0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |keep AS (SELECT s FROM post0 GROUP BY s HAVING count(*) <= 1000),
+       |post AS (SELECT doc_id, post0.s FROM post0 JOIN keep ON post0.s = keep.s),
        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
        |          FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
@@ -105,21 +126,54 @@ object Dedup {
   private val NumHashes = 32
   private val NumBands = 16 // x 2 rows per band
 
+  /** Affine-permutation coefficients for MinHash: h_j(x) = (a_j*x + b_j) mod
+    * p with p = 2^31-1 (prime), a_j odd < 2^29, b_j < 2^28. One md5 base
+    * hash per shingle + 32 integer permutations replaces 32 md5s per
+    * shingle (~30x less hashing — the difference between 197 s and ~15 s at
+    * sf0.1). Coefficients are fixed literals embedded in both the Spark plan
+    * and the DuckDB oracle, so the pipelines stay bit-identical.
+    * No 64-bit overflow: a_j * base < 2^57. */
+  private val MinHashP = 2147483647L
+  private val (hashAs, hashBs) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(rnd.nextInt(1 << 28).toLong * 2 + 1),
+      Array.fill(NumHashes)(rnd.nextInt(1 << 28).toLong))
+  }
+
   /** MinHash signatures + banded LSH + exact verification of candidates.
     * Same output contract as dedup_ngram_jaccard; the oracle mirrors the
     * banding, so the gate checks the real LSH pipeline, not just recall. */
   def dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val aArr = hashAs.mkString("array(", "L,", "L)")
+    val bArr = hashBs.mkString("array(", "L,", "L)")
+    // Single-pass signature: one fold over the base-hash array maintaining
+    // all 32 running minima. Written as `aggregate(<input>, ...)` rather
+    // than 32 separate `array_min(transform(...))` passes so the input
+    // array expression appears exactly ONCE: Catalyst's project-collapse
+    // inlines referenced column expressions into lambda bodies, and any
+    // multi-reference formulation re-evaluates the md5 base hashing per
+    // hash function (a measured ~30x blowup at sf0.1).
     val sig =
-      s"""transform(sequence(0, ${NumHashes - 1}), j ->
-         |  array_min(transform(sh, s ->
-         |    CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', s)), 1, 15), 16, 10) AS BIGINT))))""".stripMargin
+      s"""aggregate(
+         |  transform(sh, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)),
+         |  transform(sequence(1, $NumHashes), j -> CAST($MinHashP AS BIGINT)),
+         |  (acc, h) -> zip_with(acc, sequence(0, ${NumHashes - 1}), (m, j) ->
+         |    least(m, (element_at($aArr, j + 1) * h + element_at($bArr, j + 1)) % $MinHashP)))""".stripMargin
     val bandKeys =
       s"""transform(sequence(0, ${NumBands - 1}), b ->
          |  concat(CAST(element_at(sig, 2*b+1) AS STRING), ',', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin
 
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), expr(shinglesS).as("sh"))
-    val withSig = docs.withColumn("sig", expr(sig))
+    // The repartition is a deliberate plan barrier as well as co-location:
+    // it materializes (sh, sig) once before the banding generator (whose
+    // band-key expression references `sig` 32 times — inlining the
+    // signature there would recompute it per band), the band self-join
+    // reuses this single exchange for both sides, and the verification
+    // joins read the shingle sets from it pre-partitioned on doc_id.
+    val withSig = docs
+      .withColumn("sig", expr(sig))
+      .repartition(col("doc_id"))
     val bands = withSig
       .select(col("doc_id"), posexplode(expr(bandKeys)))
       .toDF("doc_id", "band", "bkey")
@@ -128,8 +182,8 @@ object Dedup {
       .filter(col("doc_id") < col("doc_id_b"))
       .select(col("doc_id").as("doc_id_a"), col("doc_id_b"))
       .distinct()
-    val shA = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    val shA = withSig.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val shB = withSig.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
     cand.join(shA, "doc_id_a").join(shB, "doc_id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("union_size", size(col("sh_a")) + size(col("sh_b")) - col("common"))
@@ -138,13 +192,17 @@ object Dedup {
         (col("common") * 1000).divide(col("union_size")).cast("long").as("jaccard_per_mille"))
   }
 
-  val dedup_minhash_lsh_sql: String =
+  val dedup_minhash_lsh_sql: String = {
+    val aArr = hashAs.mkString("[", ",", "]")
+    val bArr = hashBs.mkString("[", ",", "]")
     s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
+       |hsx AS (SELECT doc_id, sh, list_transform(sh, s ->
+       |          CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs FROM sh),
        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, ${NumHashes - 1}), j ->
-       |          list_min(list_transform(sh, s ->
-       |            CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sg
-       |        FROM sh),
+       |          list_min(list_transform(hs, h ->
+       |            ($aArr[j + 1] * h + $bArr[j + 1]) % $MinHashP))) AS sg
+       |        FROM hsx),
        |bands AS (SELECT doc_id, u.b,
        |            CAST(sg[2*u.b+1] AS VARCHAR) || ',' || CAST(sg[2*u.b+2] AS VARCHAR) AS bkey
        |          FROM sig, unnest(generate_series(0, ${NumBands - 1})) AS u(b)),
@@ -157,21 +215,31 @@ object Dedup {
        |       CAST(common AS INT) AS common, CAST(un AS INT) AS union_size,
        |       CAST((common * 1000) // un AS BIGINT) AS jaccard_per_mille
        |FROM v WHERE common * 10 >= un * 6""".stripMargin
+  }
 
   // --------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash over the (multiset of) tokens + a 16-bit band prefix for
     * bucketing. Pure integer pipeline, mirrored exactly by the oracle. */
   def dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+    // Single fold over the token hashes maintaining all 60 bit counters,
+    // then one pass turning majority counters into fingerprint bits. The
+    // per-bit formulation (60 x aggregate over hs) re-hashed every token
+    // once per bit after Catalyst inlined the hs column into the bit lambda
+    // — same values, ~30x the work (measured at sf0.1).
     val simhashExpr =
       s"""aggregate(
-         |  transform(sequence(0, 59), b ->
-         |    CASE WHEN aggregate(hs, 0, (acc, h) ->
-         |           acc + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+         |  zip_with(
+         |    aggregate(
+         |      transform($toksS, t -> ${h60S("t", "")}),
+         |      transform(sequence(1, 60), j -> 0),
+         |      (acc, h) -> zip_with(acc, sequence(0, 59), (c, b) ->
+         |        c + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))),
+         |    sequence(0, 59),
+         |    (c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+         |              ELSE CAST(0 AS BIGINT) END),
          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
     Tables.documents(s, dir)
-      .withColumn("hs", expr(s"transform($toksS, t -> ${h60S("t", "")})"))
       .withColumn("simhash", expr(simhashExpr))
       .select(col("doc_id"), col("simhash"),
         expr("simhash >> 44").as("band16"))
@@ -195,16 +263,22 @@ object Dedup {
     * candidate pairs share a block, so work is sum(block²) not n². The
     * cosine test is sqrt-free: dot > 0 and dot² >= t²·|a|²·|b|², evaluated
     * in index-ordered double arithmetic mirrored by the oracle. */
+  /** Near-duplicate embedding pairs (cosine >= 0.4, sqrt-free integer-safe
+    * comparison) with random-hyperplane LSH blocking: adaptive-width buckets
+    * (~64 vectors each) and one-sided Hamming<=1 probe expansion so pairs
+    * split across adjacent buckets are still found. See [[Lsh]] for the
+    * 100 TB rationale. */
   def dedup_embedding(s: SparkSession, dir: String): DataFrame = {
-    val sign8 =
-      """aggregate(transform(sequence(1, 8), i ->
-        |  CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) >= 0.0d THEN shiftleft(1, i-1) ELSE 0 END),
-        |  0, (acc, x) -> acc + x)""".stripMargin
+    val nb = Lsh.numBits(Tables.embeddings(s, dir).count())
+    // repartition = plan barrier: keeps the bucket aggregate out of the
+    // probe lambda and lets both join sides read one exchange
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(sign8).as("blk"),
+      .select(col("vec_id"), col("embedding"), expr(Lsh.bucketSpark(nb)).as("blk"),
         expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0d, (acc, v) -> acc + v)").as("n2"))
+      .repartition(col("vec_id"))
     val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"), col("blk"), col("n2").as("n2a"))
-    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"), col("blk"), col("n2").as("n2b"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+        explode(expr(Lsh.probesSpark(nb))).as("blk"), col("n2").as("n2b"))
     a.join(b, Seq("blk"))
       .filter(col("vec_id_a") < col("vec_id_b"))
       .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0d, (acc, v) -> acc + v)"))
@@ -213,17 +287,19 @@ object Dedup {
   }
 
   val dedup_embedding_sql: String =
-    """WITH e AS (SELECT vec_id, embedding,
-      |    list_sum(list_transform(range(1, 9), i ->
-      |      CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0 THEN (1 << (i-1)) ELSE 0 END)) AS blk,
+    s"""WITH ${Lsh.paramsDuck},
+      |e AS (SELECT vec_id, embedding,
+      |    ${Lsh.bucketDuck} AS blk,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
-      |  FROM embeddings),
+      |  FROM embeddings, params),
+      |bp AS (SELECT vec_id, embedding, n2, unnest(${Lsh.probesDuck}) AS blk
+      |  FROM e, params),
       |p AS (SELECT a.vec_id ia, b.vec_id ib, a.blk,
       |    list_sum(list_transform(range(1, len(a.embedding)+1), i ->
       |      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
       |    a.n2 n2a, b.n2 n2b
-      |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
-      |SELECT ia AS vec_id_a, ib AS vec_id_b, CAST(blk AS INT) AS blk
+      |  FROM e a JOIN bp b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+      |SELECT ia AS vec_id_a, ib AS vec_id_b, CAST(blk AS BIGINT) AS blk
       |FROM p WHERE dot > 0 AND dot * dot >= 0.16 * n2a * n2b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

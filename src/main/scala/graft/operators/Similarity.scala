@@ -58,19 +58,23 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 5""".stripMargin
 
-  private val sign8S =
-    """aggregate(transform(sequence(1, 8), i ->
-      |  CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) >= 0.0d THEN shiftleft(1, i-1) ELSE 0 END),
-      |  0, (acc, x) -> acc + x)""".stripMargin
-
-  /** Bucketed ANN: top-3 within the query's sign-bit bucket (vec_id < 50
-    * queries). The bucket join replaces the cross join — the 2^8 buckets
-    * shard the corpus, so each query touches ~1/256 of it. */
+  /** Bucketed ANN: top-3 among the corpus vectors in any of the query's
+    * Hamming<=1 probe buckets (vec_id < 50 queries), under the shared
+    * random-hyperplane LSH ([[Lsh]]): adaptive bit width keeps buckets at
+    * ~64 vectors from fixture scale to 10^9, and multi-probe recovers
+    * near-neighbors that fall one bit away. Each query touches
+    * ~(nbits+1)/2^nbits of the corpus instead of all of it. */
   def sim_topk_lsh(s: SparkSession, dir: String): DataFrame = {
+    val nb = Lsh.numBits(Tables.embeddings(s, dir).count())
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(sign8S).as("blk"), expr(norm2S).as("n2"))
+      .select(col("vec_id"), col("embedding"), expr(Lsh.bucketSpark(nb)).as("blk"),
+        expr(norm2S).as("n2"))
+    // queries are the broadcast side; probe expansion happens there so the
+    // corpus is never exploded (corpus rows: 1 bucket each)
     val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("blk"), col("n2").as("qn2"))
+      .repartition(col("vec_id")) // barrier: keep bucket agg out of the probe lambda
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(expr(Lsh.probesSpark(nb))).as("blk"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     e.join(broadcast(q), Seq("blk"))
       .filter(col("vec_id") =!= col("qid"))
@@ -81,12 +85,13 @@ object Similarity {
   }
 
   val sim_topk_lsh_sql: String =
-    """WITH e AS (SELECT vec_id, embedding,
-      |    list_sum(list_transform(range(1, 9), i ->
-      |      CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0 THEN (1 << (i-1)) ELSE 0 END)) AS blk,
+    s"""WITH ${Lsh.paramsDuck},
+      |e AS (SELECT vec_id, embedding,
+      |    ${Lsh.bucketDuck} AS blk,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
-      |  FROM embeddings),
-      |q AS (SELECT vec_id qid, embedding qe, blk, n2 qn2 FROM e WHERE vec_id < 50),
+      |  FROM embeddings, params),
+      |q AS (SELECT vec_id qid, embedding qe, unnest(${Lsh.probesDuck}) AS blk, n2 qn2
+      |  FROM e, params WHERE vec_id < 50),
       |s AS (SELECT qid, vec_id,
       |    row_number() OVER (PARTITION BY qid ORDER BY
       |      list_sum(list_transform(range(1, len(qe)+1), i ->

@@ -1,0 +1,20 @@
+package graft.state
+
+/** Scratch profiling main (not a test). */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      println(s"PROF $name: ${(System.nanoTime() - t0) / 1e9}")
+    }
+    spark.stop()
+  }
+}
