@@ -18,14 +18,23 @@ object Tables {
   def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively. Read it as long (legacy conf) and truncate ns→µs exactly like
-    * DuckDB does internally, so timestamps agree with the oracle bit-for-bit.
+    * natively. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[nanosConf]]) — the
+    * entry points `graft.Verify` / `graft.Bench` set it at session build, as
+    * loaders must not mutate session config as a side effect. The ns→µs
+    * conversion uses floor division (matching DuckDB for pre-epoch
+    * nanosecond timestamps, where truncation toward zero would round the
+    * wrong way).
     */
+  val nanosConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption(nanosConf._1).contains(nanosConf._2),
+      s"session must set ${nanosConf._1}=${nanosConf._2} to read events.parquet")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN ts >= 0 THEN ts div 1000 ELSE (ts - 999) div 1000 END")))
   }
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

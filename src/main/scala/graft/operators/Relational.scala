@@ -234,6 +234,22 @@ object Relational {
       |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** The 100 TB-safe distinct path: HyperLogLog++ sketch instead of the
+    * exact double-shuffle `countDistinct` in q9. Partial sketches merge
+    * map-side, so the shuffle carries one sketch per (partition, group)
+    * regardless of cardinality. Sketch estimates are engine-specific, so
+    * this entry is gated rows-only (no DuckDB oracle) — q9 remains the
+    * exact-values anchor for the same aggregation. */
+  def q9_distinct_approx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
+        count(lit(1)).as("n_events"),
+        sum(dec($"value")).as("total_value"))
+  }
+
   /** Global top-N with deterministic tie-break (TakeOrderedAndProject: one
     * partial top-N per partition, no full sort at scale). */
   def q10_top_customers(s: SparkSession, dir: String): DataFrame = {
@@ -337,6 +353,7 @@ object Relational {
     "q7_supplier_rank" -> q7_supplier_rank _,
     "q8_semi_anti" -> q8_semi_anti _,
     "q9_distinct_agg" -> q9_distinct_agg _,
+    "q9_distinct_approx" -> q9_distinct_approx _,
     "q10_top_customers" -> q10_top_customers _,
     "q11_scalar_funcs" -> q11_scalar_funcs _,
     "q12_rollup" -> q12_rollup _,

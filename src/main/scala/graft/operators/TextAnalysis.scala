@@ -53,17 +53,21 @@ object TextAnalysis {
     val nTok = size(tokens)
     val stopHits = size(filter(tokens, t => t.isin(stopwords: _*)))
     val distinctTok = size(array_distinct(tokens))
+    // per-mille ratios via integer floor-division: exact everywhere; the
+    // classification below compares the SAME floored values (comparing the
+    // un-floored double diverged from the oracle for ratios in (150, 151))
+    val stopPm = (stopHits.cast("long") * 1000 / nTok).cast("long")
+    val uniqPm = (distinctTok.cast("long") * 1000 / nTok).cast("long")
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
         stopHits.as("stop_hits"),
-        // per-mille ratios via integer floor-division: exact everywhere
-        (stopHits.cast("long") * 1000 / nTok).cast("long").as("stop_per_mille"),
-        (distinctTok.cast("long") * 1000 / nTok).cast("long").as("uniq_per_mille"),
+        stopPm.as("stop_per_mille"),
+        uniqPm.as("uniq_per_mille"),
         when(nTok < 20, "too_short")
-          .when(stopHits.cast("long") * 1000 / nTok > 150, "stopword_heavy")
-          .when(distinctTok.cast("long") * 1000 / nTok < 400, "repetitive")
+          .when(stopPm > 150, "stopword_heavy")
+          .when(uniqPm < 400, "repetitive")
           .otherwise("ok").as("quality_class"))
   }
 
@@ -98,13 +102,12 @@ object TextAnalysis {
       size(filter(tokens, t => t.isin(ws: _*))).as(s"score_$lang")
     }
     val df = Tables.documents(s, dir).select(col("doc_id") +: col("lang").as("labeled_lang") +: scores: _*)
-    // argmax with tie-break = marker declaration order
+    // true argmax: the first language (declaration order) whose score equals
+    // the maximum, provided the maximum is positive. A first-match CASE over
+    // `score = greatest(...)` gives the declaration-order tie-break for free.
+    val mx = greatest(markers.map { case (lang, _) => col(s"score_$lang") }: _*)
     val best = markers.map(_._1).foldRight(lit("und")) { case (lang, other) =>
-      when(
-        markers.map(_._1).takeWhile(_ != lang).foldLeft(lit(true)) { (acc, prev) =>
-          acc && col(s"score_$lang") > col(s"score_$prev")
-        } && col(s"score_$lang") > 0,
-        lit(lang)).otherwise(other)
+      when(col(s"score_$lang") === mx && mx > 0, lit(lang)).otherwise(other)
     }
     df.withColumn("predicted_lang", best)
   }
@@ -114,12 +117,10 @@ object TextAnalysis {
       val lst = ws.map(w => s"'$w'").mkString("(", ", ", ")")
       s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN $lst)) AS INT) AS score_$lang"
     }.mkString(",\n  ")
-    val caseExpr = markers.map(_._1).map { lang =>
-      val gts = markers.map(_._1).takeWhile(_ != lang)
-        .map(p => s"score_$lang > score_$p")
-      val conds = (gts :+ s"score_$lang > 0").mkString(" AND ")
-      s"WHEN $conds THEN '$lang'"
-    }.mkString("\n    ")
+    val mxExpr = markers.map(_._1).map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val caseExpr = markers.map(_._1)
+      .map(lang => s"WHEN score_$lang = $mxExpr AND $mxExpr > 0 THEN '$lang'")
+      .mkString("\n    ")
     s"""SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
        |  CASE $caseExpr ELSE 'und' END AS predicted_lang
        |FROM (SELECT doc_id, lang AS labeled_lang,

@@ -6,6 +6,7 @@ object ProfileMain {
     import org.apache.spark.sql.SparkSession
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config(graft.Tables.nanosConf._1, graft.Tables.nanosConf._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
