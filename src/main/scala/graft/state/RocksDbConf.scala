@@ -31,6 +31,7 @@ final case class RocksDbConf(
     writeBufferNumber: Int,
     backgroundJobs: Int,
     trackTotalNumberOfRows: Boolean,
+    changelogEnabled: Boolean,
     queryName: String)
 
 object RocksDbConf extends Logging {
@@ -41,6 +42,10 @@ object RocksDbConf extends Logging {
   val WRITE_BUFFER_NUMBER: String = s"$PREFIX.rocksdb.maxWriteBufferNumber"
   val BACKGROUND_JOBS: String = s"$PREFIX.rocksdb.maxBackgroundJobs"
   val TRACK_TOTAL_ROWS: String = s"$PREFIX.rocksdb.trackTotalNumberOfRows"
+  /** Changelog checkpointing (default on): commits upload only the batch's
+    * writes, with a full snapshot every `minDeltasForSnapshot` versions;
+    * `false` restores the reference's full-snapshot-per-commit behavior. */
+  val CHANGELOG: String = s"$PREFIX.changelogCheckpointing"
   val UNNAMED_QUERY = "UNNAMED_QUERY"
 
   def apply(storeConf: StateStoreConf, checkpointRootLocation: String): RocksDbConf = {
@@ -61,6 +66,7 @@ object RocksDbConf extends Logging {
       writeBufferNumber = confs.get(WRITE_BUFFER_NUMBER).map(parseInt(WRITE_BUFFER_NUMBER, _)).getOrElse(3),
       backgroundJobs = confs.get(BACKGROUND_JOBS).map(parseInt(BACKGROUND_JOBS, _)).getOrElse(10),
       trackTotalNumberOfRows = confs.get(TRACK_TOTAL_ROWS).forall(parseBool(TRACK_TOTAL_ROWS, _)),
+      changelogEnabled = confs.get(CHANGELOG).forall(parseBool(CHANGELOG, _)),
       queryName = queryName)
   }
 

@@ -136,7 +136,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       if (version == 0) freshDir()
       else {
         tryMaterialize(version).getOrElse {
-          val candidates = (snapshots.listVersions() ++ localSnapshots.keySet().asScala)
+          val candidates =
+            (snapshots.listVersions() ++ snapshots.listDeltaVersions() ++
+              localSnapshots.keySet().asScala)
             .filter(v => v < version && v > 0).distinct.sorted(Ordering.Long.reverse)
           logWarning(s"State version $version of $stateStoreId_ is missing or unreadable; " +
             s"falling back (candidates: ${candidates.mkString(",")})")
@@ -153,8 +155,10 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
 
   /** Try to produce a local dir holding exactly `v`: move the local snapshot
     * if registered (zero-copy reuse of the previous batch — the reference's
-    * hot-path trick, `:485-498`), else download + unzip, and verify the DB
-    * opens. */
+    * hot-path trick, `:485-498`), else recover from the durable files: the
+    * newest full snapshot `s <= v` whose changelog chain `(s, v]` is
+    * complete, downloaded and replayed. Every candidate is verified to open
+    * before being accepted. */
   private def tryMaterialize(v: Long): Option[File] = {
     val fromLocal = Option(localSnapshots.remove(v)).filter(_.isDirectory).map { src =>
       val dest = freshDir()
@@ -163,17 +167,48 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       dest
     }
     val dir = fromLocal.orElse {
-      if (!snapshots.listVersions().contains(v)) None
-      else {
-        val dest = freshDir()
-        Try(snapshots.download(v, dest)).toOption.map(_ => dest)
-      }
+      val snaps = snapshots.listVersions()
+      val deltas = snapshots.listDeltaVersions().toSet
+      snaps.filter(_ <= v).sorted(Ordering.Long.reverse).iterator
+        .filter(s => ((s + 1) to v).forall(deltas.contains))
+        .flatMap { s =>
+          Try {
+            val dest = freshDir()
+            snapshots.download(s, dest)
+            if (s < v) replayDeltas(dest, s + 1, v)
+            dest
+          }.recoverWith { case e =>
+            logWarning(s"Recovery of version $v from snapshot $s failed for $stateStoreId_: $e")
+            scala.util.Failure(e)
+          }.toOption
+        }.nextOption()
     }
     dir.filter { d =>
       val ok = Try { openDb(d, verifyOnly = true) }.isSuccess
       if (!ok) logWarning(s"Snapshot for version $v of $stateStoreId_ failed to open; ignoring")
       ok
     }
+  }
+
+  /** Apply changelog deltas `[from, to]` to the DB at `dir` (byte-level —
+    * no key/value codecs), then flush so the dir is self-contained. */
+  private def replayDeltas(dir: File, from: Long, to: Long): Unit = {
+    val opened = openDb(dir, verifyOnly = false)
+    try {
+      (from to to).foreach { dv =>
+        Changelog.read(snapshots.openDelta(dv)).foreach { r =>
+          val h = opened.handles.getOrElseUpdate(r.cf, {
+            val ttl = if (r.cf.startsWith(InternalCfPrefix) || conf.ttlSecs <= 0) 0 else conf.ttlSecs
+            opened.db.createColumnFamilyWithTtl(
+              new ColumnFamilyDescriptor(r.cf.getBytes("UTF-8"), cfOptions()), ttl)
+          })
+          if (r.op == Changelog.OpPut) opened.db.put(h, r.key, r.value)
+          else opened.db.delete(h, r.key)
+        }
+      }
+      val fo = new FlushOptions().setWaitForFlush(true)
+      try opened.db.flush(fo, opened.handles.values.toSeq.asJava) finally fo.close()
+    } finally closeDb(opened)
   }
 
   private def freshDir(): File = {
@@ -277,6 +312,23 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       opened.db
     }
 
+    /** Per-batch changelog; created on first need (write stores only). */
+    private var changelogWriter: Option[Changelog.Writer] = None
+    private def changelog: Changelog.Writer = {
+      if (changelogWriter.isEmpty) {
+        changelogWriter = Some(new Changelog.Writer(
+          new File(tempRoot, s"changelog-$newVersion-${System.nanoTime()}")))
+      }
+      changelogWriter.get
+    }
+    private def recordPut(cf: String, k: Array[Byte], v: Array[Byte]): Unit =
+      if (conf.changelogEnabled) changelog.put(cf, k, v)
+    private def recordRemove(cf: String, k: Array[Byte]): Unit =
+      if (conf.changelogEnabled) changelog.remove(cf, k)
+    /** Set when the changelog cannot express a change (column family drop):
+      * this commit must publish a full snapshot. */
+    private var forceFullSnapshot = false
+
     private[state] def isFinished: Boolean = state != State.Updating
 
     /** Close the underlying RocksDB (idempotent); metrics stay readable via
@@ -290,7 +342,29 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     }
 
     private val cfs = mutable.HashMap.empty[String, CfInfo]
-    private val persistedCounts: Map[String, Long] = readMeta(dir)
+
+    /** numKeys per column family, persisted in an internal CF so counts ride
+      * both full snapshots and changelog deltas. */
+    private def metaHandle: ColumnFamilyHandle =
+      opened.handles.getOrElseUpdate(MetaCf,
+        opened.db.createColumnFamilyWithTtl(
+          new ColumnFamilyDescriptor(MetaCf.getBytes("UTF-8"), cfOptions()), 0))
+
+    private val persistedCounts: Map[String, Long] = {
+      if (!opened.handles.contains(MetaCf)) Map.empty
+      else {
+        val it = opened.db.newIterator(opened.handles(MetaCf))
+        try {
+          it.seekToFirst()
+          val b = Map.newBuilder[String, Long]
+          while (it.isValid) {
+            b += new String(it.key(), "UTF-8") -> beLong(it.value())
+            it.next()
+          }
+          b.result()
+        } finally it.close()
+      }
+    }
     registerCf(DefaultCf, keySchema, valueSchema, keyEncoderSpec, useMultipleValuesPerKey, isInternal = false)
 
     private def ttlMs: Long = conf.ttlSecs.toLong * 1000L
@@ -348,6 +422,8 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       }
       cfs.remove(name)
       opened.handles.remove(deadlineCfName(name)).foreach { h => db.dropColumnFamily(h); h.close() }
+      // a CF drop is not expressible in the changelog record stream
+      if (existed) forceFullSnapshot = true
       existed
     }
 
@@ -390,8 +466,11 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       d == null || (clock() - beLong(d)) <= ttlMs
     }
 
-    private def touch(cf: String, keyBytes: Array[Byte]): Unit =
-      db.put(deadlineHandle(cf), keyBytes, beLong(clock()))
+    private def touch(cf: String, keyBytes: Array[Byte]): Unit = {
+      val now = beLong(clock())
+      db.put(deadlineHandle(cf), keyBytes, now)
+      recordPut(deadlineCfName(cf), keyBytes, now)
+    }
 
     // -------------------- reads --------------------
 
@@ -405,7 +484,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       // Access resets the TTL deadline (reference `expireAfterAccess`
       // semantics, proven at RocksDbStateTimeoutSuite.scala:123-170); only
       // while Updating — post-commit reads must not mutate the committed dir.
-      if (strictTtl && !readOnly && state == State.Updating) touch(colFamilyName, kBytes)
+      if (strictTtl && !readOnly && state == State.Updating) {
+        synchronized { touch(colFamilyName, kBytes) }
+      }
       info.valueCodec.decodeSingle(vBytes)
     }
 
@@ -485,7 +566,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) == null) {
         info.numKeys += 1
       }
-      db.put(handle(colFamilyName), kBytes, info.valueCodec.encodeSingle(value))
+      val vBytes = info.valueCodec.encodeSingle(value)
+      db.put(handle(colFamilyName), kBytes, vBytes)
+      recordPut(colFamilyName, kBytes, vBytes)
       if (strictTtl) touch(colFamilyName, kBytes)
     }
 
@@ -498,7 +581,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) == null) {
         info.numKeys += 1
       }
-      db.put(handle(colFamilyName), kBytes, info.valueCodec.encodeFrames(values))
+      val vBytes = info.valueCodec.encodeFrames(values)
+      db.put(handle(colFamilyName), kBytes, vBytes)
+      recordPut(colFamilyName, kBytes, vBytes)
       if (strictTtl) touch(colFamilyName, kBytes)
     }
 
@@ -510,7 +595,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       val kBytes = info.keyCodec.encode(key)
       val existing = db.get(handle(colFamilyName), kBytes)
       if (conf.trackTotalNumberOfRows && existing == null) info.numKeys += 1
-      db.put(handle(colFamilyName), kBytes, info.valueCodec.appendFrame(existing, value))
+      val merged = info.valueCodec.appendFrame(existing, value)
+      db.put(handle(colFamilyName), kBytes, merged)
+      recordPut(colFamilyName, kBytes, merged)
       if (strictTtl) touch(colFamilyName, kBytes)
     }
 
@@ -525,10 +612,14 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         info.numKeys -= 1
       }
       db.delete(handle(colFamilyName), kBytes)
+      recordRemove(colFamilyName, kBytes)
       // Deadline removed with the key — byte-keyed, so actually effective
       // (the reference's UnsafeRow-vs-bytes cache invalidation was a no-op,
       // SURVEY §4 defect 1).
-      if (strictTtl) db.delete(deadlineHandle(colFamilyName), kBytes)
+      if (strictTtl) {
+        db.delete(deadlineHandle(colFamilyName), kBytes)
+        recordRemove(deadlineCfName(colFamilyName), kBytes)
+      }
     }
 
     // -------------------- lifecycle --------------------
@@ -537,11 +628,26 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       verify(state == State.Updating, "Cannot commit already committed or aborted state store")
       verify(!readOnly, "Cannot commit a read-only state store")
       try {
-        writeMeta(dir, cfs.values.map(i => i.name -> i.numKeys).toMap)
+        // persist per-CF key counts in the meta CF so they ride both the
+        // full snapshot and the changelog delta
+        cfs.values.foreach { i =>
+          val k = i.name.getBytes("UTF-8")
+          val v = beLong(i.numKeys)
+          db.put(metaHandle, k, v)
+          recordPut(MetaCf, k, v)
+        }
         val flushOptions = new FlushOptions().setWaitForFlush(true)
         try db.flush(flushOptions, opened.handles.values.toSeq.asJava)
         finally flushOptions.close()
-        snapshots.upload(dir, newVersion)
+
+        if (conf.changelogEnabled) {
+          val w = changelog // materialize even if the batch wrote nothing
+          w.close()
+          snapshots.uploadDelta(w.file, newVersion)
+          w.file.delete()
+        }
+        if (fullSnapshotDue) uploadFullSnapshot()
+
         registerLocalSnapshot(newVersion, dir)
         // Committed only after the durable upload succeeded (the reference
         // flipped state first — SURVEY §4 defect 5). The DB stays open:
@@ -558,9 +664,34 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       }
     }
 
+    /** Full snapshot cadence: always when changelog is off (the reference's
+      * behavior), else the chain base at version 1, whenever the newest full
+      * snapshot is `minDeltasForSnapshot` behind, and on CF drops. */
+    private def fullSnapshotDue: Boolean =
+      !conf.changelogEnabled || forceFullSnapshot || newVersion == 1 ||
+        (newVersion - snapshots.listVersions().maxOption.getOrElse(0L) >=
+          math.max(storeConf.minDeltasForSnapshot, 1))
+
+    /** Publish `state.snapshot.<newVersion>` from a RocksDB Checkpoint — a
+      * hardlink-consistent view, immune to concurrent background compaction
+      * rewriting files mid-zip (zipping the live dir, as the reference did,
+      * is racy against compaction). */
+    private def uploadFullSnapshot(): Unit = {
+      val ckptDir = new File(tempRoot, s"ckpt-$newVersion-${System.nanoTime()}")
+      val ckpt = Checkpoint.create(db)
+      try {
+        ckpt.createCheckpoint(ckptDir.getAbsolutePath)
+        snapshots.upload(ckptDir, newVersion)
+      } finally {
+        Try(ckpt.close())
+        deleteRecursively(ckptDir)
+      }
+    }
+
     override def abort(): Unit = synchronized {
       if (state == State.Updating) {
         state = State.Aborted
+        changelogWriter.foreach(_.abortAndDelete())
         ensureClosed()
         // Discard, never publish, the dirty directory (the reference
         // registered it under newVersion + 1 — SURVEY §4 defect 3).
@@ -624,30 +755,12 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
 object RocksDbStateStoreProvider {
   val DefaultCf: String = StateStore.DEFAULT_COL_FAMILY_NAME
   private[state] val InternalCfPrefix = "$graft."
-  private[state] val MetaFileName = "_GRAFT_META.properties"
+  /** Internal CF holding per-CF numKeys (key = cf name, value = 8B BE). */
+  private[state] val MetaCf: String = InternalCfPrefix + "meta"
 
   /** Injectable wall clock so TTL tests are deterministic (the reference used
     * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`). */
   @volatile private[state] var clock: () => Long = () => System.currentTimeMillis()
-
-  private[state] def writeMeta(dir: File, counts: Map[String, Long]): Unit = {
-    val props = new Properties()
-    counts.foreach { case (cf, n) => props.setProperty(s"numKeys.$cf", n.toString) }
-    val out = new FileOutputStream(new File(dir, MetaFileName))
-    try props.store(out, "graft state store metadata") finally out.close()
-  }
-
-  private[state] def readMeta(dir: File): Map[String, Long] = {
-    val f = new File(dir, MetaFileName)
-    if (!f.isFile) return Map.empty
-    val props = new Properties()
-    val in = new FileInputStream(f)
-    try props.load(in) finally in.close()
-    props.stringPropertyNames().asScala.toSeq
-      .filter(_.startsWith("numKeys."))
-      .map(k => k.stripPrefix("numKeys.") -> props.getProperty(k).toLong)
-      .toMap
-  }
 
   private[state] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -31,17 +31,46 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
   def ensureBaseDir(): Unit = fs.mkdirs(baseDir)
 
   def snapshotFile(version: Long): Path = new Path(baseDir, s"state.snapshot.$version")
+  def deltaFile(version: Long): Path = new Path(baseDir, s"state.delta.$version")
 
-  /** Versions with a durable snapshot present (reference `fetchVersions`,
-    * `:597-613`). */
-  def listVersions(): Seq[Long] = {
+  private def listByPrefix(prefix: String): Seq[Long] = {
     if (!fs.exists(baseDir)) return Nil
     fs.listStatus(baseDir).toSeq.flatMap { st =>
       val name = st.getPath.getName
-      if (name.startsWith("state.snapshot.")) Try(name.stripPrefix("state.snapshot.").toLong).toOption
+      if (name.startsWith(prefix)) Try(name.stripPrefix(prefix).toLong).toOption
       else None
     }
   }
+
+  /** Versions with a durable full snapshot present (reference
+    * `fetchVersions`, `:597-613`). */
+  def listVersions(): Seq[Long] = listByPrefix("state.snapshot.")
+
+  /** Versions with a durable changelog delta present. */
+  def listDeltaVersions(): Seq[Long] = listByPrefix("state.delta.")
+
+  /** Publish a local changelog file as `state.delta.<version>` (same
+    * tmp+rename atomicity as snapshots). */
+  def uploadDelta(local: File, version: Long): Unit = {
+    val target = deltaFile(version)
+    val tmp = new Path(baseDir, s".state.delta.$version.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val in = new FileInputStream(local)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"Failed to publish delta $target")
+    }
+  }
+
+  def openDelta(version: Long): java.io.InputStream = fs.open(deltaFile(version))
 
   /** Zip `localDir`'s RocksDB files into `state.snapshot.<version>`.
     * RocksDB info logs (`LOG`, `LOG.old.*`) are excluded — dead weight the
@@ -90,16 +119,25 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     } finally in.close()
   }
 
-  /** Delete durable snapshots older than `maxVersion - retain + 1`
-    * (reference `cleanup`, `:573-592`). Returns the cutoff. */
+  /** Delete durable files no longer needed to recover any version >=
+    * `maxVersion - retain + 1` (reference `cleanup`, `:573-592`, extended
+    * for changelog chains): keep the newest full snapshot at or below the
+    * cutoff as the replay base, every delta above it, and everything above
+    * the cutoff. Returns the cutoff. */
   def cleanup(retain: Int): Option[Long] = {
-    val versions = listVersions()
-    if (versions.isEmpty) return None
-    val cutoff = versions.max - math.max(retain, 1) + 1
-    versions.filter(_ < cutoff).foreach { v =>
-      Try(fs.delete(snapshotFile(v), false)).failed.foreach { e =>
-        logWarning(s"Failed to delete expired snapshot version $v under $baseDir: $e")
+    val snaps = listVersions()
+    val deltas = listDeltaVersions()
+    val all = snaps ++ deltas
+    if (all.isEmpty) return None
+    val cutoff = all.max - math.max(retain, 1) + 1
+    val base = snaps.filter(_ <= cutoff).maxOption
+    def drop(p: Path): Unit =
+      Try(fs.delete(p, false)).failed.foreach { e =>
+        logWarning(s"Failed to delete expired state file $p: $e")
       }
+    base.foreach { b =>
+      snaps.filter(_ < b).foreach(v => drop(snapshotFile(v)))
+      deltas.filter(_ <= b).foreach(v => drop(deltaFile(v)))
     }
     Some(cutoff)
   }

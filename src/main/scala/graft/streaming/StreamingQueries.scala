@@ -32,25 +32,43 @@ object StreamingQueries {
 
   private val Chunks = 4
 
-  /** Stage a batch DataFrame as a multi-batch file stream. */
-  private def stagedStream(s: SparkSession, df: DataFrame): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-stream-in-").toString
-    df.repartition(Chunks).write.mode("overwrite").parquet(tmp)
-    s.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+  /** One staged copy of `events` per scale-factor dir, shared by every
+    * streaming entry (staging writes the table once; each query then gets
+    * its own file-stream over it with column pruning at the stream scan). */
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+    val tmp = stagedDirs.getOrElseUpdate(dir, {
+      val t = Files.createTempDirectory("graft-stream-in-").toString
+      base.repartition(Chunks).write.mode("overwrite").parquet(t)
+      t
+    })
+    s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
-  private def events(s: SparkSession, dir: String): DataFrame =
-    stagedStream(s, Tables.events(s, dir))
-
-  /** Run to a memory sink under our provider; returns the sink table. */
+  /** Run to a memory sink under our provider; returns the sink table.
+    *
+    * Stateful parallelism is pinned to 8 for the fixture-scale streams: the
+    * per-micro-batch cost is one state store commit (changelog upload) per
+    * shuffle partition, so running a 100k-row stream at the session's batch
+    * parallelism (32 on the driver) quadruples checkpoint I/O for no
+    * per-partition work. A streaming query captures the value at start, so
+    * the session conf is restored immediately after. At production scale
+    * this knob is sized to state volume, not left at the batch default.
+    */
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode, name: String): DataFrame = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
     val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val q = df.writeStream.format("memory").queryName(sink).outputMode(mode)
-      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val savedParallelism = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      df.writeStream.format("memory").queryName(sink).outputMode(mode)
+        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParallelism)
     q.awaitTermination()
     s.table(sink)
   }
@@ -119,11 +137,10 @@ object StreamingQueries {
   /** Stream-stream inner join: purchases within 1 hour after a click by the
     * same user (append mode, no watermark so no state eviction). */
   def stream_join(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(s, dir)
-    val clicks = stagedStream(s, base.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("click_user"), col("ts").as("click_ts")))
-    val purchases = stagedStream(s, base.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"), col("ts").as("purchase_ts")))
+    val clicks = events(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val purchases = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
     runToTable(s,
       clicks.join(purchases, expr(
         """click_user = purchase_user AND

@@ -57,9 +57,12 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     assert(getData(ckpt, 2) === Map("a" -> 2, "b" -> 20))
   }
 
+  /** Reference full-snapshot-per-commit mode (changelog off). */
+  private val referenceMode = storeConf(Map(RocksDbConf.CHANGELOG -> "false"))
+
   test("snapshotting and maintenance cleanup respect retention") {
     val ckpt = newCheckpointDir()
-    val provider = newProvider(ckpt) // minBatchesToRetain = 3
+    val provider = newProvider(ckpt, conf = referenceMode) // minBatchesToRetain = 3
     try {
       (0 until 10).foreach { v =>
         val store = provider.getStore(v, None)
@@ -70,13 +73,15 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       provider.doMaintenance()
       assert(snapshotFiles(ckpt).sorted === (8L to 10L))
       // retained versions all still readable
-      (8 to 10).foreach { v => assert(getData(ckpt, v) === Map("a" -> (v - 1))) }
+      (8 to 10).foreach { v =>
+        assert(getData(ckpt, v, conf = referenceMode) === Map("a" -> (v - 1)))
+      }
     } finally provider.close()
   }
 
   test("corrupted snapshot falls back to older version, then empty") {
     val ckpt = newCheckpointDir()
-    val provider = newProvider(ckpt)
+    val provider = newProvider(ckpt, conf = referenceMode)
     try {
       (0 until 3).foreach { v =>
         val store = provider.getStore(v, None)
@@ -89,14 +94,95 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     val snap3 = new File(new File(new File(ckpt), "0"), "0/state.snapshot.3")
     val out = new FileOutputStream(snap3)
     out.write(Array.fill[Byte](64)(0x7f)); out.close()
-    assert(getData(ckpt, 3) === Map("a" -> 1)) // fell back to version 2
+    assert(getData(ckpt, 3, conf = referenceMode) === Map("a" -> 1)) // fell back to version 2
 
     // corrupt everything: empty store
     Seq(1, 2).foreach { v =>
       val f = new File(new File(new File(ckpt), "0"), s"0/state.snapshot.$v")
       val o = new FileOutputStream(f); o.write(Array.fill[Byte](64)(0x11)); o.close()
     }
-    assert(getData(ckpt, 3) === Map.empty)
+    assert(getData(ckpt, 3, conf = referenceMode) === Map.empty)
+  }
+
+  test("changelog mode: delta per commit, periodic full snapshots, chain recovery") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt) // changelog on (default)
+    try {
+      (0 until 12).foreach { v =>
+        val store = provider.getStore(v, None)
+        put(store, "a", v)
+        put(store, s"k$v", v * 10)
+        if (v == 5) remove(store, "k3")
+        assert(store.commit() === v + 1)
+      }
+    } finally provider.close()
+
+    // every commit published a delta; full snapshots only at the chain base
+    // and every minDeltasForSnapshot (default 10) versions
+    assert(deltaFiles(ckpt).sorted === (1L to 12L))
+    assert(snapshotFiles(ckpt).sorted === Seq(1L, 11L))
+
+    // recovery through a fresh provider = newest base + delta replay
+    val expected = (0 until 12).map(v => s"k$v" -> v * 10).toMap - "k3" + ("a" -> 11)
+    assert(getData(ckpt, 12) === expected)
+    // an intermediate version recovers from base 1 + deltas 2..9
+    assert(getData(ckpt, 9) ===
+      ((0 until 9).map(v => s"k$v" -> v * 10).toMap - "k3" + ("a" -> 8)))
+  }
+
+  test("changelog mode: numKeys metadata survives chain recovery") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      val s0 = provider.getStore(0, None)
+      (1 to 50).foreach(i => put(s0, s"k$i", i))
+      s0.commit()
+      val s1 = provider.getStore(1, None)
+      remove(s1, "k1"); remove(s1, "k2")
+      s1.commit()
+    } finally provider.close()
+    val p2 = newProvider(ckpt)
+    try {
+      val reloaded = p2.getStore(2, None) // base snapshot 1 + delta 2
+      assert(reloaded.metrics.numKeys === 48)
+      reloaded.abort()
+    } finally p2.close()
+  }
+
+  test("changelog mode: corrupted delta falls back to an older recoverable version") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt)
+    try {
+      (0 until 3).foreach { v =>
+        val store = provider.getStore(v, None)
+        put(store, "a", v)
+        store.commit()
+      }
+    } finally provider.close()
+
+    val delta3 = new File(new File(new File(ckpt), "0"), "0/state.delta.3")
+    val out = new FileOutputStream(delta3)
+    out.write(Array.fill[Byte](64)(0x7f)); out.close()
+    // chain to 3 broken -> falls back to version 2 (base 1 + delta 2)
+    assert(getData(ckpt, 3) === Map("a" -> 1))
+  }
+
+  test("changelog mode: maintenance cleanup keeps the replay chain intact") {
+    val ckpt = newCheckpointDir()
+    val provider = newProvider(ckpt) // minBatchesToRetain = 3
+    try {
+      (0 until 12).foreach { v =>
+        val store = provider.getStore(v, None)
+        put(store, "a", v)
+        store.commit()
+      }
+      provider.doMaintenance()
+      // cutoff = 10; base snapshot 1 <= 10 is still needed -> deltas 2..12
+      // and snapshots {1, 11} all survive; nothing below the base existed
+      assert(snapshotFiles(ckpt).sorted === Seq(1L, 11L))
+      // retained versions remain recoverable through a fresh provider
+      (10 to 12).foreach { v => assert(getData(ckpt, v) === Map("a" -> (v - 1))) }
+    } finally provider.close()
   }
 
   test("abort discards uncommitted changes and does not publish") {

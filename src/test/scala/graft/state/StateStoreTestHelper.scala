@@ -92,11 +92,17 @@ object StateStoreTestHelper {
   def remove(store: StateStore, k: String): Unit =
     store.remove(keyRow(k), StateStore.DEFAULT_COL_FAMILY_NAME)
 
-  def snapshotFiles(checkpointDir: String, opId: Long = 0, partition: Int = 0): Seq[Long] = {
+  def snapshotFiles(checkpointDir: String, opId: Long = 0, partition: Int = 0): Seq[Long] =
+    stateFiles(checkpointDir, "state.snapshot.", opId, partition)
+
+  def deltaFiles(checkpointDir: String, opId: Long = 0, partition: Int = 0): Seq[Long] =
+    stateFiles(checkpointDir, "state.delta.", opId, partition)
+
+  private def stateFiles(checkpointDir: String, prefix: String, opId: Long, partition: Int): Seq[Long] = {
     val dir = new File(new File(new File(checkpointDir), opId.toString), partition.toString)
     Option(dir.listFiles()).getOrElse(Array.empty[File]).toSeq
-      .map(_.getName).filter(_.startsWith("state.snapshot."))
-      .map(_.stripPrefix("state.snapshot.").toLong)
+      .map(_.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
   }
 
   /** Run a block with the provider TTL clock pinned to a mutable variable. */
