@@ -216,6 +216,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     f
   }
 
+  override def supportedCustomMetrics: Seq[StateStoreCustomMetric] =
+    RocksDbStateStoreProvider.customMetrics
+
   override def doMaintenance(): Unit = {
     val cutoff = snapshots.cleanup(storeConf.minVersionsToRetain)
     cutoff.foreach { c =>
@@ -726,11 +729,18 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       val numKeys =
         if (conf.trackTotalNumberOfRows) user.map(_.numKeys).sum
         else user.map(i => Try(opened.db.getLongProperty(handle(i.name), "rocksdb.estimate-num-keys")).getOrElse(0L)).sum
-      val memory = opened.handles.values.map { h =>
-        Try(opened.db.getLongProperty(h, "rocksdb.cur-size-all-mem-tables")).getOrElse(0L) +
-          Try(opened.db.getLongProperty(h, "rocksdb.total-sst-files-size")).getOrElse(0L)
+      def prop(name: String): Long = opened.handles.values.map { h =>
+        Try(opened.db.getLongProperty(h, name)).getOrElse(0L)
       }.sum
-      StateStoreMetrics(numKeys, math.max(memory, 1L), Map.empty, Map.empty)
+      // real RocksDB sizes, not the reference's keys x schema-default-size
+      // guess (SURVEY §4 defect 4)
+      val memtables = prop("rocksdb.cur-size-all-mem-tables")
+      val sstSize = prop("rocksdb.total-sst-files-size")
+      val custom: Map[StateStoreCustomMetric, Long] = Map(
+        MetricMemtableSize -> memtables,
+        MetricSstSize -> sstSize,
+        MetricChangelogRecords -> changelogWriter.map(_.records).getOrElse(0L))
+      StateStoreMetrics(numKeys, math.max(memtables + sstSize, 1L), custom, Map.empty)
     }
 
     override def metrics: StateStoreMetrics = synchronized {
@@ -761,6 +771,16 @@ object RocksDbStateStoreProvider {
   /** Injectable wall clock so TTL tests are deterministic (the reference used
     * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`). */
   @volatile private[state] var clock: () => Long = () => System.currentTimeMillis()
+
+  /** SQL-UI metrics: real RocksDB sizes + per-batch changelog volume. */
+  private[state] val MetricMemtableSize =
+    StateStoreCustomSizeMetric("rocksdbMemtableSize", "RocksDB memtable bytes")
+  private[state] val MetricSstSize =
+    StateStoreCustomSizeMetric("rocksdbSstFilesSize", "RocksDB SST files bytes")
+  private[state] val MetricChangelogRecords =
+    StateStoreCustomSumMetric("changelogRecords", "changelog records written this batch")
+  private[state] val customMetrics: Seq[StateStoreCustomMetric] =
+    Seq(MetricMemtableSize, MetricSstSize, MetricChangelogRecords)
 
   private[state] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
