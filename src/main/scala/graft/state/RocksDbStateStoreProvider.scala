@@ -99,6 +99,13 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     this.useMultipleValuesPerKey = useMultipleValuesPerKey
     this.storeConf = storeConfs
     this.hadoopConf = hadoopConf
+    // Checkpoint-format v2 tracks per-store unique IDs through
+    // getStateStoreCheckpointInfo; this provider implements the v1 (version
+    // -> files) contract, so refuse v2 loudly instead of corrupting lineage.
+    require(!storeConfs.enableStateStoreCheckpointIds,
+      "graft.state.RocksDbStateStoreProvider does not support " +
+        "spark.sql.streaming.stateStore.checkpointFormatVersion=2 " +
+        "(state store checkpoint IDs); use format version 1")
     this.conf = RocksDbConf(storeConfs, stateStoreId.checkpointRootLocation)
     this.snapshots = new SnapshotManager(stateStoreId.storeCheckpointLocation, hadoopConf)
     this.tempRoot = java.nio.file.Files.createTempDirectory(
