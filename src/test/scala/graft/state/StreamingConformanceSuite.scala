@@ -217,6 +217,88 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("limit_sink").count() === 3)
   }
 
+  test("sliding event-time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "20 seconds", "10 seconds"), $"k")
+      .count()
+
+    val q = agg.writeStream.format("memory").queryName("slide_sink")
+      .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((ts(5), "a"), (ts(15), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // t=5 -> windows [-10,10),[0,20); t=15 -> [0,20),[10,30)
+    val rows = spark.table("slide_sink")
+      .select($"window.start".cast("long"), $"count").as[(Long, Long)].collect().toSet
+    assert(rows === Set((-10L, 1L), (0L, 2L), (10L, 1L)))
+  }
+
+  test("stream-stream left outer join emits null-padded rows after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Timestamp, Int)]
+    val rights = MemoryStream[(Timestamp, Int)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val l = lefts.toDF().toDF("lts", "k").withWatermark("lts", "5 seconds")
+    val r = rights.toDF().toDF("rts", "rk").withWatermark("rts", "5 seconds")
+    val j = l.join(r, expr(
+      "k = rk AND rts >= lts AND rts <= lts + interval 10 seconds"), "leftOuter")
+      .select($"k", $"lts".cast("long").as("lt"), $"rts".cast("long").as("rt"))
+
+    val q = j.writeStream.format("memory").queryName("louter_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    try {
+      lefts.addData((ts(10), 1), (ts(10), 2))
+      rights.addData((ts(15), 1))
+      q.processAllAvailable()
+      // advance both watermarks far enough to finalize k=2 as unmatched
+      lefts.addData((ts(100), 9))
+      rights.addData((ts(100), 9))
+      q.processAllAvailable()
+      lefts.addData((ts(200), 8))
+      rights.addData((ts(200), 8))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("louter_sink").as[(Int, Long, Option[Long])].collect().toSet
+    assert(rows.contains((1, 10L, Some(15L))))
+    assert(rows.contains((2, 10L, None))) // evicted unmatched -> null-padded
+  }
+
+  test("dropDuplicatesWithinWatermark dedups inside the watermark delay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val dedup = input.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+
+    val q = dedup.writeStream.format("memory").queryName("ddww_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((ts(1), 7), (ts(3), 7)) // duplicate within delay -> one row
+      q.processAllAvailable()
+      input.addData((ts(100), 1)) // advances watermark past 7's expiry
+      q.processAllAvailable()
+      input.addData((ts(101), 7)) // same id after expiry -> emitted again
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("ddww_sink").select($"id").as[Int].collect().toSeq.sorted
+    assert(ids === Seq(1, 7, 7))
+  }
+
   test("transformWithState (arbitrary state v2): ValueState + ListState") {
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState, ListState}
     import org.apache.spark.sql.{Encoder, Encoders}
