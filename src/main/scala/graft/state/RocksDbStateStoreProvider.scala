@@ -81,6 +81,12 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     * any post-commit read. */
   @volatile private var lastOpenStore: Option[RocksDbStateStore] = None
 
+  /** Newest known durable full snapshot, cached so the per-commit snapshot
+    * cadence check costs no filesystem round trip (one listing per commit
+    * per partition would be a NameNode RPC storm at cluster scale).
+    * Initialized at init, advanced on upload. */
+  @volatile private var newestFullSnapshot: Long = -1L
+
   override def init(
       stateStoreId: StateStoreId,
       keySchema: StructType,
@@ -111,6 +117,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     this.tempRoot = java.nio.file.Files.createTempDirectory(
       s"graft-state-${stateStoreId.operatorId}-${stateStoreId.partitionId}-").toFile
     snapshots.ensureBaseDir()
+    newestFullSnapshot = snapshots.listVersions().maxOption.getOrElse(0L)
   }
 
   override def stateStoreId: StateStoreId = stateStoreId_
@@ -679,8 +686,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       * snapshot is `minDeltasForSnapshot` behind, and on CF drops. */
     private def fullSnapshotDue: Boolean =
       !conf.changelogEnabled || forceFullSnapshot || newVersion == 1 ||
-        (newVersion - snapshots.listVersions().maxOption.getOrElse(0L) >=
-          math.max(storeConf.minDeltasForSnapshot, 1))
+        (newVersion - newestFullSnapshot >= math.max(storeConf.minDeltasForSnapshot, 1))
 
     /** Publish `state.snapshot.<newVersion>` from a RocksDB Checkpoint — a
       * hardlink-consistent view, immune to concurrent background compaction
@@ -692,6 +698,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       try {
         ckpt.createCheckpoint(ckptDir.getAbsolutePath)
         snapshots.upload(ckptDir, newVersion)
+        newestFullSnapshot = math.max(newestFullSnapshot, newVersion)
       } finally {
         Try(ckpt.close())
         deleteRecursively(ckptDir)
