@@ -12,11 +12,15 @@ import org.apache.spark.sql.expressions.Window
   *    window over (query, cosine) — the plan is scan ⋈ broadcast → window,
   *    no corpus shuffle. At 100 TB the same plan holds: queries are always
   *    the small side.
-  *  - sign-bit-LSH top-k: the scale path. Corpus is bucketed by the sign
-  *    bits of the leading dimensions (random-hyperplane LSH with axis
-  *    hyperplanes); a query only scans its own bucket — work drops by ~2^bits
-  *    at a recall cost. The oracle mirrors the bucketing, so the gate
-  *    verifies the bucketed semantics exactly.
+  *  - hyperplane-LSH top-k: a scale path. Corpus is bucketed by random
+  *    hyperplane signs with Hamming<=1 multi-probe ([[Lsh]]); a query only
+  *    scans its probe buckets. The oracle mirrors the bucketing, so the
+  *    gate verifies the bucketed semantics exactly.
+  *  - IVF top-k: the other standard scale path. A coarse quantizer (K fixed
+  *    centroid vectors) partitions the corpus into inverted cells; a query
+  *    probes its P nearest cells only. Work per query drops from N to
+  *    ~N*P/K; the one-off assignment pass is the classic IVF build cost and
+  *    is a linear scan + broadcast join (no corpus shuffle).
   *
   * Cosines are computed with index-ordered double arithmetic (aggregate /
   * list_sum over the same sequence) so Spark and DuckDB produce bit-identical
@@ -101,13 +105,78 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  private val NumCells = 16 // coarse-quantizer size K (≈ sqrt(N) in production)
+  private val NumProbes = 4 // cells probed per query
+
+  /** IVF top-3: the corpus is assigned to its max-cosine centroid cell (the
+    * coarse quantizer = the K lowest-vec_id vectors, a deterministic
+    * training-free quantizer both engines derive identically from the data);
+    * each query (vec_id < 50) probes its P nearest cells and ranks only the
+    * vectors filed there. */
+  def sim_topk_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), expr(norm2S).as("n2"))
+    val cent = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("qe"), col("n2").as("cn2"))
+
+    // score of a vector against every centroid; cosine ties break on cid
+    def cellScores(side: DataFrame): DataFrame = side
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore", expr(dotS) / sqrt(col("n2") * col("cn2")))
+
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid").asc)
+    val cells = cellScores(e)
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
+
+    val probes = cellScores(e.filter(col("vec_id") < 50))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") <= NumProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe2"), col("n2").as("qn2"), col("cid"))
+      .withColumnRenamed("qe2", "qe")
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(dotS) / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  val sim_topk_ivf_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id cid, embedding ce, n2 cn2 FROM e WHERE vec_id < $NumCells),
+      |scored AS (SELECT e.vec_id, e.embedding, e.n2, cent.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(ce)+1), i ->
+      |        CAST(ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / sqrt(e.n2 * cn2) DESC,
+      |      cid ASC) AS crank
+      |  FROM e CROSS JOIN cent),
+      |cells AS (SELECT vec_id, embedding, n2, cid FROM scored WHERE crank = 1),
+      |probes AS (SELECT vec_id qid, embedding qe, n2 qn2, cid
+      |  FROM scored WHERE vec_id < 50 AND crank <= $NumProbes),
+      |s AS (SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_sum(list_transform(range(1, len(qe)+1), i ->
+      |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+      |      vec_id ASC) AS rank
+      |  FROM probes JOIN cells USING (cid) WHERE vec_id != qid)
+      |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
+      |FROM s WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
     "sim_topk_lsh" -> sim_topk_lsh _,
+    "sim_topk_ivf" -> sim_topk_ivf _,
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,
+    "sim_topk_ivf" -> sim_topk_ivf_sql,
   )
 }
