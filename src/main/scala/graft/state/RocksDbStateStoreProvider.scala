@@ -132,7 +132,11 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       readStore: ReadStateStore, version: Long, uniqueId: Option[String]): StateStore =
     readStore match {
       case s: RocksDbStateStore if s.version == version => s.upgradeToWriteStore(); s
-      case _ => getStore(version, uniqueId)
+      case other =>
+        // release the orphaned read store before replacing it, or its open
+        // RocksDB and temp dir would leak until provider close
+        Try(other.release())
+        getStore(version, uniqueId)
     }
 
   /** Resolve a local directory containing committed state for `version` and
@@ -174,13 +178,16 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     * complete, downloaded and replayed. Every candidate is verified to open
     * before being accepted. */
   private def tryMaterialize(v: Long): Option[File] = {
+    // Local move needs no verify-open: this provider wrote and flushed the
+    // dir itself; a second open would double store-open latency on every
+    // micro-batch's hot path.
     val fromLocal = Option(localSnapshots.remove(v)).filter(_.isDirectory).map { src =>
       val dest = freshDir()
       dest.delete()
       java.nio.file.Files.move(src.toPath, dest.toPath)
       dest
     }
-    val dir = fromLocal.orElse {
+    fromLocal.orElse {
       val snaps = snapshots.listVersions()
       val deltas = snapshots.listDeltaVersions().toSet
       snaps.filter(_ <= v).sorted(Ordering.Long.reverse).iterator
@@ -195,12 +202,14 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
             logWarning(s"Recovery of version $v from snapshot $s failed for $stateStoreId_: $e")
             scala.util.Failure(e)
           }.toOption
-        }.nextOption()
-    }
-    dir.filter { d =>
-      val ok = Try { openDb(d, verifyOnly = true) }.isSuccess
-      if (!ok) logWarning(s"Snapshot for version $v of $stateStoreId_ failed to open; ignoring")
-      ok
+        }
+        // recovered dirs are verified to open before being accepted
+        .filter { d =>
+          val ok = Try { openDb(d, verifyOnly = true) }.isSuccess
+          if (!ok) logWarning(s"Recovered dir for version $v of $stateStoreId_ failed to open; ignoring")
+          ok
+        }
+        .nextOption()
     }
   }
 
@@ -212,9 +221,8 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       (from to to).foreach { dv =>
         Changelog.read(snapshots.openDelta(dv)).foreach { r =>
           val h = opened.handles.getOrElseUpdate(r.cf, {
-            val ttl = if (r.cf.startsWith(InternalCfPrefix) || conf.ttlSecs <= 0) 0 else conf.ttlSecs
             opened.db.createColumnFamilyWithTtl(
-              new ColumnFamilyDescriptor(r.cf.getBytes("UTF-8"), cfOptions()), ttl)
+              new ColumnFamilyDescriptor(r.cf.getBytes("UTF-8"), cfOptions()), compactionTtlFor(r.cf))
           })
           if (r.op == Changelog.OpPut) opened.db.put(h, r.key, r.value)
           else opened.db.delete(h, r.key)
@@ -258,6 +266,17 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   // RocksDB plumbing shared by store instances
   // ------------------------------------------------------------------
 
+  /** TtlDB compaction-time expiry for a column family. Zero (= never) for
+    * internal families, no-TTL configs, AND strict mode: TtlDB expires by
+    * last-PUT time, but strict semantics reset on ACCESS — letting
+    * compaction drop a record that reads kept alive (deadline refreshed,
+    * data record untouched) would silently lose live state. In strict mode
+    * the deadline CF is the only expiry authority; physically expired
+    * entries are deleted on access instead. */
+  private def compactionTtlFor(cfName: String): Int =
+    if (cfName.startsWith(InternalCfPrefix) || conf.ttlSecs <= 0 || conf.strictExpire) 0
+    else conf.ttlSecs
+
   private def cfOptions(): ColumnFamilyOptions = new ColumnFamilyOptions()
     .setWriteBufferSize(conf.writeBufferSizeMb * 1024L * 1024L)
     .setMaxWriteBufferNumber(conf.writeBufferNumber)
@@ -280,9 +299,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     }.getOrElse(Nil)
     val names = if (listed.isEmpty) Seq(DefaultCf) else listed
     val descriptors = names.map(n => new ColumnFamilyDescriptor(n.getBytes("UTF-8"), cfOptions())).asJava
-    val ttls = names.map { n =>
-      Integer.valueOf(if (n.startsWith(InternalCfPrefix) || conf.ttlSecs <= 0) 0 else conf.ttlSecs)
-    }.asJava
+    val ttls = names.map(n => Integer.valueOf(compactionTtlFor(n))).asJava
     val handleList = new java.util.ArrayList[ColumnFamilyHandle]()
     val db = TtlDB.open(dbOptions, dir.getAbsolutePath, descriptors, handleList, ttls, false)
     val handles = mutable.LinkedHashMap(names.zip(handleList.asScala).toSeq: _*)
@@ -420,7 +437,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         isInternal: Boolean): Unit = synchronized {
       verify(useColumnFamilies, "Column families are disabled for this store")
       if (!opened.handles.contains(name)) {
-        val ttl = if (conf.ttlSecs > 0 && !isInternal) conf.ttlSecs else 0
+        val ttl = if (isInternal) 0 else compactionTtlFor(name)
         val h = db.createColumnFamilyWithTtl(
           new ColumnFamilyDescriptor(name.getBytes("UTF-8"), cfOptions()), ttl)
         opened.handles.put(name, h)
@@ -439,8 +456,13 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       }
       cfs.remove(name)
       opened.handles.remove(deadlineCfName(name)).foreach { h => db.dropColumnFamily(h); h.close() }
-      // a CF drop is not expressible in the changelog record stream
-      if (existed) forceFullSnapshot = true
+      if (existed) {
+        // a CF drop is not expressible in the changelog record stream
+        forceFullSnapshot = true
+        // forget the persisted count, or a re-created CF of the same name
+        // would resurrect it as a phantom numKeys base
+        db.delete(metaHandle, name.getBytes("UTF-8"))
+      }
       existed
     }
 
@@ -495,7 +517,20 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       if (stateless) return null
       val info = cfInfo(colFamilyName)
       val kBytes = info.keyCodec.encode(key)
-      if (strictTtl && !isLive(colFamilyName, kBytes)) return null
+      if (strictTtl && !isLive(colFamilyName, kBytes)) {
+        // strict mode is the only expiry authority (no TtlDB compaction
+        // expiry) — reclaim the dead record on access
+        if (!readOnly && state == State.Updating) synchronized {
+          if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) != null) {
+            info.numKeys -= 1
+          }
+          db.delete(handle(colFamilyName), kBytes)
+          recordRemove(colFamilyName, kBytes)
+          db.delete(deadlineHandle(colFamilyName), kBytes)
+          recordRemove(deadlineCfName(colFamilyName), kBytes)
+        }
+        return null
+      }
       val vBytes = db.get(handle(colFamilyName), kBytes)
       if (vBytes == null) return null
       // Access resets the TTL deadline (reference `expireAfterAccess`
@@ -578,6 +613,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     override def put(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit = synchronized {
       verifyWritable()
       require(value != null, "Cannot put a null value")
+      // stateless mode: nothing is ever readable, so persisting (and
+      // snapshotting) the writes would only grow dead checkpoint state
+      if (stateless) return
       val info = cfInfo(colFamilyName)
       val kBytes = info.keyCodec.encode(key)
       if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) == null) {
@@ -591,6 +629,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
 
     override def putList(key: UnsafeRow, values: Array[UnsafeRow], colFamilyName: String): Unit = synchronized {
       verifyWritable()
+      if (stateless) return
       val info = cfInfo(colFamilyName)
       verify(info.multiValued, s"putList on single-valued column family $colFamilyName")
       require(values != null && values.nonEmpty, "Cannot put an empty value list")
@@ -606,6 +645,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
 
     override def merge(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit = synchronized {
       verifyWritable()
+      if (stateless) return
       val info = cfInfo(colFamilyName)
       verify(info.multiValued, s"merge on single-valued column family $colFamilyName")
       require(value != null, "Cannot merge a null value")
@@ -618,11 +658,33 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       if (strictTtl) touch(colFamilyName, kBytes)
     }
 
-    override def mergeList(key: UnsafeRow, values: Array[UnsafeRow], colFamilyName: String): Unit =
-      values.foreach(v => merge(key, v, colFamilyName))
+    override def mergeList(key: UnsafeRow, values: Array[UnsafeRow], colFamilyName: String): Unit = synchronized {
+      verifyWritable()
+      if (stateless || values.isEmpty) return
+      val info = cfInfo(colFamilyName)
+      verify(info.multiValued, s"mergeList on single-valued column family $colFamilyName")
+      // one read + one concatenated write + one changelog record — N
+      // separate merge() calls would rewrite the growing blob N times
+      val kBytes = info.keyCodec.encode(key)
+      val existing = db.get(handle(colFamilyName), kBytes)
+      if (conf.trackTotalNumberOfRows && existing == null) info.numKeys += 1
+      val frames = info.valueCodec.encodeFrames(values)
+      val merged =
+        if (existing == null) frames
+        else {
+          val out = new Array[Byte](existing.length + frames.length)
+          System.arraycopy(existing, 0, out, 0, existing.length)
+          System.arraycopy(frames, 0, out, existing.length, frames.length)
+          out
+        }
+      db.put(handle(colFamilyName), kBytes, merged)
+      recordPut(colFamilyName, kBytes, merged)
+      if (strictTtl) touch(colFamilyName, kBytes)
+    }
 
     override def remove(key: UnsafeRow, colFamilyName: String): Unit = synchronized {
       verifyWritable()
+      if (stateless) return
       val info = cfInfo(colFamilyName)
       val kBytes = info.keyCodec.encode(key)
       if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) != null) {

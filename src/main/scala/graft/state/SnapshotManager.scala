@@ -139,6 +139,16 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
       snaps.filter(_ < b).foreach(v => drop(snapshotFile(v)))
       deltas.filter(_ <= b).foreach(v => drop(deltaFile(v)))
     }
+    // reclaim upload temp files orphaned by a crash between create and
+    // rename; age-gate so an in-flight commit's tmp is never touched
+    val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000L
+    Try {
+      fs.listStatus(baseDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".state.") && name.endsWith(".tmp") &&
+          st.getModificationTime < staleBefore) drop(st.getPath)
+      }
+    }
     Some(cutoff)
   }
 }

@@ -166,6 +166,26 @@ class StateTtlSuite extends AnyFunSuite {
     assert(RocksDbConf.deriveQueryName("") === RocksDbConf.UNNAMED_QUERY)
   }
 
+  test("strict mode reclaims expired entries on access and corrects numKeys") {
+    withFakeClock { clock =>
+      val ckpt = newCheckpointDir()
+      val provider = newProvider(ckpt, conf = ttlConf(60, strict = true))
+      try {
+        val store = provider.getStore(0, None)
+        put(store, "k1", 1)
+        put(store, "k2", 2)
+        assert(store.metrics.numKeys === 2)
+        clock.advanceSecs(61)
+        assert(get(store, "k1").isEmpty) // access reclaims the dead record
+        assert(store.metrics.numKeys === 1)
+        // re-insert after reclaim works with a fresh deadline
+        put(store, "k1", 10)
+        assert(get(store, "k1").contains(10))
+        store.commit()
+      } finally provider.close()
+    }
+  }
+
   test("lazy mode (non-strict) keeps keys visible at least until compaction") {
     withFakeClock { clock =>
       val ckpt = newCheckpointDir()
