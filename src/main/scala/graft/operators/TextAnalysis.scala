@@ -144,6 +144,55 @@ object TextAnalysis {
       |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp_bag
       |FROM documents""".stripMargin
 
+  /** Winnowing fingerprints (rolling hash, Schleimer et al.): polynomial
+    * hashes of all character k-grams of the normalized text, minimum per
+    * sliding window of w consecutive gram hashes, distinct minima sorted as
+    * the document fingerprint. Pure integer arithmetic (closed-form
+    * polynomial mod p, no overflow: values < 2^43), mirrored exactly by the
+    * oracle.
+    *
+    * Structure note: the normalized text and the gram array are bound as
+    * single-element `transform` lambda variables so each is evaluated once —
+    * as plain computed columns, Catalyst would inline their expressions into
+    * every lambda reference (the [[graft.operators.Dedup]] 30x lesson).
+    */
+  private val WinnowK = 5 // k-gram width (chars)
+  private val WinnowW = 4 // winnowing window (grams)
+  private val WinnowM = 1000000007L
+  private val WinnowPows = Seq(4362470401L, 16974593L, 66049L, 257L, 1L) // 257^(k-1-j)
+
+  def text_winnow(s: SparkSession, dir: String): DataFrame = {
+    val powArr = WinnowPows.mkString("array(", "L,", "L)")
+    val gramHash = // hash of the k-gram starting at 1-based index i of t
+      s"""aggregate(sequence(0, ${WinnowK - 1}), CAST(0 AS BIGINT), (acc, j) ->
+         |  acc + ascii(substring(t, i + j, 1)) * element_at($powArr, j + 1)) % $WinnowM""".stripMargin
+    val shortHash = // whole-text fallback for texts shorter than one k-gram
+      s"aggregate(sequence(1, length(t)), CAST(0 AS BIGINT), (acc, i) -> acc + ascii(substring(t, i, 1)) * i) % $WinnowM"
+    val fpExpr =
+      s"""element_at(transform(array(regexp_replace(lower(trim(text)), '\\\\s+', ' ')), t ->
+         |  CASE WHEN length(t) < $WinnowK THEN array($shortHash)
+         |  ELSE element_at(transform(array(transform(sequence(1, length(t) - ${WinnowK - 1}), i -> $gramHash)), g ->
+         |    array_sort(array_distinct(
+         |      transform(sequence(1, size(g) - ${WinnowW - 1}), i -> array_min(slice(g, i, $WinnowW)))))), 1)
+         |  END), 1)""".stripMargin
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(fpExpr).as("fp"))
+  }
+
+  val text_winnow_sql: String = {
+    val powArr = WinnowPows.mkString("[", ",", "]")
+    s"""SELECT doc_id,
+       |  list_transform([regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')], t ->
+       |    CASE WHEN length(t) < $WinnowK THEN
+       |      [COALESCE(list_sum(list_transform(range(1, length(t) + 1), i -> ord(t[i]) * i)), 0) % $WinnowM]
+       |    ELSE list_transform([list_transform(range(1, length(t) - ${WinnowK - 2}), i ->
+       |        list_sum(list_transform(range(0, $WinnowK), j -> ord(t[i + j]) * ($powArr)[j + 1])) % $WinnowM)], g ->
+       |      list_sort(list_distinct(
+       |        list_transform(range(1, len(g) - ${WinnowW - 2}), i -> list_min(g[i:i + ${WinnowW - 1}])))))[1]
+       |    END)[1] AS fp
+       |FROM documents""".stripMargin
+  }
+
   /** BPE-ish regex tokenization: count lexeme classes without materializing
     * token arrays (regexp_count is a streaming scan per row). */
   def text_tokens_regex(s: SparkSession, dir: String): DataFrame = {
@@ -169,6 +218,7 @@ object TextAnalysis {
     "text_quality" -> text_quality _,
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
+    "text_winnow" -> text_winnow _,
     "text_tokens_regex" -> text_tokens_regex _,
   )
 
@@ -177,6 +227,7 @@ object TextAnalysis {
     "text_quality" -> text_quality_sql,
     "text_langid" -> text_langid_sql,
     "text_fingerprint" -> text_fingerprint_sql,
+    "text_winnow" -> text_winnow_sql,
     "text_tokens_regex" -> text_tokens_regex_sql,
   )
 }
