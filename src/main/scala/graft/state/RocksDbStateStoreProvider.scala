@@ -242,6 +242,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     RocksDbStateStoreProvider.customMetrics
 
   override def doMaintenance(): Unit = {
+    if (conf.changelogEnabled) lastOpenStore.foreach(_.snapshotIfDue())
     val cutoff = snapshots.cleanup(storeConf.minVersionsToRetain)
     cutoff.foreach { c =>
       localSnapshots.entrySet().asScala.filter(_.getKey < c).foreach { e =>
@@ -743,12 +744,25 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       }
     }
 
-    /** Full snapshot cadence: always when changelog is off (the reference's
-      * behavior), else the chain base at version 1, whenever the newest full
-      * snapshot is `minDeltasForSnapshot` behind, and on CF drops. */
+    /** Full snapshot on the commit path only when unavoidable: changelog
+      * off (the reference's per-commit behavior), the version-1 chain base,
+      * or a CF drop. The periodic cadence snapshot runs on the maintenance
+      * thread instead ([[snapshotIfDue]]) so steady-state commit latency
+      * never pays the O(state) upload. */
     private def fullSnapshotDue: Boolean =
-      !conf.changelogEnabled || forceFullSnapshot || newVersion == 1 ||
-        (newVersion - newestFullSnapshot >= math.max(storeConf.minDeltasForSnapshot, 1))
+      !conf.changelogEnabled || forceFullSnapshot || newVersion == 1
+
+    /** Maintenance-thread snapshot: upload a full snapshot from this
+      * committed, still-open store when the newest durable one has fallen
+      * `minDeltasForSnapshot` behind. The RocksDB Checkpoint is consistent
+      * against concurrent background compaction, and the store cannot be
+      * closed mid-upload (both paths synchronize on the store). */
+    private[state] def snapshotIfDue(): Unit = synchronized {
+      if (state == State.Committed && !dbClosed &&
+        newVersion - newestFullSnapshot >= math.max(storeConf.minDeltasForSnapshot, 1)) {
+        uploadFullSnapshot()
+      }
+    }
 
     /** Publish `state.snapshot.<newVersion>` from a RocksDB Checkpoint — a
       * hardlink-consistent view, immune to concurrent background compaction

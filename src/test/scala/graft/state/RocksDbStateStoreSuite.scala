@@ -117,10 +117,10 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       }
     } finally provider.close()
 
-    // every commit published a delta; full snapshots only at the chain base
-    // and every minDeltasForSnapshot (default 10) versions
+    // every commit published a delta; the commit path snapshots only the
+    // version-1 chain base (cadence snapshots run on the maintenance thread)
     assert(deltaFiles(ckpt).sorted === (1L to 12L))
-    assert(snapshotFiles(ckpt).sorted === Seq(1L, 11L))
+    assert(snapshotFiles(ckpt).sorted === Seq(1L))
 
     // recovery through a fresh provider = newest base + delta replay
     val expected = (0 until 12).map(v => s"k$v" -> v * 10).toMap - "k3" + ("a" -> 11)
@@ -177,11 +177,25 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
         store.commit()
       }
       provider.doMaintenance()
-      // cutoff = 10; base snapshot 1 <= 10 is still needed -> deltas 2..12
-      // and snapshots {1, 11} all survive; nothing below the base existed
-      assert(snapshotFiles(ckpt).sorted === Seq(1L, 11L))
+      // maintenance took a cadence snapshot from the open committed store
+      // (12 - 1 >= minDeltasForSnapshot); cleanup's base is the newest
+      // snapshot <= cutoff(10) = version 1, so only delta 1 is droppable
+      assert(snapshotFiles(ckpt).sorted === Seq(1L, 12L))
+      assert(deltaFiles(ckpt).sorted === (2L to 12L))
       // retained versions remain recoverable through a fresh provider
       (10 to 12).foreach { v => assert(getData(ckpt, v) === Map("a" -> (v - 1))) }
+
+      // next batches push the cutoff past the new snapshot: the old base and
+      // its deltas are reclaimed, and the chain stays recoverable
+      (12 until 15).foreach { v =>
+        val store = provider.getStore(v, None)
+        put(store, "a", v)
+        store.commit()
+      }
+      provider.doMaintenance()
+      assert(snapshotFiles(ckpt).sorted.headOption === Some(12L))
+      assert(deltaFiles(ckpt).sorted === (13L to 15L))
+      (13 to 15).foreach { v => assert(getData(ckpt, v) === Map("a" -> (v - 1))) }
     } finally provider.close()
   }
 
