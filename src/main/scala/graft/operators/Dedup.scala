@@ -217,6 +217,64 @@ object Dedup {
        |FROM v WHERE common * 10 >= un * 6""".stripMargin
   }
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over the exact near-dup pairs: every document gets
+    * its cluster representative (minimum doc_id in the component) and the
+    * cluster size — the canonicalization step a dedup pipeline runs after
+    * pair generation (keep the rep, drop the rest).
+    *
+    * Distributed min-label propagation to convergence: per round, each node
+    * takes the minimum label among itself and its neighbors. Rounds are a
+    * driver-side CONTROL loop (iteration count only — labels never leave the
+    * cluster); lineage is truncated per round with localCheckpoint, the
+    * standard Pregel-style pattern. Converges in graph-diameter rounds —
+    * near-dup clusters are shallow (diameter O(1)); the cap is a safety
+    * bound. The oracle computes true components with a recursive CTE, so the
+    * gate fails if propagation stopped early. */
+  def dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedup_ngram_jaccard(s, dir).select(col("doc_id_a"), col("doc_id_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true) // pair generation runs once, not once per round
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("comp2") =!= col("comp")).count()
+      labels = updated.select(col("doc_id"), col("comp2").as("comp"))
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("cluster_rep"), col("cluster_size"))
+  }
+
+  val dedup_clusters_sql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_id_a, doc_id_b FROM ($dedup_ngram_jaccard_sql) t),
+       |edges AS (SELECT doc_id_a s, doc_id_b d FROM pairs
+       |          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  UNION
+       |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+       |),
+       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src)
+       |SELECT c.doc_id, c.cluster_rep, n.cluster_size
+       |FROM comp c JOIN (SELECT cluster_rep, count(*) AS cluster_size
+       |                  FROM comp GROUP BY 1) n USING (cluster_rep)""".stripMargin
+
   // --------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash over the (multiset of) tokens + a 16-bit band prefix for
@@ -308,6 +366,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_embedding" -> dedup_embedding _,
+    "dedup_clusters" -> dedup_clusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -316,5 +375,6 @@ object Dedup {
     "dedup_minhash_lsh" -> dedup_minhash_lsh_sql,
     "dedup_simhash" -> dedup_simhash_sql,
     "dedup_embedding" -> dedup_embedding_sql,
+    "dedup_clusters" -> dedup_clusters_sql,
   )
 }
