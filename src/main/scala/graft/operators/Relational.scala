@@ -34,19 +34,21 @@ object Relational {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).as("sum_qty"),
-        sum(dec($"l_extendedprice")).as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("sum_disc_price"),
-        sum(dec($"l_extendedprice") * (one - dec($"l_discount")) * (one + dec($"l_tax"))).as("sum_charge"),
+        // sums computed exactly in DECIMAL (order-independent), then cast to
+        // DOUBLE in the output so both engines hand the gate the same type
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount")) * (one + dec($"l_tax"))).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
 
   val q1_sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1.00 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1.00 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -80,19 +82,21 @@ object Relational {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy($"o_orderkey", $"o_orderdate")
       .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("revenue"))
-      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .orderBy($"revenue".desc, $"o_orderkey".asc) // top-k picked on the exact decimal
       .limit(10)
+      .withColumn("revenue", $"revenue".cast("double")) // canonical output type
   }
 
   val q3_sql: String =
-    """SELECT o_orderkey, o_orderdate,
+    """SELECT o_orderkey, o_orderdate, CAST(revenue AS DOUBLE) AS revenue FROM (
+      |SELECT o_orderkey, o_orderdate,
       |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderkey, o_orderdate
       |ORDER BY revenue DESC, o_orderkey ASC
-      |LIMIT 10""".stripMargin
+      |LIMIT 10)""".stripMargin
 
   /** Broadcast dim join: revenue by part brand. */
   def q4_brand_revenue(s: SparkSession, dir: String): DataFrame = {
@@ -102,13 +106,13 @@ object Relational {
       .join(broadcast(p), $"l_partkey" === p("p_partkey"))
       .groupBy($"p_brand")
       .agg(
-        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("revenue"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q4_sql: String =
     """SELECT p_brand,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
@@ -129,12 +133,12 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy($"n_name")
-      .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("revenue"))
+      .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
   }
 
   val q5_sql: String =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey  = s_suppkey
@@ -154,13 +158,13 @@ object Relational {
         $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
         $"l_quantity" < 24)
-      .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).as("revenue"),
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"),
            count(lit(1)).as("n_rows"))
   }
 
   val q6_sql: String =
     """SELECT
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -178,12 +182,16 @@ object Relational {
     rev.join(broadcast(sup), $"l_suppkey" === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .select($"n_name", $"s_suppkey", $"s_name", $"revenue")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w)) // ranked on the exact decimal
       .filter($"rk" <= 3)
+      .select($"n_name", $"s_suppkey", $"s_name",
+        $"revenue".cast("double").as("revenue"), $"rk".cast("long").as("rk"))
   }
 
   val q7_sql: String =
-    """SELECT * FROM (
+    """SELECT n_name, s_suppkey, s_name, CAST(revenue AS DOUBLE) AS revenue,
+      |       CAST(rk AS BIGINT) AS rk
+      |FROM (
       |  SELECT n_name, s_suppkey, s_name, revenue,
       |         row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey ASC) AS rk
       |  FROM (SELECT l_suppkey,
@@ -226,12 +234,12 @@ object Relational {
       .agg(
         countDistinct($"user_id").as("n_users"),
         count(lit(1)).as("n_events"),
-        sum(dec($"value")).as("total_value"))
+        sum(dec($"value")).cast("double").as("total_value"))
   }
 
   val q9_sql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** The 100 TB-safe distinct path: HyperLogLog++ sketch instead of the
@@ -247,7 +255,7 @@ object Relational {
       .agg(
         approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
         count(lit(1)).as("n_events"),
-        sum(dec($"value")).as("total_value"))
+        sum(dec($"value")).cast("double").as("total_value"))
   }
 
   /** Global top-N with deterministic tie-break (TakeOrderedAndProject: one
@@ -277,7 +285,7 @@ object Relational {
         substring($"o_orderstatus", 1, 1).as("status_c"),
         length($"o_orderpriority").as("prio_len"),
         when($"o_totalprice" > 200000.0, "big").otherwise("small").as("size_class"),
-        (dec($"o_totalprice") * lit(2)).as("double_price"))
+        (dec($"o_totalprice") * lit(2)).cast("double").as("double_price"))
       .filter($"o_orderkey" % 7 === 0)
   }
 
@@ -289,7 +297,7 @@ object Relational {
       |  substr(o_orderstatus, 1, 1) AS status_c,
       |  CAST(length(o_orderpriority) AS INT) AS prio_len,
       |  CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS double_price
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price
       |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin
 
   /** ROLLUP grouping sets. */
@@ -297,12 +305,12 @@ object Relational {
     import s.implicits._
     Tables.lineitem(s, dir)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
   }
 
   val q12_sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   /** Set operations: nations with customers vs suppliers. */
@@ -330,16 +338,16 @@ object Relational {
       .agg(
         sum(when($"p_type".startsWith("PROMO"),
               dec($"l_extendedprice") * (one - dec($"l_discount")))
-            .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo_revenue"),
-        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("total_revenue"))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo_revenue"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("total_revenue"))
   }
 
   val q14_sql: String =
     """SELECT
-      |  sum(CASE WHEN p_type LIKE 'PROMO%'
+      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
   /** Registry consumed by SparkEntry. */

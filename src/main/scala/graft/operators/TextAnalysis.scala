@@ -175,13 +175,18 @@ object TextAnalysis {
          |    array_sort(array_distinct(
          |      transform(sequence(1, size(g) - ${WinnowW - 1}), i -> array_min(slice(g, i, $WinnowW)))))), 1)
          |  END), 1)""".stripMargin
+    // The fingerprint is a variable-length set of minima; it is emitted as a
+    // comma-joined string (one scalar per doc) because the gate harness hashes
+    // scalar columns only — an array<bigint> column is unhashable driver-side.
     Tables.documents(s, dir)
-      .select(col("doc_id"), expr(fpExpr).as("fp"))
+      .select(col("doc_id"),
+        expr(s"array_join(transform($fpExpr, x -> CAST(x AS STRING)), ',')").as("fp"))
   }
 
   val text_winnow_sql: String = {
     val powArr = WinnowPows.mkString("[", ",", "]")
     s"""SELECT doc_id,
+       |  array_to_string(list_transform(
        |  list_transform([regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')], t ->
        |    CASE WHEN length(t) < $WinnowK THEN
        |      [COALESCE(list_sum(list_transform(range(1, length(t) + 1), i -> ord(t[i]) * i)), 0) % $WinnowM]
@@ -189,7 +194,7 @@ object TextAnalysis {
        |        list_sum(list_transform(range(0, $WinnowK), j -> ord(t[i + j]) * ($powArr)[j + 1])) % $WinnowM)], g ->
        |      list_sort(list_distinct(
        |        list_transform(range(1, len(g) - ${WinnowW - 2}), i -> list_min(g[i:i + ${WinnowW - 1}])))))[1]
-       |    END)[1] AS fp
+       |    END)[1], x -> CAST(x AS VARCHAR)), ',') AS fp
        |FROM documents""".stripMargin
   }
 

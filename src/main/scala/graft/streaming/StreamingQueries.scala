@@ -80,10 +80,13 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).as("sum_value")),
       OutputMode.Complete(), "stream_agg")
+      // sum computed exactly in DECIMAL across micro-batches; DOUBLE is the
+      // gate-canonical output type on both sides
+      .withColumn("sum_value", col("sum_value").cast("double"))
 
   val stream_agg_sql: String =
     """SELECT event_type, count(*) AS n_events,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
   /** Event-time tumbling window counts (complete mode). */
@@ -180,7 +183,7 @@ object StreamingQueries {
 
   val stream_fmgws_sql: String =
     """SELECT user_id, count(*) AS n_events,
-      |       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_mille
+      |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mille
       |FROM events GROUP BY 1""".stripMargin
 
   /** transformWithState (arbitrary state v2): per-user running max value
