@@ -327,19 +327,20 @@ object Dedup {
     * split across adjacent buckets are still found. See [[Lsh]] for the
     * 100 TB rationale. */
   def dedup_embedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot
     val nb = Lsh.numBits(Tables.embeddings(s, dir).count())
-    // repartition = plan barrier: keeps the bucket aggregate out of the
-    // probe lambda and lets both join sides read one exchange
+    // repartition = plan barrier: bucket/norm are computed once behind one
+    // exchange that both join sides reuse
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(Lsh.bucketSpark(nb)).as("blk"),
-        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0d, (acc, v) -> acc + v)").as("n2"))
+      .select(col("vec_id"), col("embedding"), Lsh.bucketCol(nb, col("embedding")).as("blk"),
+        VecDot.norm2(col("embedding")).as("n2"))
       .repartition(col("vec_id"))
     val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"), col("blk"), col("n2").as("n2a"))
     val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
         explode(expr(Lsh.probesSpark(nb))).as("blk"), col("n2").as("n2b"))
     a.join(b, Seq("blk"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0d, (acc, v) -> acc + v)"))
+      .withColumn("dot", VecDot.dot(col("ea"), col("eb")))
       .filter(col("dot") > 0 && col("dot") * col("dot") >= lit(0.16) * col("n2a") * col("n2b"))
       .select(col("vec_id_a"), col("vec_id_b"), col("blk"))
   }

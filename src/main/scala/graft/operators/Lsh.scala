@@ -16,6 +16,10 @@ package graft.operators
   * random hyperplanes are not.
   */
 object Lsh {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, typedLit, when}
+  import graft.functions.VecDot
+
   val Dim = 64
   val MaxBits = 20
   val TargetBucket = 64
@@ -34,23 +38,19 @@ object Lsh {
     math.max(4, math.min(MaxBits, fl))
   }
 
-  /** Spark literal: array of MaxBits arrays of Dim doubles. */
-  val weightsSpark: String =
-    weights.map(_.map(w => s"${w}.0d").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-
   /** DuckDB literal: list of lists. */
   val weightsDuck: String =
     weights.map(_.map(w => s"${w}.0").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
-  /** Spark: bucket id of `embedding` under the first `nb` hyperplanes. */
-  def bucketSpark(nb: Int): String =
-    s"""aggregate(sequence(0, ${nb - 1}), CAST(0 AS BIGINT), (acc, k) ->
-       |  acc + (CASE WHEN aggregate(
-       |      zip_with(element_at($weightsSpark, k + 1), embedding, (w, x) -> w * CAST(x AS DOUBLE)),
-       |      0d, (a, v) -> a + v) >= 0.0d
-       |    THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END))""".stripMargin
+  /** Bucket id of `emb` under the first `nb` hyperplanes: nb codegen'd
+    * [[VecDot]] sign tests against literal weight rows (the interpreted
+    * aggregate-over-zip_with formulation was the bench's dominant cost). */
+  def bucketCol(nb: Int, emb: Column): Column =
+    (0 until nb).map { k =>
+      when(VecDot.dot(emb, typedLit(weights(k).map(_.toDouble))) >= 0.0d,
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Spark: the Hamming<=1 probe set of a `blk` column (nb+1 buckets). */
   def probesSpark(nb: Int): String =

@@ -27,22 +27,21 @@ import org.apache.spark.sql.expressions.Window
   * doubles; output carries only ids + integer ranks.
   */
 object Similarity {
+  import graft.functions.VecDot
 
-  private val dotS =
-    "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0d, (acc, v) -> acc + v)"
-  private val norm2S =
-    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0d, (acc, v) -> acc + v)"
+  private def dotC = VecDot.dot(col("qe"), col("embedding"))
+  private def norm2C = VecDot.norm2(col("embedding"))
 
   /** Exact cosine top-5 neighbors for each query vector (vec_id < 10). */
   def sim_topk_bruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(norm2S).as("n2"))
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(dotS) / sqrt(col("n2") * col("qn2")))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -71,8 +70,8 @@ object Similarity {
   def sim_topk_lsh(s: SparkSession, dir: String): DataFrame = {
     val nb = Lsh.numBits(Tables.embeddings(s, dir).count())
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(Lsh.bucketSpark(nb)).as("blk"),
-        expr(norm2S).as("n2"))
+      .select(col("vec_id"), col("embedding"), Lsh.bucketCol(nb, col("embedding")).as("blk"),
+        norm2C.as("n2"))
     // queries are the broadcast side; probe expansion happens there so the
     // corpus is never exploded (corpus rows: 1 bucket each)
     val q = e.filter(col("vec_id") < 50)
@@ -82,7 +81,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     e.join(broadcast(q), Seq("blk"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(dotS) / sqrt(col("n2") * col("qn2")))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -112,34 +111,46 @@ object Similarity {
     * coarse quantizer = the K lowest-vec_id vectors, a deterministic
     * training-free quantizer both engines derive identically from the data);
     * each query (vec_id < 50) probes its P nearest cells and ranks only the
-    * vectors filed there. */
+    * vectors filed there.
+    *
+    * Cell assignment is a `max_by` hash aggregate, not a window: the K
+    * scores per vector combine map-side so the shuffle carries one row per
+    * corpus vector and nothing is sorted — a window here would sort-shuffle
+    * the K×-exploded corpus, the plan's single avoidable cost at 100 TB.
+    * Ties break on lowest cid via the (cscore, -cid) ordering struct,
+    * matching the oracle's `ORDER BY cscore DESC, cid ASC`. */
   def sim_topk_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(norm2S).as("n2"))
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
     val cent = e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cid"), col("embedding").as("qe"), col("n2").as("cn2"))
 
     // score of a vector against every centroid; cosine ties break on cid
     def cellScores(side: DataFrame): DataFrame = side
       .crossJoin(broadcast(cent))
-      .withColumn("cscore", expr(dotS) / sqrt(col("n2") * col("cn2")))
+      .withColumn("cscore", dotC / sqrt(col("n2") * col("cn2")))
 
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid").asc)
     val cells = cellScores(e)
-      .withColumn("crank", row_number().over(assignW))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("n2"), col("cid")),
+        struct(col("cscore"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.embedding"), col("m.n2"), col("m.cid"))
 
-    val probes = cellScores(e.filter(col("vec_id") < 50))
-      .withColumn("crank", row_number().over(assignW))
-      .filter(col("crank") <= NumProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe2"), col("n2").as("qn2"), col("cid"))
-      .withColumnRenamed("qe2", "qe")
+    // queries are few by construction: top-P cells via an in-group sort of
+    // the K scores (bounded K), then re-join the query row itself
+    val q = e.filter(col("vec_id") < 50)
+    val probeCids = cellScores(q)
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("cscore")).as("neg"), col("cid").as("cid")))),
+        1, NumProbes).as("top"))
+      .select(col("vec_id"), explode(col("top.cid")).as("cid"))
+    val probes = q.join(probeCids, "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"), col("cid"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     cells.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(dotS) / sqrt(col("n2") * col("qn2")))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
