@@ -162,25 +162,14 @@ object TextAnalysis {
   private val WinnowPows = Seq(4362470401L, 16974593L, 66049L, 257L, 1L) // 257^(k-1-j)
 
   def text_winnow(s: SparkSession, dir: String): DataFrame = {
-    val powArr = WinnowPows.mkString("array(", "L,", "L)")
-    val gramHash = // hash of the k-gram starting at 1-based index i of t
-      s"""aggregate(sequence(0, ${WinnowK - 1}), CAST(0 AS BIGINT), (acc, j) ->
-         |  acc + ascii(substring(t, i + j, 1)) * element_at($powArr, j + 1)) % $WinnowM""".stripMargin
-    val shortHash = // whole-text fallback for texts shorter than one k-gram
-      s"aggregate(sequence(1, length(t)), CAST(0 AS BIGINT), (acc, i) -> acc + ascii(substring(t, i, 1)) * i) % $WinnowM"
-    val fpExpr =
-      s"""element_at(transform(array(regexp_replace(lower(trim(text)), '\\\\s+', ' ')), t ->
-         |  CASE WHEN length(t) < $WinnowK THEN array($shortHash)
-         |  ELSE element_at(transform(array(transform(sequence(1, length(t) - ${WinnowK - 1}), i -> $gramHash)), g ->
-         |    array_sort(array_distinct(
-         |      transform(sequence(1, size(g) - ${WinnowW - 1}), i -> array_min(slice(g, i, $WinnowW)))))), 1)
-         |  END), 1)""".stripMargin
+    import graft.functions.Winnow
     // The fingerprint is a variable-length set of minima; it is emitted as a
     // comma-joined string (one scalar per doc) because the gate harness hashes
     // scalar columns only — an array<bigint> column is unhashable driver-side.
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr(s"array_join(transform($fpExpr, x -> CAST(x AS STRING)), ',')").as("fp"))
+        Winnow.fp(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+          WinnowK, WinnowW, WinnowM).as("fp"))
   }
 
   val text_winnow_sql: String = {
