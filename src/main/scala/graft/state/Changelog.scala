@@ -23,9 +23,25 @@ object Changelog {
   final val OpPut: Int = 0
   final val OpRemove: Int = 1
 
-  final class Writer(val file: File) {
+  /** Uncompressed v2 lineage header magic ("GFV2"). Under checkpoint-format
+    * v2 each delta file starts with `[magic: 4B][baseCkptId: UTF]` — the
+    * unique ID of the commit this delta was built on ("" for a version-1
+    * delta) — so recovery of `(v, id)` can walk the exact ancestor chain
+    * back to a full snapshot without trusting version numbers alone. */
+  final val V2Magic: Int = 0x47465632
+
+  /** `lineage = Some(baseCkptId)` writes the v2 header; `None` is the v1
+    * format (record stream only). */
+  final class Writer(val file: File, lineage: Option[String] = None) {
+    private val raw = new FileOutputStream(file)
+    lineage.foreach { base =>
+      val h = new DataOutputStream(raw)
+      h.writeInt(V2Magic)
+      h.writeUTF(base)
+      h.flush()
+    }
     private val out = new DataOutputStream(new BufferedOutputStream(
-      new DeflaterOutputStream(new FileOutputStream(file),
+      new DeflaterOutputStream(raw,
         new Deflater(Deflater.BEST_SPEED)), 64 * 1024))
     private var count = 0L
 
@@ -88,4 +104,20 @@ object Changelog {
   }
 
   def readFile(f: File): Iterator[Record] = read(new FileInputStream(f))
+
+  /** Consume the v2 lineage header from `in` (positioning it at the deflate
+    * stream) and return the base commit ID ("" = version-1 delta, no base). */
+  def readHeader(in: InputStream): String = {
+    val d = new DataInputStream(in)
+    val magic = d.readInt()
+    if (magic != V2Magic) {
+      throw new java.io.IOException(
+        f"Not a v2 changelog: expected magic 0x$V2Magic%08x, found 0x$magic%08x")
+    }
+    d.readUTF()
+  }
+
+  /** Read just the lineage header of a delta stream, closing it. */
+  def readHeaderOnly(in: InputStream): String =
+    try readHeader(in) finally in.close()
 }

@@ -68,10 +68,16 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   @volatile private var conf: RocksDbConf = _
   @volatile private var snapshots: SnapshotManager = _
   @volatile private var tempRoot: File = _
+  @volatile private var ckptIdsEnabled: Boolean = false
+
+  /** Local dir holding exactly one committed version, tagged (under
+    * checkpoint-format v2) with the unique ID of the commit that produced
+    * it so a retried task's different commit is never reused by mistake. */
+  private[state] case class LocalSnapshot(dir: File, ckptId: Option[String])
 
   /** version -> local RocksDB dir holding exactly that committed version
     * (reference `localSnapshots`, `:114, :299-304`). */
-  private val localSnapshots = new ConcurrentHashMap[Long, File]()
+  private val localSnapshots = new ConcurrentHashMap[Long, LocalSnapshot]()
 
   /** The store most recently opened by this provider. Spark reads
     * `iterator()`/`metrics` *after* `commit()` (e.g. Complete-mode output),
@@ -105,13 +111,11 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     this.useMultipleValuesPerKey = useMultipleValuesPerKey
     this.storeConf = storeConfs
     this.hadoopConf = hadoopConf
-    // Checkpoint-format v2 tracks per-store unique IDs through
-    // getStateStoreCheckpointInfo; this provider implements the v1 (version
-    // -> files) contract, so refuse v2 loudly instead of corrupting lineage.
-    require(!storeConfs.enableStateStoreCheckpointIds,
-      "graft.state.RocksDbStateStoreProvider does not support " +
-        "spark.sql.streaming.stateStore.checkpointFormatVersion=2 " +
-        "(state store checkpoint IDs); use format version 1")
+    // Checkpoint-format v2: every commit gets a unique ID, durable files are
+    // suffixed with it, and recovery materializes the exact commit the
+    // engine's commit log recorded (never a same-version sibling from a
+    // retried or speculative task).
+    this.ckptIdsEnabled = storeConfs.enableStateStoreCheckpointIds
     this.conf = RocksDbConf(storeConfs, stateStoreId.checkpointRootLocation)
     this.snapshots = new SnapshotManager(stateStoreId.storeCheckpointLocation, hadoopConf)
     this.tempRoot = java.nio.file.Files.createTempDirectory(
@@ -123,10 +127,10 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   override def stateStoreId: StateStoreId = stateStoreId_
 
   override def getStore(version: Long, uniqueId: Option[String]): StateStore =
-    loadStore(version, readOnly = false)
+    loadStore(version, readOnly = false, uniqueId)
 
   override def getReadStore(version: Long, uniqueId: Option[String]): ReadStateStore =
-    loadStore(version, readOnly = true)
+    loadStore(version, readOnly = true, uniqueId)
 
   override def upgradeReadStoreToWriteStore(
       readStore: ReadStateStore, version: Long, uniqueId: Option[String]): StateStore =
@@ -144,31 +148,93 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     * download); on corruption fall back loudly to the newest older snapshot,
     * then to empty state — the reference's resilience contract
     * (`:384-401`, tested `RocksDbStateStoreProviderSuite.scala:106-133`). */
-  private def loadStore(version: Long, readOnly: Boolean): RocksDbStateStore = synchronized {
-    require(version >= 0, "Version cannot be less than 0")
-    // Close the previous batch's finished store before (possibly) moving its
-    // directory; a store still Updating (e.g. an in-use read store) is left
-    // alone — its dir is not in the registry yet.
-    lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
-    val dir =
-      if (version == 0) freshDir()
-      else {
-        tryMaterialize(version).getOrElse {
-          val candidates =
-            (snapshots.listVersions() ++ snapshots.listDeltaVersions() ++
-              localSnapshots.keySet().asScala)
-            .filter(v => v < version && v > 0).distinct.sorted(Ordering.Long.reverse)
-          logWarning(s"State version $version of $stateStoreId_ is missing or unreadable; " +
-            s"falling back (candidates: ${candidates.mkString(",")})")
-          candidates.iterator.flatMap(tryMaterialize).nextOption().getOrElse {
-            logWarning(s"No readable snapshot at all for $stateStoreId_; starting empty at version $version")
-            freshDir()
+  private def loadStore(
+      version: Long, readOnly: Boolean, uniqueId: Option[String] = None): RocksDbStateStore =
+    synchronized {
+      require(version >= 0, "Version cannot be less than 0")
+      // Close the previous batch's finished store before (possibly) moving its
+      // directory; a store still Updating (e.g. an in-use read store) is left
+      // alone — its dir is not in the registry yet.
+      lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
+      // Under v2 a caller without a lineage ID (e.g. the statestore reader)
+      // gets the store resolved by version; ambiguity is broken toward the
+      // lexicographically greatest ID for determinism.
+      val resolvedId: Option[String] =
+        if (!ckptIdsEnabled || version == 0) None
+        else uniqueId.orElse(resolveIdByVersion(version))
+      val dir =
+        if (version == 0) freshDir()
+        else if (ckptIdsEnabled) {
+          val id = resolvedId.getOrElse(throw new IllegalStateException(
+            s"No durable commit found for state version $version of $stateStoreId_ " +
+              "(checkpoint format v2)"))
+          // v2 is exact-or-fail: silently substituting an older version would
+          // defeat the lineage contract.
+          materializeV2(version, id).getOrElse(throw new IllegalStateException(
+            s"Cannot materialize state version $version (commit $id) of $stateStoreId_: " +
+              "snapshot or changelog chain missing or unreadable"))
+        } else {
+          tryMaterialize(version).getOrElse {
+            val candidates =
+              (snapshots.listVersions() ++ snapshots.listDeltaVersions() ++
+                localSnapshots.keySet().asScala)
+              .filter(v => v < version && v > 0).distinct.sorted(Ordering.Long.reverse)
+            logWarning(s"State version $version of $stateStoreId_ is missing or unreadable; " +
+              s"falling back (candidates: ${candidates.mkString(",")})")
+            candidates.iterator.flatMap(tryMaterialize).nextOption().getOrElse {
+              logWarning(s"No readable snapshot at all for $stateStoreId_; starting empty at version $version")
+              freshDir()
+            }
           }
         }
+      val store = new RocksDbStateStore(version, dir, readOnly, resolvedId)
+      lastOpenStore = Some(store)
+      store
+    }
+
+  /** v2 without a caller-provided lineage ID: pick the commit for `version`
+    * from what is visible (local registry first, then durable files). */
+  private def resolveIdByVersion(version: Long): Option[String] =
+    Option(localSnapshots.get(version)).flatMap(_.ckptId)
+      .orElse((snapshots.idsAt(version, snapshot = true) ++
+        snapshots.idsAt(version, snapshot = false)).maxOption)
+
+  /** Materialize exactly commit `(v, id)`: local-move reuse when the tagged
+    * commit matches, else walk the delta lineage headers back to a full
+    * snapshot of the chain and replay forward. */
+  private def materializeV2(v: Long, id: String): Option[File] = {
+    val fromLocal = Option(localSnapshots.get(v))
+      .filter(e => e.ckptId.contains(id) && e.dir.isDirectory)
+      .flatMap(e => Option(localSnapshots.remove(v)).map(_ => e.dir))
+      .map { src =>
+        val dest = freshDir()
+        dest.delete()
+        java.nio.file.Files.move(src.toPath, dest.toPath)
+        dest
       }
-    val store = new RocksDbStateStore(version, dir, readOnly)
-    lastOpenStore = Some(store)
-    store
+    fromLocal.orElse(Try {
+      // chain of deltas (ascending) to replay over the snapshot base
+      var chain = List.empty[(Long, String)]
+      var curV = v
+      var curId = id
+      while (curV > 0 && !snapshots.snapshotExists(curV, Some(curId))) {
+        chain = (curV, curId) :: chain
+        curId = Changelog.readHeaderOnly(snapshots.openDelta(curV, Some(curId)))
+        curV -= 1
+      }
+      val dest = freshDir()
+      if (curV > 0) snapshots.download(curV, dest, Some(curId))
+      if (chain.nonEmpty) replayDeltas(dest, chain.map { case (dv, did) => (dv, Some(did)) })
+      dest
+    }.recoverWith { case e =>
+      logWarning(s"Recovery of commit ($v, $id) failed for $stateStoreId_: $e")
+      scala.util.Failure(e)
+    }.toOption
+      .filter { d =>
+        val ok = Try { openDb(d, verifyOnly = true) }.isSuccess
+        if (!ok) logWarning(s"Recovered dir for commit ($v, $id) of $stateStoreId_ failed to open; ignoring")
+        ok
+      })
   }
 
   /** Try to produce a local dir holding exactly `v`: move the local snapshot
@@ -181,7 +247,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     // Local move needs no verify-open: this provider wrote and flushed the
     // dir itself; a second open would double store-open latency on every
     // micro-batch's hot path.
-    val fromLocal = Option(localSnapshots.remove(v)).filter(_.isDirectory).map { src =>
+    val fromLocal = Option(localSnapshots.remove(v)).map(_.dir).filter(_.isDirectory).map { src =>
       val dest = freshDir()
       dest.delete()
       java.nio.file.Files.move(src.toPath, dest.toPath)
@@ -196,7 +262,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
           Try {
             val dest = freshDir()
             snapshots.download(s, dest)
-            if (s < v) replayDeltas(dest, s + 1, v)
+            if (s < v) replayDeltas(dest, ((s + 1) to v).map(dv => (dv, Option.empty[String])))
             dest
           }.recoverWith { case e =>
             logWarning(s"Recovery of version $v from snapshot $s failed for $stateStoreId_: $e")
@@ -213,13 +279,17 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     }
   }
 
-  /** Apply changelog deltas `[from, to]` to the DB at `dir` (byte-level —
-    * no key/value codecs), then flush so the dir is self-contained. */
-  private def replayDeltas(dir: File, from: Long, to: Long): Unit = {
+  /** Apply the changelog deltas of `chain` (ascending `(version, ckptId)`)
+    * to the DB at `dir` (byte-level — no key/value codecs), then flush so
+    * the dir is self-contained. v2 entries carry an ID: their lineage
+    * header is consumed before the record stream. */
+  private def replayDeltas(dir: File, chain: Seq[(Long, Option[String])]): Unit = {
     val opened = openDb(dir, verifyOnly = false)
     try {
-      (from to to).foreach { dv =>
-        Changelog.read(snapshots.openDelta(dv)).foreach { r =>
+      chain.foreach { case (dv, did) =>
+        val in = snapshots.openDelta(dv, did)
+        if (did.isDefined) Changelog.readHeader(in)
+        Changelog.read(in).foreach { r =>
           val h = opened.handles.getOrElseUpdate(r.cf, {
             opened.db.createColumnFamilyWithTtl(
               new ColumnFamilyDescriptor(r.cf.getBytes("UTF-8"), cfOptions()), compactionTtlFor(r.cf))
@@ -238,6 +308,23 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     f
   }
 
+  /** Test hook (reference `RocksDbStateStoreProvider.scala:655-660`): the
+    * key/value pairs of the newest committed version, materialized through a
+    * throwaway read store so the returned iterator outlives it. */
+  private[state] def latestIterator(): Iterator[UnsafeRowPair] = {
+    val latest = (snapshots.listVersions() ++ snapshots.listDeltaVersions() ++
+      localSnapshots.keySet().asScala).maxOption.getOrElse(0L)
+    if (latest == 0L) return Iterator.empty
+    val store = loadStore(latest, readOnly = true)
+    try {
+      val buf = Vector.newBuilder[UnsafeRowPair]
+      val it = store.iterator(DefaultCf)
+      try it.foreach(p => buf += new UnsafeRowPair(p.key.copy(), p.value.copy()))
+      finally it.close()
+      buf.result().iterator
+    } finally store.release()
+  }
+
   override def supportedCustomMetrics: Seq[StateStoreCustomMetric] =
     RocksDbStateStoreProvider.customMetrics
 
@@ -246,7 +333,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     val cutoff = snapshots.cleanup(storeConf.minVersionsToRetain)
     cutoff.foreach { c =>
       localSnapshots.entrySet().asScala.filter(_.getKey < c).foreach { e =>
-        if (localSnapshots.remove(e.getKey, e.getValue)) deleteRecursively(e.getValue)
+        if (localSnapshots.remove(e.getKey, e.getValue)) deleteRecursively(e.getValue.dir)
       }
     }
   }
@@ -333,10 +420,17 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   class RocksDbStateStore private[state] (
       override val version: Long,
       dir: File,
-      private var readOnly: Boolean)
+      private var readOnly: Boolean,
+      loadedCkptId: Option[String] = None)
     extends StateStore {
 
     private val newVersion = version + 1
+
+    /** Unique ID of the commit this store will produce (checkpoint-format
+      * v2 only) — minted at load so the changelog lineage header and every
+      * durable file name agree before commit starts. */
+    private val commitCkptId: Option[String] =
+      if (ckptIdsEnabled) Some(java.util.UUID.randomUUID().toString) else None
     private object State extends Enumeration { val Updating, Committed, Aborted, Released = Value }
     @volatile private var state = State.Updating
     @volatile private var dbClosed = false
@@ -352,7 +446,8 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     private def changelog: Changelog.Writer = {
       if (changelogWriter.isEmpty) {
         changelogWriter = Some(new Changelog.Writer(
-          new File(tempRoot, s"changelog-$newVersion-${System.nanoTime()}")))
+          new File(tempRoot, s"changelog-$newVersion-${System.nanoTime()}"),
+          lineage = commitCkptId.map(_ => loadedCkptId.getOrElse(""))))
       }
       changelogWriter.get
     }
@@ -723,12 +818,12 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         if (conf.changelogEnabled) {
           val w = changelog // materialize even if the batch wrote nothing
           w.close()
-          snapshots.uploadDelta(w.file, newVersion)
+          snapshots.uploadDelta(w.file, newVersion, commitCkptId)
           w.file.delete()
         }
         if (fullSnapshotDue) uploadFullSnapshot()
 
-        registerLocalSnapshot(newVersion, dir)
+        registerLocalSnapshot(newVersion, dir, commitCkptId)
         // Committed only after the durable upload succeeded (the reference
         // flipped state first — SURVEY §4 defect 5). The DB stays open:
         // Spark reads iterator()/metrics after commit; the provider closes
@@ -773,7 +868,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       val ckpt = Checkpoint.create(db)
       try {
         ckpt.createCheckpoint(ckptDir.getAbsolutePath)
-        snapshots.upload(ckptDir, newVersion)
+        snapshots.upload(ckptDir, newVersion, commitCkptId)
         newestFullSnapshot = math.max(newestFullSnapshot, newVersion)
       } finally {
         Try(ckpt.close())
@@ -800,15 +895,17 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         ensureClosed()
         // A read store never wrote: its dir still holds exactly `version`,
         // so park it for zero-copy reuse by the next load.
-        if (version > 0) registerLocalSnapshot(version, dir) else deleteRecursively(dir)
+        if (version > 0) registerLocalSnapshot(version, dir, loadedCkptId)
+        else deleteRecursively(dir)
       }
     }
 
-    private def registerLocalSnapshot(v: Long, d: File): Unit = {
-      Option(localSnapshots.put(v, d)).filter(_ != d).foreach(deleteRecursively)
+    private def registerLocalSnapshot(v: Long, d: File, id: Option[String]): Unit = {
+      Option(localSnapshots.put(v, LocalSnapshot(d, id)))
+        .map(_.dir).filter(_ != d).foreach(deleteRecursively)
       val cutoff = v - math.max(storeConf.minVersionsToRetain, 1) + 1
       localSnapshots.entrySet().asScala.filter(_.getKey < cutoff).foreach { e =>
-        if (localSnapshots.remove(e.getKey, e.getValue)) deleteRecursively(e.getValue)
+        if (localSnapshots.remove(e.getKey, e.getValue)) deleteRecursively(e.getValue.dir)
       }
     }
 
@@ -839,7 +936,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     }
 
     override def getStateStoreCheckpointInfo(): StateStoreCheckpointInfo =
-      StateStoreCheckpointInfo(id.partitionId, newVersion, None, None)
+      StateStoreCheckpointInfo(id.partitionId, newVersion, commitCkptId, loadedCkptId)
 
     override def hasCommitted: Boolean = state == State.Committed
 

@@ -30,16 +30,37 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
 
   def ensureBaseDir(): Unit = fs.mkdirs(baseDir)
 
-  def snapshotFile(version: Long): Path = new Path(baseDir, s"state.snapshot.$version")
-  def deltaFile(version: Long): Path = new Path(baseDir, s"state.delta.$version")
+  /** Checkpoint-format v2 (state store checkpoint IDs) suffixes every
+    * durable file with the commit's unique ID — `state.snapshot.<v>_<id>` —
+    * so two commits of the same version (task retry, speculation) coexist
+    * and recovery picks exactly the one the commit log recorded. v1 names
+    * (`ckptId = None`) are unchanged. */
+  private def suffixed(version: Long, ckptId: Option[String]): String =
+    ckptId.fold(version.toString)(id => s"${version}_$id")
+
+  def snapshotFile(version: Long, ckptId: Option[String] = None): Path =
+    new Path(baseDir, s"state.snapshot.${suffixed(version, ckptId)}")
+  def deltaFile(version: Long, ckptId: Option[String] = None): Path =
+    new Path(baseDir, s"state.delta.${suffixed(version, ckptId)}")
+
+  def snapshotExists(version: Long, ckptId: Option[String]): Boolean =
+    fs.exists(snapshotFile(version, ckptId))
+
+  private def parseVersion(name: String, prefix: String): Option[Long] =
+    if (!name.startsWith(prefix)) None
+    else Try(name.stripPrefix(prefix).takeWhile(_ != '_').toLong).toOption
 
   private def listByPrefix(prefix: String): Seq[Long] = {
     if (!fs.exists(baseDir)) return Nil
-    fs.listStatus(baseDir).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (name.startsWith(prefix)) Try(name.stripPrefix(prefix).toLong).toOption
-      else None
-    }
+    fs.listStatus(baseDir).toSeq.flatMap(st => parseVersion(st.getPath.getName, prefix))
+  }
+
+  /** Commit IDs of the durable files at `version` (v2 names only). */
+  def idsAt(version: Long, snapshot: Boolean): Seq[String] = {
+    if (!fs.exists(baseDir)) return Nil
+    val prefix = (if (snapshot) "state.snapshot." else "state.delta.") + version + "_"
+    fs.listStatus(baseDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
   }
 
   /** Versions with a durable full snapshot present (reference
@@ -49,10 +70,10 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
   /** Versions with a durable changelog delta present. */
   def listDeltaVersions(): Seq[Long] = listByPrefix("state.delta.")
 
-  /** Publish a local changelog file as `state.delta.<version>` (same
+  /** Publish a local changelog file as `state.delta.<version>[_<id>]` (same
     * tmp+rename atomicity as snapshots). */
-  def uploadDelta(local: File, version: Long): Unit = {
-    val target = deltaFile(version)
+  def uploadDelta(local: File, version: Long, ckptId: Option[String] = None): Unit = {
+    val target = deltaFile(version, ckptId)
     val tmp = new Path(baseDir, s".state.delta.$version.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
     try {
@@ -70,13 +91,14 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     }
   }
 
-  def openDelta(version: Long): java.io.InputStream = fs.open(deltaFile(version))
+  def openDelta(version: Long, ckptId: Option[String] = None): java.io.InputStream =
+    fs.open(deltaFile(version, ckptId))
 
-  /** Zip `localDir`'s RocksDB files into `state.snapshot.<version>`.
+  /** Zip `localDir`'s RocksDB files into `state.snapshot.<version>[_<id>]`.
     * RocksDB info logs (`LOG`, `LOG.old.*`) are excluded — dead weight the
     * reference also stripped before upload (`:438-443`). */
-  def upload(localDir: File, version: Long): Unit = {
-    val target = snapshotFile(version)
+  def upload(localDir: File, version: Long, ckptId: Option[String] = None): Unit = {
+    val target = snapshotFile(version, ckptId)
     val tmp = new Path(baseDir, s".state.snapshot.$version.${System.nanoTime()}.tmp")
     val out = new ZipOutputStream(fs.create(tmp, true))
     try {
@@ -100,9 +122,9 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     }
   }
 
-  /** Unzip `state.snapshot.<version>` into `destDir` (must exist, empty). */
-  def download(version: Long, destDir: File): Unit = {
-    val in = new ZipInputStream(fs.open(snapshotFile(version)))
+  /** Unzip `state.snapshot.<version>[_<id>]` into `destDir` (must exist, empty). */
+  def download(version: Long, destDir: File, ckptId: Option[String] = None): Unit = {
+    val in = new ZipInputStream(fs.open(snapshotFile(version, ckptId)))
     try {
       val buf = new Array[Byte](64 * 1024)
       var entry: ZipEntry = in.getNextEntry
@@ -125,19 +147,23 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     * cutoff as the replay base, every delta above it, and everything above
     * the cutoff. Returns the cutoff. */
   def cleanup(retain: Int): Option[Long] = {
-    val snaps = listVersions()
-    val deltas = listDeltaVersions()
-    val all = snaps ++ deltas
+    if (!fs.exists(baseDir)) return None
+    // list actual paths: v2 names carry an id suffix and cannot be
+    // reconstructed from the version number alone
+    val listed = fs.listStatus(baseDir).toSeq.map(_.getPath)
+    val snaps = listed.flatMap(p => parseVersion(p.getName, "state.snapshot.").map(_ -> p))
+    val deltas = listed.flatMap(p => parseVersion(p.getName, "state.delta.").map(_ -> p))
+    val all = (snaps ++ deltas).map(_._1)
     if (all.isEmpty) return None
     val cutoff = all.max - math.max(retain, 1) + 1
-    val base = snaps.filter(_ <= cutoff).maxOption
+    val base = snaps.map(_._1).filter(_ <= cutoff).maxOption
     def drop(p: Path): Unit =
       Try(fs.delete(p, false)).failed.foreach { e =>
         logWarning(s"Failed to delete expired state file $p: $e")
       }
     base.foreach { b =>
-      snaps.filter(_ < b).foreach(v => drop(snapshotFile(v)))
-      deltas.filter(_ <= b).foreach(v => drop(deltaFile(v)))
+      snaps.filter(_._1 < b).foreach(e => drop(e._2))
+      deltas.filter(_._1 <= b).foreach(e => drop(e._2))
     }
     // reclaim upload temp files orphaned by a crash between create and
     // rename; age-gate so an in-flight commit's tmp is never touched

@@ -49,34 +49,38 @@ object StreamingQueries {
 
   /** Run to a memory sink under our provider; returns the sink table.
     *
+    * Per-query engine settings live on a *cloned* session (`newSession()`:
+    * shared SparkContext, isolated SQLConf and temp-view catalog), so the
+    * caller's session is never mutated by running a gate query — `build`
+    * receives the clone and must construct the stream against it.
+    *
     * Stateful parallelism is pinned to 8 for the fixture-scale streams: the
     * per-micro-batch cost is one state store commit (changelog upload) per
     * shuffle partition, so running a 100k-row stream at the session's batch
     * parallelism (32 on the driver) quadruples checkpoint I/O for no
-    * per-partition work. A streaming query captures the value at start, so
-    * the session conf is restored immediately after. At production scale
-    * this knob is sized to state volume, not left at the batch default.
+    * per-partition work. At production scale this knob is sized to state
+    * volume, not left at the batch default.
     */
-  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+  private def runToTable(
+      s0: SparkSession, build: SparkSession => DataFrame,
+      mode: OutputMode, name: String): DataFrame = {
+    val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val savedParallelism = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      df.writeStream.format("memory").queryName(sink).outputMode(mode)
-        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedParallelism)
+    val q = build(s).writeStream.format("memory").queryName(sink).outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
     s.table(sink)
   }
 
   /** Streaming aggregation: per-event-type count + decimal sum (complete mode). */
   def stream_agg(s: SparkSession, dir: String): DataFrame =
-    runToTable(s,
-      events(s, dir).groupBy(col("event_type"))
+    runToTable(s, s2 =>
+      events(s2, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).as("sum_value")),
       OutputMode.Complete(), "stream_agg")
@@ -91,8 +95,8 @@ object StreamingQueries {
 
   /** Event-time tumbling window counts (complete mode). */
   def stream_window(s: SparkSession, dir: String): DataFrame =
-    runToTable(s,
-      events(s, dir).groupBy(window(col("ts"), "1 hour"), col("event_type")).count(),
+    runToTable(s, s2 =>
+      events(s2, dir).groupBy(window(col("ts"), "1 hour"), col("event_type")).count(),
       OutputMode.Complete(), "stream_window")
       .select(col("window.start").as("win_start"), col("event_type"),
         col("count").as("n_events"))
@@ -104,8 +108,8 @@ object StreamingQueries {
   /** Session windows per user with a 2-hour inactivity gap (complete mode;
     * exercises the provider's prefix-scan path). */
   def stream_session(s: SparkSession, dir: String): DataFrame =
-    runToTable(s,
-      events(s, dir).groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+    runToTable(s, s2 =>
+      events(s2, dir).groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
         .agg(count(lit(1)).as("n_events")),
       OutputMode.Complete(), "stream_session")
       .select(col("user_id"), col("session_window.start").as("session_start"),
@@ -129,8 +133,8 @@ object StreamingQueries {
   /** Streaming deduplication on (user_id, event_type) (append mode, no
     * watermark so dedup is global — exactly DISTINCT). */
   def stream_dedup(s: SparkSession, dir: String): DataFrame =
-    runToTable(s,
-      events(s, dir).select(col("user_id"), col("event_type"))
+    runToTable(s, s2 =>
+      events(s2, dir).select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type"),
       OutputMode.Append(), "stream_dedup")
 
@@ -139,19 +143,18 @@ object StreamingQueries {
 
   /** Stream-stream inner join: purchases within 1 hour after a click by the
     * same user (append mode, no watermark so no state eviction). */
-  def stream_join(s: SparkSession, dir: String): DataFrame = {
-    val clicks = events(s, dir).filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("click_user"), col("ts").as("click_ts"))
-    val purchases = events(s, dir).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
-    runToTable(s,
+  def stream_join(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val clicks = events(s2, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"), col("ts").as("click_ts"))
+      val purchases = events(s2, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
       clicks.join(purchases, expr(
         """click_user = purchase_user AND
           |purchase_ts >= click_ts AND
           |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
-        .select(col("click_id"), col("purchase_id")),
-      OutputMode.Append(), "stream_join")
-  }
+        .select(col("click_id"), col("purchase_id"))
+    }, OutputMode.Append(), "stream_join")
 
   val stream_join_sql: String =
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id
@@ -162,24 +165,24 @@ object StreamingQueries {
 
   /** flatMapGroupsWithState: running per-user event count + per-mille value
     * sum (update mode; last emission per key recovered via max_by). */
-  def stream_fmgws(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val typed = events(s, dir)
-      .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"))
-      .as[(Long, Long)]
-    val updated = typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
-          var (n, total) = state.getOption.getOrElse((0L, 0L))
-          rows.foreach { r => n += 1; total += r._2 }
-          state.update((n, total))
-          Iterator((user, n, total))
-      }
-    runToTable(s, updated.toDF("user_id", "n", "mille"), OutputMode.Update(), "stream_fmgws")
+  def stream_fmgws(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val typed = events(s2, dir)
+        .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"))
+        .as[(Long, Long)]
+      typed.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+            var (n, total) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { r => n += 1; total += r._2 }
+            state.update((n, total))
+            Iterator((user, n, total))
+        }.toDF("user_id", "n", "mille")
+    }, OutputMode.Update(), "stream_fmgws")
       .groupBy(col("user_id"))
       .agg(max(col("n")).as("n_events"), max_by(col("mille"), col("n")).as("sum_mille"))
-  }
 
   val stream_fmgws_sql: String =
     """SELECT user_id, count(*) AS n_events,
@@ -188,17 +191,18 @@ object StreamingQueries {
 
   /** transformWithState (arbitrary state v2): per-user running max value
     * (per-mille) and count in a ValueState (update mode). */
-  def stream_tws(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val typed = events(s, dir)
-      .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"))
-      .as[(Long, Long)]
-    val updated = typed.groupByKey(_._1)
-      .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Update())
-    runToTable(s, updated.toDF("user_id", "n", "max_mille"), OutputMode.Update(), "stream_tws")
+  def stream_tws(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val typed = events(s2, dir)
+        .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"))
+        .as[(Long, Long)]
+      typed.groupByKey(_._1)
+        .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n", "max_mille")
+    }, OutputMode.Update(), "stream_tws")
       .groupBy(col("user_id"))
       .agg(max(col("n")).as("n_events"), max_by(col("max_mille"), col("n")).as("max_mille"))
-  }
 
   private class RunningMaxProcessor
     extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
@@ -222,7 +226,7 @@ object StreamingQueries {
   /** Streaming global limit (append mode); which rows land is
     * non-deterministic, so this entry is rows-only checked. */
   def stream_limit(s: SparkSession, dir: String): DataFrame =
-    runToTable(s, events(s, dir).limit(100).select(col("event_id")),
+    runToTable(s, s2 => events(s2, dir).limit(100).select(col("event_id")),
       OutputMode.Append(), "stream_limit")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

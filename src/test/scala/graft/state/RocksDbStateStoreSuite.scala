@@ -367,4 +367,113 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       intercept[IllegalStateException] { put(store, "b", 2) }
     } finally provider.close()
   }
+
+  test("latestIterator reads the newest committed version across restarts") {
+    val ckpt = newCheckpointDir()
+    assert(getLatestData(ckpt) === Map.empty) // no state yet
+    val p = newProvider(ckpt)
+    try {
+      (0 until 3).foreach { v =>
+        val s = p.getStore(v, None)
+        put(s, "a", v)
+        put(s, s"k$v", v)
+        s.commit()
+      }
+    } finally p.close()
+    assert(getLatestData(ckpt) === Map("a" -> 2, "k0" -> 0, "k1" -> 1, "k2" -> 2))
+  }
+
+  /** Checkpoint-format v2 (state store checkpoint IDs). */
+  private val v2Mode = storeConf(Map(
+    "spark.sql.streaming.stateStore.checkpointFormatVersion" -> "2"))
+
+  test("checkpoint v2: commit IDs flow through checkpoint info and restart recovery") {
+    assert(v2Mode.enableStateStoreCheckpointIds)
+    val ckpt = newCheckpointDir()
+    val p1 = newProvider(ckpt, conf = v2Mode)
+    val (id1, id2) =
+      try {
+        val s1 = p1.getStore(0, None)
+        put(s1, "a", 1)
+        assert(s1.commit() === 1)
+        val info1 = s1.getStateStoreCheckpointInfo()
+        assert(info1.batchVersion === 1)
+        assert(info1.stateStoreCkptId.isDefined)
+        assert(info1.baseStateStoreCkptId.isEmpty)
+
+        val s2 = p1.getStore(1, info1.stateStoreCkptId)
+        put(s2, "b", 2)
+        assert(s2.commit() === 2)
+        val info2 = s2.getStateStoreCheckpointInfo()
+        assert(info2.stateStoreCkptId.isDefined)
+        assert(info2.baseStateStoreCkptId === info1.stateStoreCkptId)
+        (info1.stateStoreCkptId, info2.stateStoreCkptId)
+      } finally p1.close()
+
+    // durable files are suffixed with the commit ID
+    val partDir = new File(new File(new File(ckpt), "0"), "0")
+    val names = Option(partDir.listFiles()).getOrElse(Array.empty[File]).map(_.getName)
+    assert(names.exists(_ == s"state.snapshot.1_${id1.get}")) // version-1 chain base
+    assert(names.exists(_ == s"state.delta.2_${id2.get}"))
+
+    // executor restart: a fresh provider materializes the exact lineage
+    val p2 = newProvider(ckpt, conf = v2Mode)
+    try {
+      val r = p2.getStore(2, id2)
+      assert(readAll(r) === Map("a" -> 1, "b" -> 2))
+      r.abort()
+    } finally p2.close()
+  }
+
+  test("checkpoint v2: same-version sibling commits stay isolated by ID") {
+    val ckpt = newCheckpointDir()
+    // base: version 0 -> 1
+    val p0 = newProvider(ckpt, conf = v2Mode)
+    val baseId =
+      try {
+        val s = p0.getStore(0, None)
+        put(s, "k", 1)
+        s.commit()
+        s.getStateStoreCheckpointInfo().stateStoreCkptId
+      } finally p0.close()
+
+    // two attempts commit version 2 over the same base (task retry /
+    // speculative execution on different executors)
+    def attempt(value: Int): Option[String] = {
+      val p = newProvider(ckpt, conf = v2Mode)
+      try {
+        val s = p.getStore(1, baseId)
+        put(s, "k", value)
+        s.commit()
+        s.getStateStoreCheckpointInfo().stateStoreCkptId
+      } finally p.close()
+    }
+    val idA = attempt(100)
+    val idB = attempt(200)
+    assert(idA !== idB)
+
+    // each lineage remains readable and carries its own content
+    val pr = newProvider(ckpt, conf = v2Mode)
+    try {
+      val rA = pr.getStore(2, idA)
+      assert(get(rA, "k").contains(100))
+      rA.abort()
+      val rB = pr.getStore(2, idB)
+      assert(get(rB, "k").contains(200))
+      rB.abort()
+    } finally pr.close()
+  }
+
+  test("checkpoint v2: missing lineage fails loudly instead of substituting") {
+    val ckpt = newCheckpointDir()
+    val p = newProvider(ckpt, conf = v2Mode)
+    try {
+      val s = p.getStore(0, None)
+      put(s, "a", 1)
+      s.commit()
+      intercept[IllegalStateException] {
+        p.getStore(1, Some("00000000-0000-0000-0000-000000000000"))
+      }
+    } finally p.close()
+  }
 }

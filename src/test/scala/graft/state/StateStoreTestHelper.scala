@@ -56,14 +56,15 @@ object StateStoreTestHelper {
       kSchema: StructType = keySchema,
       vSchema: StructType = valueSchema,
       useColumnFamilies: Boolean = false,
-      useMultipleValuesPerKey: Boolean = false): RocksDbStateStoreProvider = {
+      useMultipleValuesPerKey: Boolean = false,
+      stateSchemaProvider: Option[StateSchemaProvider] = None): RocksDbStateStoreProvider = {
     val provider = new RocksDbStateStoreProvider()
     provider.init(
       StateStoreId(checkpointDir, opId, partition),
       kSchema, vSchema,
       Option(keySpec).getOrElse(NoPrefixKeyStateEncoderSpec(kSchema)),
       useColumnFamilies, conf, new Configuration(),
-      useMultipleValuesPerKey, None)
+      useMultipleValuesPerKey, stateSchemaProvider)
     provider
   }
 
@@ -75,6 +76,15 @@ object StateStoreTestHelper {
       try readAll(store)
       finally store.abort()
     } finally provider.close()
+  }
+
+  /** Newest committed version's pairs via the provider's `latestIterator`
+    * test hook (reference `getLatestData`, `RocksDbStateStoreHelper.scala`),
+    * read through a brand-new provider. */
+  def getLatestData(checkpointDir: String, conf: StateStoreConf = storeConf()): Map[String, Int] = {
+    val provider = newProvider(checkpointDir, conf)
+    try provider.latestIterator().map(p => keyStr(p.key) -> valueInt(p.value)).toMap
+    finally provider.close()
   }
 
   def readAll(store: ReadStateStore): Map[String, Int] = {

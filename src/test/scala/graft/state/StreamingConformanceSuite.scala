@@ -45,6 +45,50 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.table(name)
   }
 
+  test("checkpoint format v2 (state store checkpoint IDs): run, restart, resume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.checkpointFormatVersion"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      val input = MemoryStream[(String, Int)]
+      val agg = input.toDF().toDF("k", "v")
+        .groupBy($"k").agg(sum($"v").as("total"))
+      val ckptDir = ckpt()
+
+      def start() = agg.writeStream.format("memory").queryName("v2_sink")
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckptDir).start()
+
+      val q1 = start()
+      try {
+        input.addData(("a", 1), ("b", 2))
+        q1.processAllAvailable()
+        input.addData(("a", 3))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      // durable state files must carry the v2 commit-ID suffix
+      val stateDir = new java.io.File(s"$ckptDir/state/0/0")
+      val names = Option(stateDir.listFiles()).getOrElse(Array.empty).map(_.getName)
+      assert(names.exists(n => n.matches("state\\.(snapshot|delta)\\.\\d+_[0-9a-f-]{36}")),
+        s"expected ID-suffixed state files, found: ${names.mkString(",")}")
+
+      // restart from the same checkpoint: lineage resolves, state resumes
+      val q2 = start()
+      try {
+        input.addData(("a", 10), ("c", 5))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val result = spark.table("v2_sink").as[(String, Long)].collect().toSet
+      assert(result === Set(("a", 14L), ("b", 2L), ("c", 5L)))
+    } finally {
+      saved.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
   test("streaming aggregation (update mode, multiple batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
