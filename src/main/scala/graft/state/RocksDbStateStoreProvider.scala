@@ -69,6 +69,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   @volatile private var snapshots: SnapshotManager = _
   @volatile private var tempRoot: File = _
   @volatile private var ckptIdsEnabled: Boolean = false
+  @volatile private var schemaProvider: Option[StateSchemaProvider] = None
 
   /** Local dir holding exactly one committed version, tagged (under
     * checkpoint-format v2) with the unique ID of the commit that produced
@@ -116,6 +117,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     // engine's commit log recorded (never a same-version sibling from a
     // retried or speculative task).
     this.ckptIdsEnabled = storeConfs.enableStateStoreCheckpointIds
+    this.schemaProvider = stateSchemaProvider
     this.conf = RocksDbConf(storeConfs, stateStoreId.checkpointRootLocation)
     this.snapshots = new SnapshotManager(stateStoreId.storeCheckpointLocation, hadoopConf)
     this.tempRoot = java.nio.file.Files.createTempDirectory(
@@ -517,7 +519,14 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         spec: KeyStateEncoderSpec,
         multiValued: Boolean,
         isInternal: Boolean): CfInfo = {
-      val info = CfInfo(name, KeyCodec(spec), new ValueCodec(cfValueSchema.length, multiValued),
+      // Value-schema evolution rides the engine's stateSchemaProvider when
+      // one is handed to init. A provider that does not track this column
+      // family (e.g. engine-internal families) falls back to raw encoding.
+      val evolution = schemaProvider.flatMap { sp =>
+        Try(new ValueSchemaEvolution(sp, name, cfValueSchema)).toOption
+      }
+      val info = CfInfo(name, KeyCodec(spec),
+        new ValueCodec(cfValueSchema.length, multiValued, evolution),
         cfValueSchema.length, multiValued, isInternal,
         persistedCounts.getOrElse(name, 0L))
       cfs.put(name, info)

@@ -1,7 +1,7 @@
 package graft.state
 
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.execution.streaming.state.{KeyStateEncoderSpec, NoPrefixKeyStateEncoderSpec, PrefixKeyScanStateEncoderSpec, RangeKeyScanStateEncoderSpec}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, JoinedRow, Literal, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.execution.streaming.state.{KeyStateEncoderSpec, NoPrefixKeyStateEncoderSpec, PrefixKeyScanStateEncoderSpec, RangeKeyScanStateEncoderSpec, StateSchemaMetadataKey, StateSchemaProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 
@@ -189,25 +189,90 @@ final class RangeScanKeyCodec(keySchema: StructType, orderingOrdinals: Seq[Int])
   }
 }
 
+/** Value-schema evolution per the engine's `stateSchemaProvider` contract:
+  * when a schema provider is present, every stored value row is prefixed
+  * with the 2-byte schema ID it was written under. Rows read back under a
+  * newer schema decode with their original layout and are projected to the
+  * current one — fields added since read as null, type widenings cast — so
+  * a `transformWithState` query can extend its value schema across a
+  * restart and still read pre-evolution state. (The reference predates the
+  * SPI; Spark's built-in provider gets this only with Avro encoding.)
+  */
+final class ValueSchemaEvolution(
+    provider: StateSchemaProvider,
+    cfName: String,
+    currentSchema: StructType) extends Serializable {
+
+  val currentId: Short = provider.getCurrentStateSchemaId(cfName, isKey = false)
+
+  @transient private lazy val cache =
+    scala.collection.mutable.HashMap.empty[Short, (UnsafeProjection, Int)]
+
+  /** Projection from the row layout of `oldId` to the current schema:
+    * shared fields positionally (cast if widened), added tail fields null. */
+  def projectionFor(oldId: Short): (UnsafeProjection, Int) = cache.synchronized {
+    cache.getOrElseUpdate(oldId, {
+      val oldSchema = provider.getSchemaMetadataValue(
+        StateSchemaMetadataKey(cfName, oldId, isKey = false)).sqlSchema
+      val exprs = currentSchema.fields.zipWithIndex.map { case (f, i) =>
+        if (i < oldSchema.length) {
+          val ref = BoundReference(i, oldSchema(i).dataType, nullable = true)
+          if (oldSchema(i).dataType == f.dataType) ref else Cast(ref, f.dataType)
+        } else Literal(null, f.dataType)
+      }
+      (UnsafeProjection.create(exprs), oldSchema.length)
+    })
+  }
+}
+
 /** Value framing. Single-value column families store raw UnsafeRow bytes; a
   * multi-valued family (transformWithState ListState) stores
   * `[4-byte BE len][row bytes]` frames concatenated, appended by `merge`.
+  * With schema evolution active, `row bytes` = `[2-byte BE schemaId][row]`.
   */
-final class ValueCodec(numFields: Int, multiValued: Boolean) extends Serializable {
+final class ValueCodec(
+    numFields: Int,
+    multiValued: Boolean,
+    evolution: Option[ValueSchemaEvolution] = None) extends Serializable {
 
-  def encodeSingle(value: UnsafeRow): Array[Byte] = value.getBytes
+  private def encodeRow(value: UnsafeRow): Array[Byte] = evolution match {
+    case None => value.getBytes
+    case Some(e) =>
+      val v = value.getBytes
+      val out = new Array[Byte](2 + v.length)
+      out(0) = ((e.currentId >>> 8) & 0xff).toByte; out(1) = (e.currentId & 0xff).toByte
+      System.arraycopy(v, 0, out, 2, v.length)
+      out
+  }
+
+  private def decodeRow(bytes: Array[Byte], off: Int, len: Int): UnsafeRow = evolution match {
+    case None =>
+      val row = new UnsafeRow(numFields)
+      row.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + off, len)
+      row
+    case Some(e) =>
+      val id = (((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)).toShort
+      if (id == e.currentId) {
+        val row = new UnsafeRow(numFields)
+        row.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + off + 2, len - 2)
+        row
+      } else {
+        val (proj, oldNumFields) = e.projectionFor(id)
+        val old = new UnsafeRow(oldNumFields)
+        old.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + off + 2, len - 2)
+        proj(old).copy() // projection output buffer is reused; detach
+      }
+  }
+
+  def encodeSingle(value: UnsafeRow): Array[Byte] = encodeRow(value)
 
   def decodeSingle(bytes: Array[Byte]): UnsafeRow =
     if (bytes == null) null
     else if (multiValued) decodeAll(bytes).next()
-    else {
-      val row = new UnsafeRow(numFields)
-      row.pointTo(bytes, bytes.length)
-      row
-    }
+    else decodeRow(bytes, 0, bytes.length)
 
   def encodeFrame(value: UnsafeRow): Array[Byte] = {
-    val vBytes = value.getBytes
+    val vBytes = encodeRow(value)
     val out = new Array[Byte](4 + vBytes.length)
     out(0) = (vBytes.length >>> 24).toByte; out(1) = (vBytes.length >>> 16).toByte
     out(2) = (vBytes.length >>> 8).toByte; out(3) = vBytes.length.toByte

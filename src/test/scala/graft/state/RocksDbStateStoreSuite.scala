@@ -368,6 +368,55 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     } finally provider.close()
   }
 
+  test("stateSchemaProvider: rows written under an old value schema read null-padded") {
+    val ckpt = newCheckpointDir()
+    val schemaV0 = valueSchema // (value: Int)
+    val schemaV1 = StructType(valueSchema.fields :+ StructField("extra", StringType, nullable = true))
+
+    // the engine's schema provider, faked: id 0 = v0, id 1 = v1
+    class FakeSchemaProvider(current: Short) extends StateSchemaProvider {
+      override def getSchemaMetadataValue(key: StateSchemaMetadataKey): StateSchemaMetadataValue =
+        StateSchemaMetadataValue(if (key.schemaId == 0) schemaV0 else schemaV1, null)
+      override def getCurrentStateSchemaId(colFamilyName: String, isKey: Boolean): Short = current
+    }
+
+    // run 1: write under schema id 0
+    val p1 = newProvider(ckpt, vSchema = schemaV0,
+      stateSchemaProvider = Some(new FakeSchemaProvider(0)))
+    try {
+      val s = p1.getStore(0, None)
+      put(s, "a", 1)
+      s.commit()
+    } finally p1.close()
+
+    // restart with the value schema extended by a nullable field (id 1)
+    val p2 = newProvider(ckpt, vSchema = schemaV1,
+      stateSchemaProvider = Some(new FakeSchemaProvider(1)))
+    try {
+      val s = p2.getStore(1, None)
+      val old = s.get(keyRow("a"), StateStore.DEFAULT_COL_FAMILY_NAME)
+      assert(old.getInt(0) === 1)
+      assert(old.isNullAt(1)) // the added field null-pads for pre-evolution rows
+      // new-schema writes coexist with old rows
+      val proj = UnsafeProjection.create(Array[DataType](IntegerType, StringType))
+      s.put(keyRow("b"), proj(InternalRow(2, UTF8String.fromString("x"))).copy(),
+        StateStore.DEFAULT_COL_FAMILY_NAME)
+      s.commit()
+      val b = s.get(keyRow("b"), StateStore.DEFAULT_COL_FAMILY_NAME)
+      assert(b.getInt(0) === 2 && b.getUTF8String(1).toString === "x")
+    } finally p2.close()
+
+    // durable: a third provider still reads both generations correctly
+    val p3 = newProvider(ckpt, vSchema = schemaV1,
+      stateSchemaProvider = Some(new FakeSchemaProvider(1)))
+    try {
+      val s = p3.getStore(2, None)
+      assert(s.get(keyRow("a"), StateStore.DEFAULT_COL_FAMILY_NAME).isNullAt(1))
+      assert(s.get(keyRow("b"), StateStore.DEFAULT_COL_FAMILY_NAME).getUTF8String(1).toString === "x")
+      s.abort()
+    } finally p3.close()
+  }
+
   test("latestIterator reads the newest committed version across restarts") {
     val ckpt = newCheckpointDir()
     assert(getLatestData(ckpt) === Map.empty) // no state yet
