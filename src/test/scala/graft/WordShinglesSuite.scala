@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The compiled [[graft.functions.WordShingles]] kernel must be
+  * value-identical to the SQL pipeline it replaces (`Dedup.shinglesS`),
+  * which the DuckDB oracle still runs — on the fixture corpus and on the
+  * whitespace/short-text edge cases. */
+class WordShinglesSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-word-shingles")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config(Tables.nanosConf._1, Tables.nanosConf._2)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def check(df: org.apache.spark.sql.DataFrame): Unit = {
+    val diff = df
+      .select(
+        functions.WordShingles.of(col("text"), 3).as("fast"),
+        expr(operators.Dedup.shinglesS).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(diff.count() === 0, diff.take(3).mkString("; "))
+  }
+
+  test("matches the SQL pipeline on the fixture corpus") {
+    check(Tables.documents(spark, "/root/testdata/sf0.001"))
+  }
+
+  test("matches the SQL pipeline on whitespace and short-text edges") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "one", "one two", "one two three",
+      "  leading and trailing  ", "tab\tseparated\ttokens here",
+      "newline\nin the middle", "a  b   c d", "x y z w", // NBSP is not \s
+      "repeat repeat repeat repeat repeat"
+    ).toDF("text")
+    check(edges)
+  }
+}

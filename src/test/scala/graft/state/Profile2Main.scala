@@ -1,6 +1,6 @@
 package graft.state
 
-/** Scratch stage-profiling for dedup_minhash_lsh (mirrors Dedup.scala's
+/** Scratch stage-profiling for dedup_ngram_jaccard (mirrors Dedup.scala's
   * current implementation; not a test). */
 object Profile2Main {
   def main(args: Array[String]): Unit = {
@@ -22,46 +22,37 @@ object Profile2Main {
       s"CASE WHEN size($toksS) < 3 THEN array(trim(text)) " +
       s"ELSE array_distinct(transform(sequence(1, size($toksS) - 2), " +
       s"i -> concat_ws(' ', slice($toksS, i, 3)))) END"
-    val rnd = new scala.util.Random(42)
-    val as = Array.fill(32)(rnd.nextInt(1 << 28).toLong * 2 + 1)
-    val bs = Array.fill(32)(rnd.nextInt(1 << 28).toLong)
-    val aArr = as.mkString("array(", "L,", "L)")
-    val bArr = bs.mkString("array(", "L,", "L)")
-    val sig =
-      s"""transform(sequence(0, 31), j ->
-         |  array_min(transform(hs, h ->
-         |    (element_at($aArr, j + 1) * h + element_at($bArr, j + 1)) % 2147483647)))""".stripMargin
-    val bandKeys =
-      s"""transform(sequence(0, 15), b ->
-         |  concat(CAST(element_at(sig, 2*b+1) AS STRING), ',', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin
 
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), expr(shinglesS).as("sh"))
-    val withSig = docs
-      .withColumn("hs", expr(
-        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"))
-      .withColumn("sig", expr(sig))
-      .select(col("doc_id"), col("sig"))
-      .repartition(col("doc_id"))
-    val bands = withSig.select(col("doc_id"), posexplode(expr(bandKeys))).toDF("doc_id", "band", "bkey")
-    time("bands")(bands.write.format("noop").mode("overwrite").save())
+    time("shingles")(docs.write.format("noop").mode("overwrite").save())
 
-    val b2 = bands.toDF("doc_id_b", "band", "bkey")
-    val cand = bands.join(b2, Seq("band", "bkey"))
-      .filter(col("doc_id") < col("doc_id_b"))
-      .select(col("doc_id").as("doc_id_a"), col("doc_id_b")).distinct()
-    time("cand")(cand.write.format("noop").mode("overwrite").save())
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .repartition(col("s"))
+    time("postings")(postings.write.format("noop").mode("overwrite").save())
+    println("postings rows: " + time("postings-count")(postings.count()))
 
-    val shA = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    val j1 = time("join-only")(cand.join(shA, "doc_id_a").join(shB, "doc_id_b"))
-    time("joined-noop")(j1.write.format("noop").mode("overwrite").save())
-    val verified = j1
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("union_size", size(col("sh_a")) + size(col("sh_b")) - col("common"))
-      .filter(col("common") * 10 >= col("union_size") * 6)
-    time("verify")(verified.write.format("noop").mode("overwrite").save())
-    println(verified.queryExecution.executedPlan.toString.take(4000))
+    val keep = postings.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000)
+      .select(col("s"))
+    val capped = postings.join(keep, "s").select(col("doc_id"), col("s"))
+    time("capped")(capped.write.format("noop").mode("overwrite").save())
+
+    val p2 = capped.select(col("doc_id").as("doc_id_b"), col("s"))
+    val common = capped.join(p2,
+        capped("s") === p2("s") && capped("doc_id") < p2("doc_id_b"))
+      .groupBy(capped("doc_id").as("doc_id_a"), p2("doc_id_b"))
+      .agg(count(lit(1)).as("common"))
+    time("pairs")(common.write.format("noop").mode("overwrite").save())
+    println("pair rows: " + time("pairs-count")(common.count()))
+
+    val out = common
+      .join(sizes.toDF("doc_id_a", "na"), "doc_id_a")
+      .join(sizes.toDF("doc_id_b", "nb"), "doc_id_b")
+      .filter(col("common") * 10 >= (col("na") + col("nb") - col("common")) * 6)
+    time("final")(out.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
