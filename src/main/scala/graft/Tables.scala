@@ -38,4 +38,13 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Cached corpus row count (parquet metadata count, one job per path).
+    * LSH bit-sizing reads this instead of re-counting per query — the
+    * fixtures are immutable, and at a partitioned 100 TB table root this is
+    * the difference between one statistics lookup and a fresh listing job
+    * for every operator that needs the cardinality. */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def embeddingsCount(s: SparkSession, dir: String): Long =
+    countCache.getOrElseUpdate(s"$dir/embeddings.parquet", embeddings(s, dir).count())
 }

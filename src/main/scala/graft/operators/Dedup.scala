@@ -338,7 +338,7 @@ object Dedup {
     * 100 TB rationale. */
   def dedup_embedding(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VecDot
-    val nb = Lsh.numBits(Tables.embeddings(s, dir).count())
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir))
     // repartition = plan barrier: bucket/norm are computed once behind one
     // exchange that both join sides reuse
     val e = Tables.embeddings(s, dir)

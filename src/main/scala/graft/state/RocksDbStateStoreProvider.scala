@@ -330,6 +330,12 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   override def supportedCustomMetrics: Seq[StateStoreCustomMetric] =
     RocksDbStateStoreProvider.customMetrics
 
+  /** SQL-UI per-partition metric: the newest uploaded full-snapshot version,
+    * so snapshot-upload lag behind the commit frontier is observable (same
+    * metric the built-in RocksDB provider reports). */
+  override def supportedInstanceMetrics: Seq[StateStoreInstanceMetric] =
+    Seq(StateStoreSnapshotLastUploadInstanceMetric())
+
   override def doMaintenance(): Unit = {
     if (conf.changelogEnabled) lastOpenStore.foreach(_.snapshotIfDue())
     val cutoff = snapshots.cleanup(storeConf.minVersionsToRetain)
@@ -936,7 +942,10 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         MetricMemtableSize -> memtables,
         MetricSstSize -> sstSize,
         MetricChangelogRecords -> changelogWriter.map(_.records).getOrElse(0L))
-      StateStoreMetrics(numKeys, math.max(memtables + sstSize, 1L), custom, Map.empty)
+      val instance: Map[StateStoreInstanceMetric, Long] = Map(
+        StateStoreSnapshotLastUploadInstanceMetric(
+          Some(id.partitionId), id.storeName) -> newestFullSnapshot)
+      StateStoreMetrics(numKeys, math.max(memtables + sstSize, 1L), custom, instance)
     }
 
     override def metrics: StateStoreMetrics = synchronized {
