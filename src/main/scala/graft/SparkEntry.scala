@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
+    operators.Pipeline.queries ++
     streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
     operators.Multimodal.oracles ++
+    operators.Pipeline.oracles ++
     streaming.StreamingQueries.oracles
 }

@@ -42,7 +42,7 @@ object Dedup {
     s"ELSE array_distinct(transform(sequence(1, size($toksS) - 2), " +
     s"i -> concat_ws(' ', slice($toksS, i, 3)))) END"
   /** 60-bit integer hash of a string, identical in Spark and DuckDB. */
-  private def h60S(arg: String, salt: String): String =
+  private[graft] def h60S(arg: String, salt: String): String =
     s"CAST(conv(substring(md5($salt$arg), 1, 15), 16, 10) AS BIGINT)"
 
   // ---------------------------------------------------------------- exact
@@ -109,7 +109,7 @@ object Dedup {
         (col("common") * 1000).divide(col("na") + col("nb") - col("common")).cast("long").as("jaccard_per_mille"))
   }
 
-  private val shinglesD =
+  private[operators] val shinglesD =
     "CASE WHEN len(toks) < 3 THEN [tx] ELSE list_distinct(list_transform(" +
     "range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END"
 

@@ -24,7 +24,7 @@ object TextAnalysis {
   private val tokens: Column = split(trim(col("text")), "\\s+")
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
-  private def sqlStopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[operators] def sqlStopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   def text_stats(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
