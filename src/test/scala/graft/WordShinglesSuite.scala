@@ -34,6 +34,15 @@ class WordShinglesSuite extends AnyFunSuite with BeforeAndAfterAll {
     check(Tables.documents(spark, "/root/testdata/sf0.001"))
   }
 
+  test("matches the SQL pipeline on 500 random whitespace-heavy strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    val alphabet = "ab \t\ncd e  fé " // repeated runs of mixed whitespace + accents
+    val strs = Seq.fill(500)(
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    check(strs.toDF("text"))
+  }
+
   test("matches the SQL pipeline on whitespace and short-text edges") {
     import spark.implicits._
     val edges = Seq(
