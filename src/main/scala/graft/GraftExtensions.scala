@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{VecDot, Winnow, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Session extension registering graft's native Catalyst expressions as SQL
+  * functions, so they are callable from `spark.sql(...)` and SQL-only
+  * clients, not just the Scala Column helpers:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     // or .withExtensions(new graft.GraftExtensions)
+  *     .getOrCreate()
+  *
+  *   SELECT vec_dot(a.embedding, b.embedding)        -- codegen'd dot product
+  *   SELECT word_shingles(text, 3)                   -- distinct word 3-grams
+  *   SELECT winnow_fp(text, 5, 4, 1000003)           -- winnowing fingerprint
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  private def fn(
+      name: String, usage: String)(builder: FunctionBuilder):
+      (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      builder)
+
+  /** The registered function set (shared by tests). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    fn("vec_dot",
+      "vec_dot(a, b) - index-ordered double dot product of two numeric arrays") { args =>
+      arity("vec_dot", args, 2)
+      VecDot(args(0), args(1))
+    },
+    fn("word_shingles",
+      "word_shingles(text, k) - distinct word k-shingles (first-occurrence order)") { args =>
+      arity("word_shingles", args, 2)
+      WordShingles(args(0), intLit(args(1), "word_shingles", "k"))
+    },
+    fn("winnow_fp",
+      "winnow_fp(text, k, w, mod) - winnowing fingerprint (comma-joined window minima)") { args =>
+      arity("winnow_fp", args, 4)
+      Winnow(args(0), intLit(args(1), "winnow_fp", "k"),
+        intLit(args(2), "winnow_fp", "w"), longLit(args(3), "winnow_fp", "mod"))
+    })
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface registered by [[GraftExtensions]]: every native graft
+  * expression callable from plain SQL text on a session built with the
+  * extension (`spark.sql.extensions=graft.GraftExtensions`). */
+class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-extensions")
+    .config("spark.sql.shuffle.partitions", "2")
+    .withExtensions(new GraftExtensions)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("vec_dot from SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+  }
+
+  test("word_shingles from SQL") {
+    val r = spark.sql("SELECT word_shingles('a b c d c d e', 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(r === Seq("a b c", "b c d", "c d c", "d c d", "c d e"))
+  }
+
+  test("winnow_fp from SQL matches the DataFrame helper") {
+    import org.apache.spark.sql.functions._
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val viaSql = spark.sql(s"SELECT winnow_fp('$txt', 5, 4, 1000003) AS fp")
+      .collect().head.getString(0)
+    val viaCol = spark.range(1).select(
+      functions.Winnow.fp(lit(txt), 5, 4, 1000003L).as("fp"))
+      .collect().head.getString(0)
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', 1 + 2)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+}
