@@ -186,6 +186,45 @@ class StateTtlSuite extends AnyFunSuite {
     }
   }
 
+  test("strict deadlines ride checkpoint-v2 lineage across provider restarts") {
+    withFakeClock { clock =>
+      val ckpt = newCheckpointDir()
+      val conf = ttlConf(60, strict = true, extra = Map(
+        "spark.sql.streaming.stateStore.checkpointFormatVersion" -> "2"))
+      val p1 = newProvider(ckpt, conf = conf)
+      val id1 =
+        try {
+          val s = p1.getStore(0, None)
+          put(s, "k1", 1)
+          put(s, "k2", 2)
+          s.commit()
+          s.getStateStoreCheckpointInfo().stateStoreCkptId
+        } finally p1.close()
+
+      // access k1 in a second commit so only its deadline refreshes
+      clock.advanceSecs(40)
+      val p2 = newProvider(ckpt, conf = conf)
+      val id2 =
+        try {
+          val s = p2.getStore(1, id1)
+          assert(get(s, "k1").contains(1)) // access resets k1's deadline
+          s.commit()
+          s.getStateStoreCheckpointInfo().stateStoreCkptId
+        } finally p2.close()
+
+      // 41-80s: k2's original deadline expired, k1's refreshed one has not —
+      // the deadlines must have ridden the v2-ID'd changelog chain
+      clock.advanceSecs(40)
+      val p3 = newProvider(ckpt, conf = conf)
+      try {
+        val s = p3.getStore(2, id2)
+        assert(get(s, "k1").contains(1))
+        assert(get(s, "k2").isEmpty)
+        s.abort()
+      } finally p3.close()
+    }
+  }
+
   test("lazy mode (non-strict) keeps keys visible at least until compaction") {
     withFakeClock { clock =>
       val ckpt = newCheckpointDir()

@@ -89,6 +89,27 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chained stateful operators: dropDuplicates feeding an aggregation") {
+    // two state stores in one query DAG (dedup state + agg state), both on
+    // the graft provider, across multiple micro-batch commits
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val q = input.toDF().toDF("k", "v")
+      .dropDuplicates("k", "v")
+      .groupBy($"k").agg(sum($"v").as("total"))
+      .writeStream.format("memory").queryName("chain_sink")
+      .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("a", 1), ("b", 2)) // duplicate within batch
+      q.processAllAvailable()
+      input.addData(("a", 1), ("a", 3), ("b", 2)) // duplicates across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val result = spark.table("chain_sink").as[(String, Long)].collect().toSet
+    assert(result === Set(("a", 4L), ("b", 2L))) // each distinct (k,v) counted once
+  }
+
   test("streaming aggregation (update mode, multiple batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
