@@ -137,7 +137,11 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
   override def upgradeReadStoreToWriteStore(
       readStore: ReadStateStore, version: Long, uniqueId: Option[String]): StateStore =
     readStore match {
-      case s: RocksDbStateStore if s.version == version => s.upgradeToWriteStore(); s
+      // under v2 the read store must also be of the requested lineage — a
+      // same-version store loaded from a sibling commit must not upgrade
+      case s: RocksDbStateStore if s.version == version &&
+        (!ckptIdsEnabled || uniqueId.isEmpty || s.lineageId == uniqueId) =>
+        s.upgradeToWriteStore(); s
       case other =>
         // release the orphaned read store before replacing it, or its open
         // RocksDB and temp dir would leak until provider close
@@ -439,6 +443,9 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       * durable file name agree before commit starts. */
     private val commitCkptId: Option[String] =
       if (ckptIdsEnabled) Some(java.util.UUID.randomUUID().toString) else None
+
+    /** The lineage this store was loaded from (v2; None under v1). */
+    private[state] def lineageId: Option[String] = loadedCkptId
     private object State extends Enumeration { val Updating, Committed, Aborted, Released = Value }
     @volatile private var state = State.Updating
     @volatile private var dbClosed = false
