@@ -139,13 +139,115 @@ object Multimodal {
       |    ord(substr(text, CAST(i AS INT), 1)))) AS INT) AS max_amplitude
       |FROM documents""".stripMargin
 
+  /** Image modality: synthesize a spec-correct 8-bit BMP per document
+    * (grayscale palette, bottom-up pixel rows, 4-byte row padding — the
+    * layout details real image plumbing has to get right), then parse it
+    * back: magic + size validation, header field extraction, padded
+    * bottom-up row walk for the pixel scan. */
+  def mm_image_meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        val bmp = synthesizeBmp(widthFor(id), textBytes)
+        parseBmp(id, bmp)
+      }
+    }.toDF("doc_id", "width", "height", "n_pixels", "row_stride", "max_pixel")
+  }
+
+  /** Deterministic per-doc image width (16..76 px, step 4). */
+  private def widthFor(docId: Long): Int = (16 + (docId % 16) * 4).toInt
+
+  /** Minimal but spec-correct 8bpp BMP writer: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + 256-entry grayscale palette + bottom-up rows padded
+    * to 4 bytes. Pixels = the text bytes row-major; the tail of the last
+    * row is zero. */
+  private[operators] def synthesizeBmp(width: Int, pixels: Array[Byte]): Array[Byte] = {
+    val height = math.max(1, (pixels.length + width - 1) / width)
+    val stride = ((width + 3) / 4) * 4
+    val dataOffset = 14 + 40 + 256 * 4
+    val fileSize = dataOffset + stride * height
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(dataOffset)
+    out.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(8).putInt(0)        // planes, bpp, BI_RGB
+      .putInt(stride * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var i = 0
+    while (i < 256) { out.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1 }
+    // rows are stored bottom-up: logical row r lands at (height - 1 - r)
+    val rows = new Array[Byte](stride * height)
+    i = 0
+    while (i < pixels.length) {
+      val r = i / width
+      rows((height - 1 - r) * stride + (i % width)) = pixels(i)
+      i += 1
+    }
+    out.put(rows)
+    out.array()
+  }
+
+  /** Real BMP parse: magics, size checks, LE header fields, bottom-up
+    * padded row walk scanning for the peak pixel. */
+  private[operators] def parseBmp(id: Long, bytes: Array[Byte]): (Long, Int, Int, Long, Int, Int) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, s"bad BMP magic in doc $id")
+    val fileSize = buf.getInt
+    require(fileSize == bytes.length, s"BMP size mismatch in doc $id")
+    buf.getShort; buf.getShort
+    val dataOffset = buf.getInt
+    require(buf.getInt == 40, s"unexpected DIB header in doc $id")
+    val width = buf.getInt
+    val height = buf.getInt
+    require(buf.getShort == 1, s"bad plane count in doc $id")
+    val bpp = buf.getShort
+    require(bpp == 8, s"not 8bpp in doc $id")
+    require(buf.getInt == 0, s"compressed BMP in doc $id")
+    val stride = ((width * bpp / 8) + 3) / 4 * 4
+    var maxPixel = 0
+    var r = 0
+    while (r < height) {
+      val rowStart = dataOffset + (height - 1 - r) * stride // bottom-up
+      var c = 0
+      while (c < width) {
+        val u = bytes(rowStart + c) & 0xff
+        if (u > maxPixel) maxPixel = u
+        c += 1
+      }
+      r += 1
+    }
+    (id, width, height, width.toLong * height, stride, maxPixel)
+  }
+
+  // Oracle: every field derived independently from the document columns —
+  // any disagreement in offsets, padding, or the bottom-up row order breaks
+  // the construct -> parse round trip. max over all pixels equals max over
+  // the text bytes because pad pixels are zero and fixture text is ASCII.
+  val mm_image_meta_sql: String =
+    """SELECT doc_id,
+      |  CAST(16 + (doc_id % 16) * 4 AS INT) AS width,
+      |  CAST(greatest(1, (length(text) + (16 + (doc_id % 16) * 4) - 1)
+      |                   // (16 + (doc_id % 16) * 4)) AS INT) AS height,
+      |  CAST((16 + (doc_id % 16) * 4)
+      |       * greatest(1, (length(text) + (16 + (doc_id % 16) * 4) - 1)
+      |                     // (16 + (doc_id % 16) * 4)) AS BIGINT) AS n_pixels,
+      |  CAST((((16 + (doc_id % 16) * 4) + 3) // 4) * 4 AS INT) AS row_stride,
+      |  CAST(list_max(list_transform(range(1, length(text)+1), i ->
+      |    ord(substr(text, CAST(i AS INT), 1)))) AS INT) AS max_pixel
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mm_metadata _,
     "mm_features" -> mm_features _,
+    "mm_image_meta" -> mm_image_meta _,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> mm_metadata_sql,
     "mm_features" -> mm_features_sql,
+    "mm_image_meta" -> mm_image_meta_sql,
   )
 }
