@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container round-trip edges for the multimodal codecs, including the
+  * layouts the fixture-driven gate queries cannot reach (the gate's
+  * deterministic widths are multiples of 4, so stride == width there;
+  * here the padded-row path is driven directly). */
+class MultimodalSuite extends AnyFunSuite {
+
+  test("BMP round trip with row padding (width not a multiple of 4)") {
+    val pixels = Array.tabulate(40)(i => (i + 10).toByte) // 3 rows of 17 + pad
+    val bmp = Multimodal.synthesizeBmp(17, pixels)
+    val (_, w, h, nPix, stride, maxPix) = Multimodal.parseBmp(7L, bmp)
+    assert(w === 17)
+    assert(h === 3) // ceil(40 / 17)
+    assert(nPix === 51L)
+    assert(stride === 20) // 17 rounded up to the next multiple of 4
+    assert(maxPix === 49) // 40 pixels valued 10..49; pad bytes are zero
+  }
+
+  test("BMP round trip with a single partial row") {
+    val bmp = Multimodal.synthesizeBmp(16, Array[Byte](5, 9, 3))
+    val (_, w, h, nPix, stride, maxPix) = Multimodal.parseBmp(1L, bmp)
+    assert(w === 16 && h === 1 && nPix === 16L && stride === 16 && maxPix === 9)
+  }
+
+  test("WAV round trip preserves fmt fields and peak amplitude") {
+    val samples = "abcXYZ".getBytes("US-ASCII")
+    val wav = Multimodal.synthesizeWav(11000, samples)
+    val (_, rate, ch, bits, n, durMs, amp) = Multimodal.parseWav(3L, wav)
+    assert(rate === 11000 && ch === 1 && bits === 8)
+    assert(n === 6L && durMs === 6000L / 11000L && amp === 'c'.toInt)
+  }
+}
