@@ -105,6 +105,25 @@ object StreamingQueries {
     """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sliding event-time windows (2-hour length, 1-hour slide; complete
+    * mode) — every event lands in exactly two windows, which the oracle
+    * reproduces by unnesting both epoch-aligned candidate starts. */
+  def stream_sliding(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      events(s2, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type")).count(),
+      OutputMode.Complete(), "stream_sliding")
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("count").as("n_events"))
+
+  val stream_sliding_sql: String =
+    """SELECT win_start, event_type, count(*) AS n_events
+      |FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL '1 hour',
+      |                     date_trunc('hour', ts)]) AS win_start,
+      |             event_type
+      |      FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Session windows per user with a 2-hour inactivity gap (complete mode;
     * exercises the provider's prefix-scan path). */
   def stream_session(s: SparkSession, dir: String): DataFrame =
@@ -232,6 +251,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_agg" -> (stream_agg(_, _)),
     "stream_window" -> (stream_window(_, _)),
+    "stream_sliding" -> (stream_sliding(_, _)),
     "stream_session" -> (stream_session(_, _)),
     "stream_dedup" -> (stream_dedup(_, _)),
     "stream_join" -> (stream_join(_, _)),
@@ -242,6 +262,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "stream_agg" -> stream_agg_sql,
     "stream_window" -> stream_window_sql,
+    "stream_sliding" -> stream_sliding_sql,
     "stream_session" -> stream_session_sql,
     "stream_dedup" -> stream_dedup_sql,
     "stream_join" -> stream_join_sql,
