@@ -242,6 +242,35 @@ object StreamingQueries {
       |       max(CAST(floor(value * 1000) AS BIGINT)) AS max_mille
       |FROM events GROUP BY 1""".stripMargin
 
+  /** State introspection: run the per-type streaming aggregation to a
+    * checkpoint, then read the final state back with the `statestore` data
+    * source — the gate checks the STATE STORE CONTENTS equal the batch
+    * answer, not just the sink output. */
+  def stream_statestore(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckptDir = Files.createTempDirectory("graft-ckpt-").toString
+    val sink = "stream_statestore_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = events(s2, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the state rows expose the operator's aggregation buffer; the count
+    // buffer field is named after the function, not the output alias
+    s2.read.format("statestore").load(ckptDir)
+      .selectExpr("key.event_type AS event_type", "value.count AS n_events")
+  }
+
+  val stream_statestore_sql: String =
+    "SELECT event_type, count(*) AS n_events FROM events GROUP BY 1"
+
   /** Streaming global limit (append mode); which rows land is
     * non-deterministic, so this entry is rows-only checked. */
   def stream_limit(s: SparkSession, dir: String): DataFrame =
@@ -257,6 +286,7 @@ object StreamingQueries {
     "stream_join" -> (stream_join(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
+    "stream_statestore" -> (stream_statestore(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -267,5 +297,6 @@ object StreamingQueries {
     "stream_dedup" -> stream_dedup_sql,
     "stream_join" -> stream_join_sql,
     "stream_fmgws" -> stream_fmgws_sql,
-    "stream_tws" -> stream_tws_sql)
+    "stream_tws" -> stream_tws_sql,
+    "stream_statestore" -> stream_statestore_sql)
 }
