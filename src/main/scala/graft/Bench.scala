@@ -17,7 +17,17 @@ object Bench {
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Queries run in sorted-name order so per-query numbers are comparable
+    // across rounds (`queries` is a hash Map — iteration order shifts as
+    // entries are added, and whichever query ran first absorbed session
+    // warmup). JIT/codegen/parquet-footer warmup is paid up front by one
+    // discarded representative scan-and-aggregate query.
+    val warm0 = System.nanoTime()
+    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    System.err.println(f"[bench] warmup (discarded): ${(System.nanoTime() - warm0) / 1e9}%.2f s")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -31,7 +41,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

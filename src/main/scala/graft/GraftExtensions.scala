@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{VecDot, Winnow, WordShingles}
+import graft.functions.{MinHashSig, VecDot, Winnow, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -71,5 +71,14 @@ object GraftExtensions {
       arity("winnow_fp", args, 4)
       Winnow(args(0), intLit(args(1), "winnow_fp", "k"),
         intLit(args(2), "winnow_fp", "w"), longLit(args(3), "winnow_fp", "mod"))
+    },
+    fn("minhash_sig",
+      "minhash_sig(shingles, numHashes, seed) - MinHash signature over md5 base hashes " +
+        "with the canonical affine permutation family mod 2^31-1") { args =>
+      arity("minhash_sig", args, 3)
+      val (as, bs) = MinHashSig.coefficients(
+        intLit(args(1), "minhash_sig", "numHashes"),
+        longLit(args(2), "minhash_sig", "seed"))
+      MinHashSig(args(0), as, bs, MinHashSig.Prime)
     })
 }

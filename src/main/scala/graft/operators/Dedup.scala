@@ -143,38 +143,23 @@ object Dedup {
     * sf0.1). Coefficients are fixed literals embedded in both the Spark plan
     * and the DuckDB oracle, so the pipelines stay bit-identical.
     * No 64-bit overflow: a_j * base < 2^57. */
-  private val MinHashP = 2147483647L
-  private val (hashAs, hashBs) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(NumHashes)(rnd.nextInt(1 << 28).toLong * 2 + 1),
-      Array.fill(NumHashes)(rnd.nextInt(1 << 28).toLong))
-  }
+  private val MinHashP = graft.functions.MinHashSig.Prime
+  private val (hashAs, hashBs) = graft.functions.MinHashSig.coefficients(NumHashes, 42)
 
   /** MinHash signatures + banded LSH + exact verification of candidates.
     * Same output contract as dedup_ngram_jaccard; the oracle mirrors the
     * banding, so the gate checks the real LSH pipeline, not just recall. */
   def dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
-    val aArr = hashAs.mkString("array(", "L,", "L)")
-    val bArr = hashBs.mkString("array(", "L,", "L)")
-    // Single-pass signature: one fold over the base-hash array maintaining
-    // all 32 running minima. Written as `aggregate(<input>, ...)` rather
-    // than 32 separate `array_min(transform(...))` passes so the input
-    // array expression appears exactly ONCE: Catalyst's project-collapse
-    // inlines referenced column expressions into lambda bodies, and any
-    // multi-reference formulation re-evaluates the md5 base hashing per
-    // hash function (a measured ~30x blowup at sf0.1).
-    val sig =
-      s"""aggregate(
-         |  transform(sh, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)),
-         |  transform(sequence(1, $NumHashes), j -> CAST($MinHashP AS BIGINT)),
-         |  (acc, h) -> zip_with(acc, sequence(0, ${NumHashes - 1}), (m, j) ->
-         |    least(m, (element_at($aArr, j + 1) * h + element_at($bArr, j + 1)) % $MinHashP)))""".stripMargin
     val bandKeys =
       s"""transform(sequence(0, ${NumBands - 1}), b ->
          |  concat(CAST(element_at(sig, 2*b+1) AS STRING), ',', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin
 
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+    // The signature is a compiled single-pass kernel (one md5 per shingle +
+    // 32 integer permutations maintaining running minima) — the former
+    // interpreted aggregate/zip_with fold paid a lambda closure + array
+    // allocation per shingle per fold step for identical arithmetic.
     // The repartition is a deliberate plan barrier as well as co-location:
     // it materializes (sh, sig) once before the banding generator (whose
     // band-key expression references `sig` 32 times — inlining the
@@ -182,7 +167,8 @@ object Dedup {
     // reuses this single exchange for both sides, and the verification
     // joins read the shingle sets from it pre-partitioned on doc_id.
     val withSig = docs
-      .withColumn("sig", expr(sig))
+      .withColumn("sig",
+        graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
       .repartition(col("doc_id"))
     val bands = withSig
       .select(col("doc_id"), posexplode(expr(bandKeys)))

@@ -43,6 +43,18 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaCol && viaSql.nonEmpty)
   }
 
+  test("minhash_sig from SQL matches the DataFrame helper") {
+    import org.apache.spark.sql.functions._
+    val (as, bs) = functions.MinHashSig.coefficients(32, 42)
+    val diff = spark.sql(
+      "SELECT minhash_sig(word_shingles('a b c d e f g', 3), 32, 42) AS a")
+      .withColumn("b", functions.MinHashSig.of(
+        functions.WordShingles.of(lit("a b c d e f g"), 3),
+        as, bs, functions.MinHashSig.Prime))
+      .filter(not(col("a") <=> col("b")))
+    assert(diff.count() === 0)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b c', 1 + 2)").collect()
