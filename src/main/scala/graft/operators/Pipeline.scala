@@ -32,6 +32,15 @@ object Pipeline {
     * dedup handles the identical-text case separately). */
   private val MinCommonShingles = 3
 
+  /** Max total eval-side text bytes for which the eval posting set is
+    * broadcast. Above it we fall back to a shuffle join: a benchmark set
+    * is normally KBs–MBs, but an operator that OOMs the driver when handed
+    * an oversized "eval set" is a trap at production scale — degrade to a
+    * shuffle instead. ~64 MiB of raw text ≈ a few hundred MB of 12-byte
+    * posting rows after shingling, the conventional broadcast ceiling. */
+  private[operators] val BroadcastMaxEvalBytes = "spark.graft.decontaminate.broadcastMaxEvalBytes"
+  private val DefaultMaxEvalBytes = 64L * 1024 * 1024
+
   def pipe_decontaminate(s: SparkSession, dir: String): DataFrame = {
     val posts = Tables.documents(s, dir)
       .select(col("doc_id"), WordShingles.of(col("text"), 3).as("sh"))
@@ -39,7 +48,13 @@ object Pipeline {
       .select(col("doc_id"), expr(Dedup.h60S("s0", "")).as("s"))
     val evalPosts = posts.filter(col("doc_id") % 20 === 0).toDF("eval_doc_id", "s")
     val trainPosts = posts.filter(col("doc_id") % 20 =!= 0).toDF("train_doc_id", "s")
-    trainPosts.join(broadcast(evalPosts), "s")
+    // Size-gate the broadcast on raw eval text bytes (a narrow two-column
+    // scan, not a shingle job): posting-set size is proportional to it.
+    val maxBytes = s.conf.get(BroadcastMaxEvalBytes, DefaultMaxEvalBytes.toString).toLong
+    val evalBytes = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
+      .agg(coalesce(sum(length(col("text"))), lit(0L))).head.getLong(0)
+    val evalSide = if (evalBytes <= maxBytes) broadcast(evalPosts) else evalPosts
+    trainPosts.join(evalSide, "s")
       .groupBy(col("train_doc_id"), col("eval_doc_id"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= MinCommonShingles)

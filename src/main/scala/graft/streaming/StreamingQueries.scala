@@ -63,18 +63,27 @@ object StreamingQueries {
     */
   private def runToTable(
       s0: SparkSession, build: SparkSession => DataFrame,
-      mode: OutputMode, name: String): DataFrame = {
+      mode: OutputMode, name: String): DataFrame =
+    runStream(s0, build, mode, name)._2
+
+  /** The single harness path (every gate entry goes through here): clone,
+    * configure, run to completion, and also hand back the clone and its
+    * checkpoint dir for entries that read state back after the query. */
+  private def runStream(
+      s0: SparkSession, build: SparkSession => DataFrame,
+      mode: OutputMode, name: String): (SparkSession, DataFrame, String) = {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val ckptDir = Files.createTempDirectory("graft-ckpt-").toString
     val q = build(s).writeStream.format("memory").queryName(sink).outputMode(mode)
-      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    (s, s.table(sink), ckptDir)
   }
 
   /** Streaming aggregation: per-event-type count + decimal sum (complete mode). */
@@ -247,21 +256,10 @@ object StreamingQueries {
     * source — the gate checks the STATE STORE CONTENTS equal the batch
     * answer, not just the sink output. */
   def stream_statestore(s: SparkSession, dir: String): DataFrame = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      classOf[RocksDbStateStoreProvider].getName)
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
-    val ckptDir = Files.createTempDirectory("graft-ckpt-").toString
-    val sink = "stream_statestore_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val q = events(s2, dir).groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val (s2, _, ckptDir) = runStream(s, s2 =>
+      events(s2, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Complete(), "stream_statestore")
     // the state rows expose the operator's aggregation buffer; the count
     // buffer field is named after the function, not the output alias
     s2.read.format("statestore").load(ckptDir)

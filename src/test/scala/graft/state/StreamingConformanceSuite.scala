@@ -407,6 +407,149 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(last("b") === (("b", 9, 2)))
   }
 
+  test("transformWithState processing-time timers fire through the range-scan codec") {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The canonical idle-key-expiry pattern: every input row (re)arms a
+    // short processing-time timer; when it fires, the key's final count is
+    // emitted as a negative sentinel. Timer registration/expiry drives the
+    // provider's range-ordered timer column family (RangeScanKeyCodec)
+    // through the real operator surface.
+    class IdleExpiry extends StatefulProcessor[String, (String, Int), (String, Int)] {
+      @transient private var count: ValueState[Int] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Int]("count", Encoders.scalaInt, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+          timerValues: TimerValues): Iterator[(String, Int)] = {
+        val n = (if (count.exists()) count.get() else 0) + rows.size
+        count.update(n)
+        // re-arm: drop any previously registered timer, schedule a new one
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + 200L)
+        Iterator((key, n))
+      }
+      override def handleExpiredTimer(key: String, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Int)] = {
+        val n = if (count.exists()) count.get() else 0
+        count.clear()
+        Iterator((key, -n)) // negative = emitted by timer expiry
+      }
+    }
+
+    val input = MemoryStream[(String, Int)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new IdleExpiry, TimeMode.ProcessingTime(), OutputMode.Update())
+
+    val q = out.toDF().toDF("k", "n").writeStream.format("memory")
+      .queryName("timer_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("a", 1), ("b", 1))
+      // With TimeMode.ProcessingTime() the engine runs micro-batches
+      // back-to-back (processing time always advances, so the operator
+      // always reports another batch is due) — processAllAvailable never
+      // observes quiescence. Poll the sink with a deadline instead; the
+      // continuous batches fire the expired timers on their own.
+      def sinkRows(): Set[(String, Int)] =
+        spark.table("timer_sink").as[(String, Int)].collect().toSet
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def awaitRows(want: Set[(String, Int)]): Unit = {
+        while (!want.subsetOf(sinkRows()) && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(want.subsetOf(sinkRows()), s"timed out waiting for $want, got ${sinkRows()}")
+      }
+      awaitRows(Set(("a", 2), ("b", 1))) // input-batch emissions
+      awaitRows(Set(("a", -2), ("b", -1))) // timer-expiry emissions
+    } finally q.stop()
+  }
+
+  test("transformWithState MapState: per-key sub-maps across batches, both providers agree") {
+    import org.apache.spark.sql.streaming.{MapState, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Per user, a map sub-keyed by event type; every batch emits the full
+    // map (user, type, count). Drives the provider's prefix-scan column
+    // families: MapState grouping key + user key share a composite row key.
+    class PerTypeCounts extends StatefulProcessor[String, (String, String), (String, String, Int)] {
+      @transient private var counts: MapState[String, Int] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        counts = getHandle.getMapState[String, Int](
+          "counts", Encoders.STRING, Encoders.scalaInt, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, String)],
+          timerValues: TimerValues): Iterator[(String, String, Int)] = {
+        rows.foreach { r =>
+          val t = r._2
+          val cur = if (counts.containsKey(t)) counts.getValue(t) else 0
+          counts.updateValue(t, cur + 1)
+        }
+        counts.iterator().map { kv => (key, kv._1, kv._2) }
+      }
+    }
+
+    def runWith(providerClass: String, sinkName: String): Set[(String, String, Int)] = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", providerClass)
+      val input = MemoryStream[(String, String)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new PerTypeCounts, TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().toDF("u", "t", "n").writeStream.format("memory")
+        .queryName(sinkName).outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt()).start()
+      try {
+        input.addData(("u1", "click"), ("u1", "view"), ("u2", "click"))
+        q.processAllAvailable()
+        input.addData(("u1", "click"), ("u2", "buy"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sinkName).as[(String, String, Int)].collect().toSet
+    }
+
+    val ours = runWith(classOf[RocksDbStateStoreProvider].getName, "map_ours")
+    val theirs = runWith(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "map_theirs")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    assert(ours === theirs)
+    // final counts present: u1 {click:2, view:1}, u2 {click:1, buy:1}
+    assert(Set(("u1", "click", 2), ("u1", "view", 1), ("u2", "click", 1), ("u2", "buy", 1))
+      .subsetOf(ours))
+  }
+
+  test("state-metadata data source describes a graft checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val agg = input.toDF().toDF("k", "v").groupBy($"k").agg(sum($"v").as("total"))
+    val checkpoint = ckpt()
+
+    val q = agg.writeStream.format("memory").queryName("meta_sink")
+      .outputMode(OutputMode.Complete()).option("checkpointLocation", checkpoint).start()
+    try {
+      input.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      input.addData(("a", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val meta = spark.read.format("state-metadata").load(checkpoint)
+    val row = meta.selectExpr("operatorId", "operatorName", "stateStoreName",
+      "numPartitions", "minBatchId", "maxBatchId").collect()
+    assert(row.length === 1, s"expected one operator row, got ${row.mkString(";")}")
+    val r = row.head
+    assert(r.getLong(0) === 0L)
+    assert(r.getString(1) === "stateStoreSave")
+    assert(r.getString(2) === "default")
+    assert(r.getInt(3) === 4) // session shuffle partitions
+    assert(r.getLong(4) === 0L && r.getLong(5) === 1L) // two committed batches
+  }
+
   test("state introspection: statestore data source reads our provider's state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
