@@ -13,7 +13,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.execution.streaming.state._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import org.rocksdb._
 
 /** A RocksDB-backed [[StateStoreProvider]] for Spark Structured Streaming —
@@ -487,6 +487,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     }
 
     private val cfs = mutable.HashMap.empty[String, CfInfo]
+    private val cfKeySchemaJson = mutable.HashMap.empty[String, String]
 
     /** numKeys per column family, persisted in an internal CF so counts ride
       * both full snapshots and changelog deltas. */
@@ -495,21 +496,25 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         opened.db.createColumnFamilyWithTtl(
           new ColumnFamilyDescriptor(MetaCf.getBytes("UTF-8"), cfOptions()), 0))
 
-    private val persistedCounts: Map[String, Long] = {
-      if (!opened.handles.contains(MetaCf)) Map.empty
-      else {
-        val it = opened.db.newIterator(opened.handles(MetaCf))
-        try {
-          it.seekToFirst()
-          val b = Map.newBuilder[String, Long]
-          while (it.isValid) {
-            b += new String(it.key(), "UTF-8") -> beLong(it.value())
-            it.next()
-          }
-          b.result()
-        } finally it.close()
-      }
+    /** Per-CF numKeys plus the key schema each CF was written under, both
+      * persisted in the meta CF (schemas under a `ks:` key prefix). */
+    private val persistedCounts = Map.newBuilder[String, Long]
+    private val persistedKeySchemas = mutable.HashMap.empty[String, String]
+    if (opened.handles.contains(MetaCf)) {
+      val it = opened.db.newIterator(opened.handles(MetaCf))
+      try {
+        it.seekToFirst()
+        while (it.isValid) {
+          val k = new String(it.key(), "UTF-8")
+          if (k.startsWith(KeySchemaMetaPrefix))
+            persistedKeySchemas += k.stripPrefix(KeySchemaMetaPrefix) ->
+              new String(it.value(), "UTF-8")
+          else persistedCounts += k -> beLong(it.value())
+          it.next()
+        }
+      } finally it.close()
     }
+    private val persistedCountsMap: Map[String, Long] = persistedCounts.result()
     registerCf(DefaultCf, keySchema, valueSchema, keyEncoderSpec, useMultipleValuesPerKey, isInternal = false)
 
     private def ttlMs: Long = conf.ttlSecs.toLong * 1000L
@@ -538,12 +543,36 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       val evolution = schemaProvider.flatMap { sp =>
         Try(new ValueSchemaEvolution(sp, name, cfValueSchema)).toOption
       }
+      // Key-schema evolution is unsupported (matching Spark's built-in
+      // providers): a restart with a changed key layout would otherwise
+      // decode mismatched bytes into garbage rows. Reject it with the
+      // engine's typed error. Field renames and nullability flips don't
+      // change the UnsafeRow layout and are allowed.
+      persistedKeySchemas.get(name).foreach { storedJson =>
+        val stored = DataType.fromJson(storedJson).asInstanceOf[StructType]
+        if (!sameKeyLayout(stored, cfKeySchema))
+          throw StateStoreErrors.stateStoreKeySchemaNotCompatible(
+            storedJson, cfKeySchema.json)
+      }
+      cfKeySchemaJson.put(name, cfKeySchema.json)
       val info = CfInfo(name, KeyCodec(spec),
         new ValueCodec(cfValueSchema.length, multiValued, evolution),
         cfValueSchema.length, multiValued, isInternal,
-        persistedCounts.getOrElse(name, 0L))
+        persistedCountsMap.getOrElse(name, 0L))
       cfs.put(name, info)
       info
+    }
+
+    /** Structural equality of key layouts: field names and nullability are
+      * ignored (neither affects UnsafeRow encoding); types must match. */
+    private def sameKeyLayout(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length &&
+          x.fields.zip(y.fields).forall { case (f, g) => sameKeyLayout(f.dataType, g.dataType) }
+      case (x: ArrayType, y: ArrayType) => sameKeyLayout(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameKeyLayout(x.keyType, y.keyType) && sameKeyLayout(x.valueType, y.valueType)
+      case _ => a == b
     }
 
     override def createColFamilyIfAbsent(
@@ -580,6 +609,10 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
         // forget the persisted count, or a re-created CF of the same name
         // would resurrect it as a phantom numKeys base
         db.delete(metaHandle, name.getBytes("UTF-8"))
+        // likewise the key schema: a re-created CF may legitimately differ
+        db.delete(metaHandle, (KeySchemaMetaPrefix + name).getBytes("UTF-8"))
+        persistedKeySchemas.remove(name)
+        cfKeySchemaJson.remove(name)
       }
       existed
     }
@@ -832,6 +865,16 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
           val v = beLong(i.numKeys)
           db.put(metaHandle, k, v)
           recordPut(MetaCf, k, v)
+          // persist each CF's key schema once (write-once: a later change
+          // is rejected at registerCf, so an existing entry never differs)
+          if (!persistedKeySchemas.contains(i.name)) {
+            cfKeySchemaJson.get(i.name).foreach { json =>
+              val sk = (KeySchemaMetaPrefix + i.name).getBytes("UTF-8")
+              val sv = json.getBytes("UTF-8")
+              db.put(metaHandle, sk, sv)
+              recordPut(MetaCf, sk, sv)
+            }
+          }
         }
         val flushOptions = new FlushOptions().setWaitForFlush(true)
         try db.flush(flushOptions, opened.handles.values.toSeq.asJava)
@@ -979,6 +1022,10 @@ object RocksDbStateStoreProvider {
   private[state] val InternalCfPrefix = "$graft."
   /** Internal CF holding per-CF numKeys (key = cf name, value = 8B BE). */
   private[state] val MetaCf: String = InternalCfPrefix + "meta"
+
+  /** Meta-CF key prefix under which each column family's key schema JSON is
+    * persisted (`ks:<cfName>` → schema), for the restart compatibility check. */
+  private[state] val KeySchemaMetaPrefix: String = "ks:"
 
   /** Injectable wall clock so TTL tests are deterministic (the reference used
     * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`). */

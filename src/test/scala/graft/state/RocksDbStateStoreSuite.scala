@@ -580,4 +580,44 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       }
     } finally p.close()
   }
+
+  test("a changed key schema across restart is rejected with a typed error") {
+    val ckpt = newCheckpointDir()
+    val p1 = newProvider(ckpt)
+    try {
+      val s = p1.getStore(0, None)
+      put(s, "a", 1)
+      s.commit()
+    } finally p1.close()
+
+    // restart with an extra key column: layout change → typed rejection,
+    // not a garbage decode
+    val widened = StructType(Seq(
+      StructField("key", StringType, nullable = true),
+      StructField("extra", LongType, nullable = true)))
+    val p2 = newProvider(ckpt, kSchema = widened,
+      keySpec = NoPrefixKeyStateEncoderSpec(widened))
+    try {
+      intercept[StateStoreKeySchemaNotCompatible] { p2.getStore(1, None) }
+    } finally p2.close()
+
+    // restart with a same-type change: type change → typed rejection
+    val retyped = StructType(Seq(StructField("key", LongType, nullable = true)))
+    val p3 = newProvider(ckpt, kSchema = retyped,
+      keySpec = NoPrefixKeyStateEncoderSpec(retyped))
+    try {
+      intercept[StateStoreKeySchemaNotCompatible] { p3.getStore(1, None) }
+    } finally p3.close()
+
+    // a field rename / nullability flip does not change the UnsafeRow
+    // layout and must still load
+    val renamed = StructType(Seq(StructField("k2", StringType, nullable = false)))
+    val p4 = newProvider(ckpt, kSchema = renamed,
+      keySpec = NoPrefixKeyStateEncoderSpec(renamed))
+    try {
+      val s = p4.getStore(1, None)
+      assert(get(s, "a").contains(1))
+      s.abort()
+    } finally p4.close()
+  }
 }
