@@ -3,7 +3,11 @@ package graft.operators
 import graft.Tables
 import graft.functions.WordShingles
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Literal}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** End-to-end training-data pipeline steps, composed from the primitive
   * operators — the two jobs every pre-training corpus build runs after the
@@ -107,11 +111,126 @@ object Pipeline {
        |JOIN reps ON d.doc_id = reps.doc_id
        |WHERE cls.quality_class = 'ok'""".stripMargin
 
+  /** Bloom-prefilter decontamination: the constant-size alternative to
+    * [[pipe_decontaminate]]'s broadcast. The eval set's distinct shingle
+    * hashes are folded into ONE Bloom sketch (bits fixed up front — size is
+    * independent of eval-set cardinality, unlike a broadcast hash set);
+    * train postings are screened map-side by `might_contain`, so only
+    * probable hits reach the shuffle join; the exact join then removes the
+    * Bloom's false positives, making the result exact — which is why a plain
+    * SQL join is a valid oracle for an operator whose physical plan is
+    * approximate-prefilter + verify. */
+  private val BloomItems = 1000000L
+  private val BloomBits = 8L * 1024 * 1024
+
+  def pipe_bloom_screen(s: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(s, dir)
+      .select(col("doc_id"), WordShingles.of(col("text"), 3).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), expr(Dedup.h60S("s0", "")).as("s"))
+    val evalHashes = posts.filter(col("doc_id") % 20 === 0).select(col("s")).distinct()
+    // one row, KB–MB of sketch: the only driver-side materialization, same
+    // cost class as planning a broadcast (BloomFilterAggregate is not
+    // SQL-registered in a user session, so it is built as an expression)
+    val bloomAgg = new aggregate.BloomFilterAggregate(
+      ColumnBridge.expression(col("s")),
+      Literal(BloomItems), Literal(BloomBits)).toAggregateExpression()
+    val bloom = evalHashes
+      .agg(ColumnBridge.column(bloomAgg).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val train = posts.filter(col("doc_id") % 20 =!= 0)
+      .toDF("train_doc_id", "s")
+      .filter(ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloom, BinaryType), ColumnBridge.expression(col("s")))))
+    train.join(evalHashes, "s")
+      .groupBy(col("train_doc_id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+  }
+
+  val pipe_bloom_screen_sql: String =
+    s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT doc_id, ${Dedup.shinglesD} AS sh FROM tok),
+       |post AS (SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s
+       |         FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh)),
+       |ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 20 = 0),
+       |tr AS (SELECT doc_id AS train_doc_id, s FROM post WHERE doc_id % 20 <> 0)
+       |SELECT train_doc_id, count(DISTINCT s) AS n_hits
+       |FROM tr JOIN ev USING (s)
+       |GROUP BY 1""".stripMargin
+
+  /** Sequence packing: assign documents to fixed token-budget context
+    * windows ("concatenate then chop" pretraining packing) — each doc's bin
+    * is the window its first token lands in, under deterministic doc_id
+    * order within its source shard. One ordered window per source shard:
+    * the sort is per-shard (parallel across sources), never global; at
+    * production scale shards are sized so one shard's metadata fits an
+    * executor, exactly how packing jobs shard in practice. */
+  private val PackBudget = 1024L
+
+  def pipe_pack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("cum_before") / PackBudget).cast("long").as("bin_id"))
+  }
+
+  val pipe_pack_sql: String =
+    s"""SELECT doc_id, source,
+       |  CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS bin_id
+       |FROM (SELECT doc_id, source,
+       |        len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+       |      FROM documents)""".stripMargin
+
+  /** Stratified sampling with a deterministic hash threshold: per-language
+    * keep-rates (down-weight the dominant language), decided per row by the
+    * doc_id's md5 bucket — reproducible across engines and runs, no RNG
+    * state, embarrassingly parallel (pure map, no shuffle at any scale). */
+  private val SampleRates: Seq[(String, Long)] = // per-mille keep rates
+    Seq("en" -> 250L, "de" -> 700L, "es" -> 700L, "fr" -> 700L, "zh" -> 700L)
+  private val DefaultRate = 1000L
+
+  def pipe_sample_stratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") // uniform in [0, 2^32)
+    val rate = SampleRates.foldRight(lit(DefaultRate)) { case ((l, r), other) =>
+      when(col("lang") === l, lit(r)).otherwise(other)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") * 1000L < col("rate") * 4294967296L)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val pipe_sample_stratified_sql: String = {
+    val rateCase = SampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    s"""SELECT doc_id, lang, source
+       |FROM (SELECT doc_id, lang, source,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket,
+       |        $rateCase AS rate
+       |      FROM documents)
+       |WHERE bucket * 1000 < rate * 4294967296""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_decontaminate" -> (pipe_decontaminate(_, _)),
+    "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
+    "pipe_pack" -> (pipe_pack(_, _)),
+    "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
     "pipe_decontaminate" -> pipe_decontaminate_sql,
+    "pipe_bloom_screen" -> pipe_bloom_screen_sql,
+    "pipe_pack" -> pipe_pack_sql,
+    "pipe_sample_stratified" -> pipe_sample_stratified_sql,
     "pipe_corpus" -> pipe_corpus_sql)
 }

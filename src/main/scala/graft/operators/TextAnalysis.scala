@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens of the trimmed text (shared by all queries). */
-  private val tokens: Column = split(trim(col("text")), "\\s+")
+  private[operators] val tokens: Column = split(trim(col("text")), "\\s+")
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
   private[operators] def sqlStopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -207,7 +207,45 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INT) AS n_punct
       |FROM documents""".stripMargin
 
+  /** Repetition profile: duplicate-token and dominant-token ratios — the
+    * boilerplate/spam signals (a doc whose top token is 30% of its text is
+    * a menu, a log, or SEO spam). Token frequencies come from an
+    * explode + two-level hash aggregation: the (doc_id, tok) partial agg
+    * combines map-side, so the shuffle carries at most one row per distinct
+    * token per doc per input split — not the raw token stream — and scales
+    * like the other narrow maps at 100 TB. */
+  def text_repetition(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    freq.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_uniq"),
+        max(col("c")).as("top_hits"))
+      .select(
+        col("doc_id"),
+        col("n_tok").cast("int").as("n_tokens"),
+        col("n_uniq").cast("int").as("n_distinct_tokens"),
+        col("top_hits").cast("int").as("top_token_hits"),
+        ((col("n_tok") - col("n_uniq")) * 1000 / col("n_tok")).cast("long").as("dup_per_mille"),
+        (col("top_hits") * 1000 / col("n_tok")).cast("long").as("top_token_per_mille"))
+  }
+
+  val text_repetition_sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |freq AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS INT) AS n_tokens,
+      |  CAST(count(*) AS INT) AS n_distinct_tokens,
+      |  CAST(max(c) AS INT) AS top_token_hits,
+      |  CAST(((sum(c) - count(*)) * 1000) // sum(c) AS BIGINT) AS dup_per_mille,
+      |  CAST((max(c) * 1000) // sum(c) AS BIGINT) AS top_token_per_mille
+      |FROM freq GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> text_repetition _,
     "text_stats" -> text_stats _,
     "text_quality" -> text_quality _,
     "text_langid" -> text_langid _,
@@ -217,6 +255,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> text_repetition_sql,
     "text_stats" -> text_stats_sql,
     "text_quality" -> text_quality_sql,
     "text_langid" -> text_langid_sql,

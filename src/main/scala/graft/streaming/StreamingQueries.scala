@@ -6,7 +6,7 @@ import graft.Tables
 import graft.state.RocksDbStateStoreProvider
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Stateful streaming operators as driver-gated queries (SURVEY §2C).
   *
@@ -251,6 +251,45 @@ object StreamingQueries {
       |       max(CAST(floor(value * 1000) AS BIGINT)) AS max_mille
       |FROM events GROUP BY 1""".stripMargin
 
+  /** transformWithState with MapState: per-user sub-map keyed by event type
+    * (count per type), exercising the provider's prefix-scan column
+    * families through the real operator (update mode; counts grow
+    * monotonically, so `max` recovers the final value per (user, type)). */
+  def stream_tws_map(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val typed = events(s2, dir)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      typed.groupByKey(_._1)
+        .transformWithState(new PerTypeCountProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n")
+    }, OutputMode.Update(), "stream_tws_map")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n_events"))
+
+  private class PerTypeCountProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val t = r._2
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => (user, t, counts.getValue(t))).toVector.iterator
+    }
+  }
+
+  val stream_tws_map_sql: String =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** State introspection: run the per-type streaming aggregation to a
     * checkpoint, then read the final state back with the `statestore` data
     * source — the gate checks the STATE STORE CONTENTS equal the batch
@@ -284,6 +323,7 @@ object StreamingQueries {
     "stream_join" -> (stream_join(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
+    "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
@@ -296,5 +336,6 @@ object StreamingQueries {
     "stream_join" -> stream_join_sql,
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
+    "stream_tws_map" -> stream_tws_map_sql,
     "stream_statestore" -> stream_statestore_sql)
 }
