@@ -350,8 +350,35 @@ object Relational {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  /** Analytic window functions per customer: order sequence number, previous
+    * order's price, running spend. Money rides DECIMAL(18,2) through the
+    * window (exact, order-independent addition) and is cast to DOUBLE only
+    * in the final projection, per the gate's money rule. One shuffle on
+    * o_custkey; per-partition sort only — no global sort. */
+  def q15_window_funcs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("int").as("seq"),
+        lag(col("p"), 1).over(w).cast("double").as("prev_price"),
+        sum(col("p")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("cum_spend"))
+  }
+
+  val q15_sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(row_number() OVER win AS INT) AS seq,
+      |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER win AS DOUBLE) AS prev_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+      |FROM orders
+      |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_window_funcs" -> q15_window_funcs _,
     "q1_pricing_summary" -> q1_pricing_summary _,
     "q2_order_priority" -> q2_order_priority _,
     "q3_topk_revenue" -> q3_topk_revenue _,
@@ -370,6 +397,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_window_funcs" -> q15_sql,
     "q1_pricing_summary" -> q1_sql,
     "q2_order_priority" -> q2_sql,
     "q3_topk_revenue" -> q3_sql,

@@ -179,15 +179,58 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  /** Radius (range) similarity self-join: every pair of corpus vectors with
+    * cosine above the threshold, blocked by the shared LSH bucketing —
+    * candidates are pairs filing in the SAME bucket (no probe expansion:
+    * a self-join explodes both sides, so the probe factor would multiply the
+    * whole corpus), verified by exact cosine. The oracle mirrors the
+    * blocking, so the gate checks the declared bucketed semantics exactly.
+    *
+    * Scale shape: a single shuffle of the corpus on bucket id, then
+    * within-bucket pairing — work is Σ bucket² with bucket ≈ 64 held by the
+    * adaptive bit count, i.e. linear in N with a constant pair factor, the
+    * standard LSH near-dup-join layout. No broadcast, no global sort. */
+  private val RangeTauPm = 300L // cosine threshold, per-mille (fixture cosines top out ~0.51)
+
+  def sim_range(s: SparkSession, dir: String): DataFrame = {
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), Lsh.bucketCol(nb, col("embedding")).as("blk"),
+        norm2C.as("n2"))
+    val a = e.select(col("blk"), col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("n2").as("qn2"))
+    e.join(a, Seq("blk"))
+      .filter(col("qid") < col("vec_id"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .filter(col("cos") * 1000 >= RangeTauPm)
+      .select(col("qid").as("id_a"), col("vec_id").as("id_b"),
+        floor(col("cos") * 1000).cast("long").as("cos_per_mille"))
+  }
+
+  val sim_range_sql: String =
+    s"""WITH ${Lsh.paramsDuck},
+      |e AS (SELECT vec_id, embedding,
+      |    ${Lsh.bucketDuck} AS blk,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings, params),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      |      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(b.n2 * a.n2) AS cos
+      |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_per_mille
+      |FROM p WHERE cos * 1000 >= $RangeTauPm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
+    "sim_range" -> sim_range _,
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
+    "sim_range" -> sim_range_sql,
   )
 }

@@ -244,7 +244,44 @@ object TextAnalysis {
       |  CAST((max(c) * 1000) // sum(c) AS BIGINT) AS top_token_per_mille
       |FROM freq GROUP BY 1""".stripMargin
 
+  /** PII scrubbing: regex redaction of emails and phone numbers. The fixture
+    * corpus is a synthetic word list with no digits, so deterministic PII is
+    * injected first (derived from doc_id — same construction in the oracle),
+    * then redacted; the gate compares the md5 of the scrubbed text, so a
+    * missed or over-eager redaction anywhere in the document fails the
+    * hash. Pure map, codegen'd regexes, no shuffle at any scale. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def text_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(trim(col("text")),
+      lit(" reach user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(regexp_replace(injected, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(injected, lit(EmailRe)).as("n_emails"),
+        regexp_count(injected, lit(PhoneRe)).as("n_phones"),
+        md5(scrubbed).as("fp_scrubbed"))
+  }
+
+  val text_pii_scrub_sql: String =
+    """WITH inj AS (SELECT doc_id,
+      |    trim(text) || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+      |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS fp_scrubbed
+      |FROM inj""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> text_pii_scrub _,
     "text_repetition" -> text_repetition _,
     "text_stats" -> text_stats _,
     "text_quality" -> text_quality _,
@@ -255,6 +292,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> text_pii_scrub_sql,
     "text_repetition" -> text_repetition_sql,
     "text_stats" -> text_stats_sql,
     "text_quality" -> text_quality_sql,
