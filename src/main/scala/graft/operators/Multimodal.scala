@@ -239,15 +239,127 @@ object Multimodal {
       |    ord(substr(text, CAST(i AS INT), 1)))) AS INT) AS max_pixel
       |FROM documents""".stripMargin
 
+  /** Video modality: synthesize a spec-correct YUV4MPEG2 (Y4M) stream per
+    * document — textual stream header (`YUV4MPEG2 W8 H4 F25:1 Ip A1:1
+    * Cmono`), `FRAME` markers, raw mono luma planes = the text bytes chunked
+    * into 8x4 frames — then parse it back (header tokenization, frame walk)
+    * sampling every [[FrameStride]]-th frame, the standard frame-sampling
+    * step of a video-training pipeline. The parser accepts any
+    * spec-conforming mono Y4M; the oracle recomputes frame counts and the
+    * sampled-frame luma peak independently from the text column. */
+  private val VidW = 8
+  private val VidH = 4
+  private val FrameStride = 5 // sample frames 0, 5, 10, ...
+  private val FrameBytes = VidW * VidH
+
+  def mm_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        val y4m = synthesizeY4m(textBytes)
+        parseY4mSampling(id, y4m)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "n_sampled",
+      "duration_ms", "max_luma_sampled")
+  }
+
+  /** Minimal but spec-correct Y4M writer: mono 8x4 @ 25fps, luma = the text
+    * bytes row-major, last frame zero-padded. */
+  private[operators] def synthesizeY4m(luma: Array[Byte]): Array[Byte] = {
+    val nFrames = math.max(1, (luma.length + FrameBytes - 1) / FrameBytes)
+    val header = s"YUV4MPEG2 W$VidW H$VidH F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (frameMark.length + FrameBytes))
+    out.put(header)
+    var f = 0
+    while (f < nFrames) {
+      out.put(frameMark)
+      val start = f * FrameBytes
+      var i = 0
+      while (i < FrameBytes) {
+        out.put(if (start + i < luma.length) luma(start + i) else 0.toByte)
+        i += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** Real Y4M parse with frame sampling: tokenize the stream header (W/H/F
+    * parameters, mono color space required), walk FRAME sections, and scan
+    * only every [[FrameStride]]-th frame for the luma peak — the skipped
+    * frames are never decoded, which is the point of sampling. */
+  private[operators] def parseY4mSampling(id: Long, bytes: Array[Byte]): (Long, Int, Int, Long, Long, Long, Int) = {
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (bytes(pos) != '\n'.toByte) pos += 1
+      pos += 1
+      new String(bytes, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = readLine()
+    require(header.startsWith("YUV4MPEG2 "), s"bad Y4M magic in doc $id")
+    var w = 0; var h = 0; var fpsNum = 0; var fpsDen = 1
+    header.drop("YUV4MPEG2 ".length).split(' ').foreach { tok =>
+      tok.head match {
+        case 'W' => w = tok.tail.toInt
+        case 'H' => h = tok.tail.toInt
+        case 'F' =>
+          val Array(n, d) = tok.tail.split(':'); fpsNum = n.toInt; fpsDen = d.toInt
+        case 'C' => require(tok == "Cmono", s"not mono in doc $id")
+        case _ => () // Ip, A1:1, X-extensions: irrelevant to sampling
+      }
+    }
+    val frameSize = w * h
+    var nFrames = 0L; var nSampled = 0L; var maxLuma = 0
+    while (pos < bytes.length) {
+      val mark = readLine()
+      require(mark == "FRAME" || mark.startsWith("FRAME "), s"bad frame marker in doc $id")
+      if (nFrames % FrameStride == 0) {
+        nSampled += 1
+        var i = 0
+        while (i < frameSize) {
+          val u = bytes(pos + i) & 0xff
+          if (u > maxLuma) maxLuma = u
+          i += 1
+        }
+      }
+      pos += frameSize
+      nFrames += 1
+    }
+    val durationMs = nFrames * 1000L * fpsDen / fpsNum
+    (id, w, h, nFrames, nSampled, durationMs, maxLuma)
+  }
+
+  // Oracle: frame geometry and the sampled-frame luma peak derived from the
+  // text column alone — frame f covers text bytes [f*32, f*32+32) and only
+  // frames with f % 5 = 0 contribute to the max (pad bytes are zero).
+  val mm_frame_sample_sql: String =
+    s"""SELECT doc_id,
+       |  $VidW AS width, $VidH AS height,
+       |  CAST(greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes) AS BIGINT) AS n_frames,
+       |  CAST((greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes) + ${FrameStride - 1}) // $FrameStride AS BIGINT) AS n_sampled,
+       |  CAST(greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes) * 40 AS BIGINT) AS duration_ms,
+       |  CAST(list_max(list_transform(range(1, length(text)+1), i ->
+       |    CASE WHEN (((i-1) // $FrameBytes) % $FrameStride) = 0
+       |         THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)) AS INT) AS max_luma_sampled
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mm_metadata _,
     "mm_features" -> mm_features _,
     "mm_image_meta" -> mm_image_meta _,
+    "mm_frame_sample" -> mm_frame_sample _,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> mm_metadata_sql,
     "mm_features" -> mm_features_sql,
     "mm_image_meta" -> mm_image_meta_sql,
+    "mm_frame_sample" -> mm_frame_sample_sql,
   )
 }

@@ -376,9 +376,30 @@ object Relational {
       |FROM orders
       |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Exact median (interpolated percentile) of per-line quantity by return
+    * flag. Median is the one interpolation point where IEEE arithmetic is
+    * engine-independent for integer-valued inputs: frac is exactly 0 or 0.5
+    * and x + (y-x)*0.5 is exact, so `percentile` here is hash-comparable —
+    * higher quantiles interpolate with inexact fractions and would diverge
+    * in the last bit between engines. */
+  def q16_median(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q16_sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_window_funcs" -> q15_window_funcs _,
+    "q16_median" -> q16_median _,
     "q1_pricing_summary" -> q1_pricing_summary _,
     "q2_order_priority" -> q2_order_priority _,
     "q3_topk_revenue" -> q3_topk_revenue _,
@@ -398,6 +419,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q15_window_funcs" -> q15_sql,
+    "q16_median" -> q16_sql,
     "q1_pricing_summary" -> q1_sql,
     "q2_order_priority" -> q2_sql,
     "q3_topk_revenue" -> q3_sql,

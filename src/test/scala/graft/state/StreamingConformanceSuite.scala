@@ -467,6 +467,63 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers fire as the watermark advances") {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Session-gap pattern on event time: every row re-arms a timer at
+    // max-event-time + gap; the timer fires only once the WATERMARK passes
+    // it (not wall clock), emitting the key's count as a negative sentinel.
+    class SessionGap extends StatefulProcessor[String, (String, java.sql.Timestamp), (String, Int)] {
+      @transient private var count: ValueState[Int] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Int]("count", Encoders.scalaInt, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, java.sql.Timestamp)],
+          timerValues: TimerValues): Iterator[(String, Int)] = {
+        var maxTs = 0L
+        var n = if (count.exists()) count.get() else 0
+        rows.foreach { r => n += 1; maxTs = math.max(maxTs, r._2.getTime) }
+        count.update(n)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(maxTs + 500L)
+        Iterator((key, n))
+      }
+      override def handleExpiredTimer(key: String, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Int)] = {
+        val n = if (count.exists()) count.get() else 0
+        count.clear()
+        Iterator((key, -n))
+      }
+    }
+
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val out = input.toDS().toDF("k", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionGap, TimeMode.EventTime(), OutputMode.Update())
+
+    val q = out.toDF("k", "n").writeStream.format("memory")
+      .queryName("et_timer_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      input.addData(("a", ts(1000)), ("a", ts(1100)), ("b", ts(1000)))
+      q.processAllAvailable()
+      // two more batches: the first advances the watermark past the timers,
+      // the second processes under the advanced watermark and fires them
+      input.addData(("c", ts(100000)))
+      q.processAllAvailable()
+      input.addData(("c", ts(200000)))
+      q.processAllAvailable()
+      val rows = spark.table("et_timer_sink").as[(String, Int)].collect().toSet
+      assert(Set(("a", 2), ("b", 1)).subsetOf(rows), s"input emissions missing: $rows")
+      assert(Set(("a", -2), ("b", -1)).subsetOf(rows), s"timer emissions missing: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState MapState: per-key sub-maps across batches, both providers agree") {
     import org.apache.spark.sql.streaming.{MapState, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     import org.apache.spark.sql.Encoders
