@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
     operators.Pipeline.queries ++
+    sources.SourceFormats.queries ++
     streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
     operators.Similarity.oracles ++
     operators.Multimodal.oracles ++
     operators.Pipeline.oracles ++
+    sources.SourceFormats.oracles ++
     streaming.StreamingQueries.oracles
 }

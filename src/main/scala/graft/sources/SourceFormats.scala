@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage: the same documents slice is round-tripped
+  * through the CSV and JSON sources (write with Spark's sinks, read back
+  * with explicit schemas) and aggregated per language from each copy. The
+  * oracle computes the identical aggregates from the parquet original, so
+  * a row dropped, duplicated, or corrupted by quoting/escaping in either
+  * format fails the gate — `min/max(md5(text))` pins the full text content,
+  * not just row counts.
+  *
+  * Scale: format staging is a one-off per fixture dir (like the streaming
+  * staging); the aggregation itself is a pair of narrow scans + one small
+  * hash aggregate each, joined on the 5-row lang dimension.
+  */
+object SourceFormats {
+
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def stage(s: SparkSession, dir: String): (String, String) =
+    staged.getOrElseUpdate(dir, {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val csvDir = Files.createTempDirectory("graft-src-csv-").toString
+      val jsonDir = Files.createTempDirectory("graft-src-json-").toString
+      base.write.mode("overwrite").option("header", "true").csv(csvDir)
+      base.write.mode("overwrite").json(jsonDir)
+      (csvDir, jsonDir)
+    })
+
+  def src_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (csvDir, jsonDir) = stage(s, dir)
+    val schema = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")).schema
+    def profile(df: DataFrame, tag: String): DataFrame = df.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as(s"n_$tag"),
+        sum(length(col("text"))).as(s"chars_$tag"),
+        min(md5(col("text"))).as(s"min_fp_$tag"),
+        max(md5(col("text"))).as(s"max_fp_$tag"))
+    val csv = profile(s.read.option("header", "true").schema(schema).csv(csvDir), "csv")
+    val json = profile(s.read.schema(schema).json(jsonDir), "json")
+    csv.join(json, "lang")
+  }
+
+  val src_roundtrip_sql: String =
+    """SELECT lang,
+      |  count(*) AS n_csv, sum(length(text)) AS chars_csv,
+      |  min(md5(text)) AS min_fp_csv, max(md5(text)) AS max_fp_csv,
+      |  count(*) AS n_json, sum(length(text)) AS chars_json,
+      |  min(md5(text)) AS min_fp_json, max(md5(text)) AS max_fp_json
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_roundtrip" -> src_roundtrip _)
+
+  val oracles: Map[String, String] = Map(
+    "src_roundtrip" -> src_roundtrip_sql)
+}
