@@ -396,10 +396,38 @@ object Relational {
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Correlated scalar subquery (TPC-H q17 pattern): revenue from lineitems
+    * whose quantity is under 20% of their part's average. Written as SQL
+    * with the genuine correlated subquery so Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery → aggregate + join) is what executes —
+    * the oracle states the same correlation and DuckDB decorrelates it its
+    * own way; matching results check the rewrite, not just the arithmetic.
+    * Runs on a session clone so the temp view never leaks into the caller's
+    * catalog. Averages of integer-valued quantities are exact in IEEE
+    * doubles, so the correlated threshold is engine-independent. */
+  def q17_small_quantity_revenue(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem_q17")
+    s2.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+        |FROM lineitem_q17 l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem_q17 l2
+        |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  val q17_sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+      |FROM lineitem l
+      |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_window_funcs" -> q15_window_funcs _,
     "q16_median" -> q16_median _,
+    "q17_small_quantity_revenue" -> q17_small_quantity_revenue _,
     "q1_pricing_summary" -> q1_pricing_summary _,
     "q2_order_priority" -> q2_order_priority _,
     "q3_topk_revenue" -> q3_topk_revenue _,
@@ -420,6 +448,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q15_window_funcs" -> q15_sql,
     "q16_median" -> q16_sql,
+    "q17_small_quantity_revenue" -> q17_sql,
     "q1_pricing_summary" -> q1_sql,
     "q2_order_priority" -> q2_sql,
     "q3_topk_revenue" -> q3_sql,

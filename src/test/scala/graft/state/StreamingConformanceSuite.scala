@@ -467,6 +467,57 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState TTLConfig expires ValueState between batches") {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Engine-level state TTL (per-value deadlines in internal TTL column
+    // families, distinct from the provider's own TTL machinery): a counter
+    // with a 300 ms TTL must read as absent once its deadline passes, so a
+    // key seen again later restarts from 1 instead of continuing.
+    class TtlCount extends StatefulProcessor[String, (String, Int), (String, Int)] {
+      @transient private var count: ValueState[Int] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Int]("count", Encoders.scalaInt,
+          TTLConfig(java.time.Duration.ofMillis(300)))
+      override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+          timerValues: TimerValues): Iterator[(String, Int)] = {
+        val n = (if (count.exists()) count.get() else 0) + rows.size
+        count.update(n)
+        Iterator((key, n))
+      }
+    }
+
+    val input = MemoryStream[(String, Int)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TtlCount, TimeMode.ProcessingTime(), OutputMode.Update())
+
+    val q = out.toDF("k", "n").writeStream.format("memory")
+      .queryName("ttl_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      // ProcessingTime mode runs micro-batches continuously — poll the sink
+      // with a deadline instead of processAllAvailable (see the timer test)
+      def rows(): Seq[(String, Int)] =
+        spark.table("ttl_sink").as[(String, Int)].collect().toSeq
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def awaitRow(want: (String, Int)): Unit = {
+        while (!rows().contains(want) && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(rows().contains(want), s"timed out waiting for $want, got ${rows()}")
+      }
+      input.addData(("a", 1), ("a", 1))
+      awaitRow(("a", 2))
+      Thread.sleep(600) // let the 300 ms TTL lapse (engine keeps batching)
+      input.addData(("a", 1))
+      awaitRow(("a", 1)) // fresh counter: the expired value read as absent
+      assert(!rows().contains(("a", 3)), s"TTL'd state leaked into ${rows()}")
+    } finally q.stop()
+  }
+
   test("transformWithState event-time timers fire as the watermark advances") {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
