@@ -169,6 +169,22 @@ object StreamingQueries {
   val stream_dedup_sql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Two chained stateful operators in ONE query — dedup feeding a
+    * complete-mode aggregation — so a single checkpoint carries state for
+    * two operator IDs (dedup keys under operator 0, aggregation buffers
+    * under operator 1), each with its own per-partition store instances of
+    * this provider. Equivalent to COUNT(DISTINCT user) per type in batch. */
+  def stream_dedup_agg(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      events(s2, dir).select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users")),
+      OutputMode.Complete(), "stream_dedup_agg")
+
+  val stream_dedup_agg_sql: String =
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+
   /** Stream-stream inner join: purchases within 1 hour after a click by the
     * same user (append mode, no watermark so no state eviction). */
   def stream_join(s: SparkSession, dir: String): DataFrame =
@@ -320,6 +336,7 @@ object StreamingQueries {
     "stream_sliding" -> (stream_sliding(_, _)),
     "stream_session" -> (stream_session(_, _)),
     "stream_dedup" -> (stream_dedup(_, _)),
+    "stream_dedup_agg" -> (stream_dedup_agg(_, _)),
     "stream_join" -> (stream_join(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
@@ -333,6 +350,7 @@ object StreamingQueries {
     "stream_sliding" -> stream_sliding_sql,
     "stream_session" -> stream_session_sql,
     "stream_dedup" -> stream_dedup_sql,
+    "stream_dedup_agg" -> stream_dedup_agg_sql,
     "stream_join" -> stream_join_sql,
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
