@@ -221,39 +221,64 @@ object Dedup {
     * pair generation (keep the rep, drop the rest).
     *
     * Distributed min-label propagation to convergence: per round, each node
-    * takes the minimum label among itself and its neighbors. Rounds are a
-    * driver-side CONTROL loop (iteration count only — labels never leave the
-    * cluster); lineage is truncated per round with localCheckpoint, the
-    * standard Pregel-style pattern. Converges in graph-diameter rounds —
-    * near-dup clusters are shallow (diameter O(1)); the cap is a safety
-    * bound. The oracle computes true components with a recursive CTE, so the
-    * gate fails if propagation stopped early. */
+    * takes the minimum label among itself and its neighbors, then follows
+    * that label's own label (pointer jump). Rounds are a driver-side CONTROL
+    * loop (iteration count only — labels never leave the cluster); lineage
+    * is truncated per round with localCheckpoint, the standard Pregel-style
+    * pattern, and the convergence count rides the same job as an `observe`
+    * metric — one Spark job per round. Pointer jumping converges in
+    * O(log diameter) rounds; the cap is a safety bound. The oracle computes
+    * true components with a recursive CTE, so the gate fails if propagation
+    * stopped early. */
   def dedup_clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedup_ngram_jaccard(s, dir).select(col("doc_id_a"), col("doc_id_b"))
     val edges = pairs
       .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
       .toDF("src", "dst")
       .localCheckpoint(true) // pair generation runs once, not once per round
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("comp"))
+    // Only nodes incident to an edge can ever change label: iterate over the
+    // near-dup node set (|pairs|-scale), not the whole corpus — at 100 TB the
+    // iterated frontier is the duplicate graph, a tiny fraction of N, and the
+    // untouched documents are appended as singleton clusters at the end.
+    val nodes = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
+    val t0 = System.nanoTime()
     while (changed > 0 && rounds < 20) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"), col("comp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("comp2") =!= col("comp")).count()
-      labels = updated.select(col("doc_id"), col("comp2").as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp1"))
+      // pointer jump: follow comp1's own label, collapsing label chains so
+      // path-shaped components converge in O(log d) rounds, not O(d)
+      val jump = labels.select(col("doc_id").as("jid"), col("comp").as("jcomp"))
+      val next = stepped
+        .join(jump, stepped("comp1") === jump("jid"), "left")
+        .select(col("doc_id"), col("comp"),
+          least(col("comp1"), coalesce(col("jcomp"), col("comp1"))).as("comp2"))
+        // convergence count rides the SAME job as the materialization
+        // (observe -> accumulator), so each round is exactly one Spark job
+        .observe(s"conv$rounds",
+          sum(when(col("comp2") =!= col("comp"), 1L).otherwise(0L)).as("n_changed"))
+        .select(col("doc_id"), col("comp2").as("comp"))
+      labels = next.localCheckpoint(true)
+      changed = next.queryExecution.observedMetrics.get(s"conv$rounds")
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).getOrElse(0L)
       rounds += 1
+      System.err.println(f"[dedup_clusters] round $rounds: changed=$changed, " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "comp")
+    val clustered = labels.join(sizes, "comp")
       .select(col("doc_id"), col("comp").as("cluster_rep"), col("cluster_size"))
+    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"), lit(1L).as("cluster_size"))
+    clustered.unionByName(singletons)
   }
 
   val dedup_clusters_sql: String =

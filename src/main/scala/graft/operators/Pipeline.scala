@@ -52,12 +52,20 @@ object Pipeline {
       .select(col("doc_id"), expr(Dedup.h60S("s0", "")).as("s"))
     val evalPosts = posts.filter(col("doc_id") % 20 === 0).toDF("eval_doc_id", "s")
     val trainPosts = posts.filter(col("doc_id") % 20 =!= 0).toDF("train_doc_id", "s")
-    // Size-gate the broadcast on raw eval text bytes (a narrow two-column
-    // scan, not a shingle job): posting-set size is proportional to it.
+    // Size-gate the broadcast from parquet FILE METADATA, not a data scan:
+    // the eval slice is 1/20 of `documents` by doc_id, and raw text expands
+    // at most ~4x over the compressed parquet bytes, so file-size/20*4
+    // upper-bounds the eval text bytes from a driver-side listing the read
+    // path has already done. (Previously this gate ran a full text-column
+    // aggregate — a second pass over a 100 TB column before the real job.)
     val maxBytes = s.conf.get(BroadcastMaxEvalBytes, DefaultMaxEvalBytes.toString).toLong
-    val evalBytes = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
-      .agg(coalesce(sum(length(col("text"))), lit(0L))).head.getLong(0)
-    val evalSide = if (evalBytes <= maxBytes) broadcast(evalPosts) else evalPosts
+    val hconf = s.sparkContext.hadoopConfiguration
+    val tableBytes = Tables.documents(s, dir).inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val evalBytesEst = tableBytes * 4 / 20
+    val evalSide = if (evalBytesEst <= maxBytes) broadcast(evalPosts) else evalPosts
     trainPosts.join(evalSide, "s")
       .groupBy(col("train_doc_id"), col("eval_doc_id"))
       .agg(count(lit(1)).as("n_common"))
@@ -161,28 +169,31 @@ object Pipeline {
   /** Sequence packing: assign documents to fixed token-budget context
     * windows ("concatenate then chop" pretraining packing) — each doc's bin
     * is the window its first token lands in, under deterministic doc_id
-    * order within its source shard. One ordered window per source shard:
-    * the sort is per-shard (parallel across sources), never global; at
-    * production scale shards are sized so one shard's metadata fits an
-    * executor, exactly how packing jobs shard in practice. */
+    * order within its (source, shard). The shard is a fixed doc_id-range
+    * bucket, so no single task ever sorts a whole source: a TB-scale source
+    * splits into bounded shards that pack in parallel, and packing restarts
+    * at shard boundaries (bin ids are local to the shard) — exactly how
+    * production packing jobs bound per-worker state. */
   private val PackBudget = 1024L
+  private val PackShardSpan = 128L // doc_ids per shard bucket
 
   def pipe_pack(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id DIV $PackShardSpan"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("shard"),
         col("n_tokens").cast("int").as("n_tokens"),
         (col("cum_before") / PackBudget).cast("long").as("bin_id"))
   }
 
   val pipe_pack_sql: String =
-    s"""SELECT doc_id, source,
+    s"""SELECT doc_id, source, doc_id // $PackShardSpan AS shard,
        |  CAST(n_tokens AS INT) AS n_tokens,
-       |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source, doc_id // $PackShardSpan ORDER BY doc_id
        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS bin_id
        |FROM (SELECT doc_id, source,
        |        len(string_split_regex(trim(text), '\\s+')) AS n_tokens

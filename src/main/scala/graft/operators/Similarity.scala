@@ -104,7 +104,18 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
-  private val NumCells = 16 // coarse-quantizer size K (≈ sqrt(N) in production)
+  /** Coarse-quantizer size K ≈ √N (clamped), so cells hold ~√N vectors at
+    * any corpus size — at 10^9 vectors, K = 4096 cells of ~250k rather than
+    * a fixed literal leaving N/16 per cell. Both engines derive K from the
+    * corpus count with the same integer floor(sqrt) formula. */
+  private val MinCells = 4
+  private val MaxCells = 4096
+  private[operators] def numCells(n: Long): Int = {
+    val r = math.sqrt(n.toDouble).toLong // floor, exact for perfect squares
+    math.max(MinCells.toLong, math.min(MaxCells.toLong, r)).toInt
+  }
+  private val cellsDuck: String =
+    s"ncells AS (SELECT GREATEST($MinCells, LEAST($MaxCells, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings)"
   private val NumProbes = 4 // cells probed per query
 
   /** IVF top-3: the corpus is assigned to its max-cosine centroid cell (the
@@ -120,9 +131,10 @@ object Similarity {
     * Ties break on lowest cid via the (cscore, -cid) ordering struct,
     * matching the oracle's `ORDER BY cscore DESC, cid ASC`. */
   def sim_topk_ivf(s: SparkSession, dir: String): DataFrame = {
+    val k = numCells(Tables.embeddingsCount(s, dir))
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
-    val cent = e.filter(col("vec_id") < NumCells)
+    val cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("qe"), col("n2").as("cn2"))
 
     // score of a vector against every centroid; cosine ties break on cid
@@ -157,10 +169,11 @@ object Similarity {
   }
 
   val sim_topk_ivf_sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding,
+    s"""WITH $cellsDuck,
+      |e AS (SELECT vec_id, embedding,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
       |  FROM embeddings),
-      |cent AS (SELECT vec_id cid, embedding ce, n2 cn2 FROM e WHERE vec_id < $NumCells),
+      |cent AS (SELECT vec_id cid, embedding ce, n2 cn2 FROM e, ncells WHERE vec_id < k),
       |scored AS (SELECT e.vec_id, e.embedding, e.n2, cent.cid,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_sum(list_transform(range(1, len(ce)+1), i ->

@@ -49,9 +49,9 @@ object SourceFormats {
 
   val src_roundtrip_sql: String =
     """SELECT lang,
-      |  count(*) AS n_csv, sum(length(text)) AS chars_csv,
+      |  count(*) AS n_csv, CAST(sum(length(text)) AS BIGINT) AS chars_csv,
       |  min(md5(text)) AS min_fp_csv, max(md5(text)) AS max_fp_csv,
-      |  count(*) AS n_json, sum(length(text)) AS chars_json,
+      |  count(*) AS n_json, CAST(sum(length(text)) AS BIGINT) AS chars_json,
       |  min(md5(text)) AS min_fp_json, max(md5(text)) AS max_fp_json
       |FROM documents GROUP BY 1""".stripMargin
 

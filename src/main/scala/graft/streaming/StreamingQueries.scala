@@ -47,6 +47,37 @@ object StreamingQueries {
     s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
+  /** Time-ordered staging for the watermark entry: the fixture is split
+    * into [[Chunks]] ts-range chunks WRITTEN SEQUENTIALLY (one file per
+    * chunk, strictly increasing mtime), because FileStreamSource consumes
+    * files in modification-time order — a parallel range-partitioned write
+    * lands part files in arbitrary task-finish order and the watermark
+    * would race ahead and drop whole chunks. Ordered arrival means the
+    * watermark never drops an event (every event is >= the previous chunk's
+    * max - delay), which is what makes the append-mode emission set exactly
+    * "windows closed under the final watermark" — a set a batch oracle can
+    * compute. Chunk boundaries are approximate quantiles; only the ORDER
+    * matters to the semantics, not the split points. */
+  private val stagedOrderedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsOrdered(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+    val tmp = stagedOrderedDirs.getOrElseUpdate(dir, {
+      val t = Files.createTempDirectory("graft-stream-ord-").toString
+      val b = base.withColumn("tsl", col("ts").cast("long"))
+      val qs = b.stat.approxQuantile("tsl",
+        (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.01).map(_.toLong)
+      val bounds = (Long.MinValue +: qs :+ Long.MaxValue).toSeq
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        b.filter(col("tsl") > lo && col("tsl") <= hi).drop("tsl")
+          .coalesce(1).write.mode("append").parquet(t)
+        Thread.sleep(10) // distinct mtimes => deterministic arrival order
+      }
+      t
+    })
+    s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
   /** Run to a memory sink under our provider; returns the sink table.
     *
     * Per-query engine settings live on a *cloned* session (`newSession()`:
@@ -306,6 +337,29 @@ object StreamingQueries {
     """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Watermarked APPEND-mode tumbling-window count — the production
+    * streaming shape: the 1-hour watermark closes windows as micro-batches
+    * advance, closed windows are emitted exactly once and their state is
+    * EVICTED from the store (the path none of the complete/update entries
+    * exercise). Over the in-order staged stream the emitted set is exactly
+    * the windows whose end <= final watermark (max ts - 1 hour), which the
+    * oracle computes from the same table. */
+  def stream_watermark(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      eventsOrdered(s2, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Append(), "stream_watermark")
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
+  val stream_watermark_sql: String =
+    """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING win_start + INTERVAL '1 hour' <=
+      |       (SELECT max(ts) - INTERVAL '1 hour' FROM events)""".stripMargin
+
   /** State introspection: run the per-type streaming aggregation to a
     * checkpoint, then read the final state back with the `statestore` data
     * source — the gate checks the STATE STORE CONTENTS equal the batch
@@ -342,6 +396,7 @@ object StreamingQueries {
     "stream_tws" -> (stream_tws(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
+    "stream_watermark" -> (stream_watermark(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -355,5 +410,6 @@ object StreamingQueries {
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
     "stream_tws_map" -> stream_tws_map_sql,
-    "stream_statestore" -> stream_statestore_sql)
+    "stream_statestore" -> stream_statestore_sql,
+    "stream_watermark" -> stream_watermark_sql)
 }

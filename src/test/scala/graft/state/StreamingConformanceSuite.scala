@@ -742,4 +742,115 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ours === theirs)
     assert(ours === Set(("a", 3L), ("b", 1L), ("c", 1L)))
   }
+
+  test("mapGroupsWithState (non-flat) accumulates across batches") {
+    // the non-flat variant the reference README positions its TTL against
+    // (/root/reference/README.md:36): one output row per group per batch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Int, (String, Int)](GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          val total = state.getOption.getOrElse(0) + rows.map(_._2).sum
+          state.update(total)
+          (key, total)
+      }
+    val q = counted.toDF().toDF("k", "total").writeStream.format("memory")
+      .queryName("mgws_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("b", 5))
+      q.processAllAvailable()
+      input.addData(("a", 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("mgws_sink").as[(String, Int)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+    assert(last === Map("a" -> 7, "b" -> 5))
+  }
+
+  test("flatMapGroupsWithState event-time timeout evicts idle groups as the watermark advances") {
+    // GroupStateTimeout-driven eviction — the engine-native mechanism the
+    // reference README contrasts with its wall-clock TTL
+    // (/root/reference/README.md:47); event-time timeouts are deterministic
+    // because the watermark, not a clock, drives them
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+    val flat = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "0 seconds")
+      .as[(Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Int, (String, Int, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(Timestamp, String)], state: GroupState[Int]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0)
+            state.remove()
+            Iterator((key, n, true)) // eviction emission, state gone
+          } else {
+            val batch = rows.toSeq
+            val n = state.getOption.getOrElse(0) + batch.size
+            state.update(n)
+            state.setTimeoutTimestamp(batch.map(_._1.getTime).max + 5000L)
+            Iterator((key, n, false))
+          }
+      }
+    val q = flat.toDF().toDF("k", "n", "timed_out").writeStream.format("memory")
+      .queryName("fmgws_et_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "b")); q.processAllAvailable()
+      input.addData((ts(10), "b")); q.processAllAvailable() // wm -> 2s, timeouts a@6 b@15 pending
+      input.addData((ts(20), "c")); q.processAllAvailable() // wm -> 10s: "a" (6s) fires
+      input.addData((ts(30), "c")); q.processAllAvailable() // wm -> 20s: "b" (15s) fires
+    } finally q.stop()
+    val rows = spark.table("fmgws_et_sink").as[(String, Int, Boolean)].collect()
+    val evicted = rows.filter(_._3).map(r => (r._1, r._2)).toSet
+    assert(evicted === Set(("a", 1), ("b", 2)),
+      s"expected a and b evicted by the watermark, got ${rows.mkString(",")}")
+    // c never timed out (watermark never passed its deadline)
+    assert(!rows.exists(r => r._1 == "c" && r._3))
+  }
+
+  test("flatMapGroupsWithState processing-time timeout evicts idle groups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val flat = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, Int, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0)
+            state.remove()
+            Iterator((key, n, true))
+          } else {
+            val n = state.getOption.getOrElse(0) + rows.size
+            state.update(n)
+            state.setTimeoutDuration("500 milliseconds")
+            Iterator((key, n, false))
+          }
+      }
+    val q = flat.toDF().toDF("k", "n", "timed_out").writeStream.format("memory")
+      .queryName("fmgws_pt_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    // ProcessingTimeTimeout keeps the engine scheduling batches on its own
+    // (every wall-clock advance can fire a deadline), so processAllAvailable
+    // never latches "no new data" — poll the sink for the eviction instead.
+    def evictions(): Array[(String, Int)] =
+      spark.table("fmgws_pt_sink").as[(String, Int, Boolean)].collect()
+        .filter(_._3).map(r => (r._1, r._2))
+    try {
+      input.addData(("a", 1), ("a", 2))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (evictions().isEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    assert(evictions().toSet === Set(("a", 2)),
+      "expected 'a' evicted by processing-time timeout after its 500ms deadline")
+  }
 }
