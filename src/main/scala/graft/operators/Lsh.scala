@@ -21,6 +21,11 @@ object Lsh {
   import graft.functions.VecDot
 
   val Dim = 64
+  /** Bucket-count ceiling: 2^MaxBits buckets. With TargetBucket=64 the
+    * adaptive bit count saturates at ~6.7e7 vectors; past that, buckets
+    * regrow linearly in N (work per bucket-join grows with them). For 10^8+
+    * corpora raise MaxBits — the only cost is the weights table
+    * (MaxBits x Dim ints) and one more sign test per extra bit. */
   val MaxBits = 20
   val TargetBucket = 64
 
