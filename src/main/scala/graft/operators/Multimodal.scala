@@ -349,11 +349,89 @@ object Multimodal {
        |         THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)) AS INT) AS max_luma_sampled
        |FROM documents""".stripMargin
 
+  /** Image perceptual fingerprint: a difference hash (dHash family) over
+    * each synthesized BMP's per-row luma profile — bit r is set when row r's
+    * luma sum exceeds row r+1's (rows in logical top-down order, walked
+    * through the bottom-up padded layout), capped at 60 bits — plus a
+    * 16-bit band prefix for bucketed near-dup joins, mirroring
+    * [[Dedup.dedup_simhash]]'s banding. Integer-only (sums compared
+    * directly, same row width), so the oracle reproduces the exact hash
+    * from the text column. Scale: pure map over the binary column, no
+    * shuffle; the downstream band join is the same bounded-bucket shape as
+    * the text-side fingerprint joins. */
+  def mm_phash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        val bmp = synthesizeBmp(widthFor(id), textBytes)
+        parseBmpPhash(id, bmp)
+      }
+    }.toDF("doc_id", "width", "height", "phash", "band16")
+  }
+
+  /** Parse the BMP (magic, LE header, bottom-up padded rows) and fold the
+    * logical-order row-sum profile into the difference hash. */
+  private[operators] def parseBmpPhash(id: Long, bytes: Array[Byte]): (Long, Int, Int, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, s"bad BMP magic in doc $id")
+    require(buf.getInt == bytes.length, s"BMP size mismatch in doc $id")
+    buf.getShort; buf.getShort
+    val dataOffset = buf.getInt
+    require(buf.getInt == 40, s"unexpected DIB header in doc $id")
+    val width = buf.getInt
+    val height = buf.getInt
+    buf.getShort // planes
+    val bpp = buf.getShort
+    require(bpp == 8, s"not 8bpp in doc $id")
+    val stride = ((width * bpp / 8) + 3) / 4 * 4
+    def rowSum(r: Int): Long = {
+      val rowStart = dataOffset + (height - 1 - r) * stride // bottom-up
+      var c = 0; var sum = 0L
+      while (c < width) { sum += bytes(rowStart + c) & 0xff; c += 1 }
+      sum
+    }
+    var phash = 0L
+    val top = math.min(height - 1, 60)
+    var r = 0
+    while (r < top) {
+      if (rowSum(r) > rowSum(r + 1)) phash |= 1L << r
+      r += 1
+    }
+    (id, width, height, phash, phash >>> 44)
+  }
+
+  // Oracle: row r of the image covers text bytes [r*w, r*w + w) (pads are
+  // zero), so the per-row sums — and therefore every hash bit — are
+  // recomputable from the text column with integer arithmetic alone.
+  val mm_phash_sql: String =
+    """WITH g AS (SELECT doc_id, text, length(text) AS len,
+      |        CAST(16 + (doc_id % 16) * 4 AS BIGINT) AS w,
+      |        greatest(1, (length(text) + (16 + (doc_id % 16) * 4) - 1)
+      |                    // (16 + (doc_id % 16) * 4)) AS h
+      |      FROM documents),
+      |p AS (SELECT doc_id, w, h,
+      |   CAST(COALESCE(list_sum(list_transform(range(0, least(h - 1, 60)), r ->
+      |     CASE WHEN
+      |       COALESCE(list_sum(list_transform(range(r*w + 1, r*w + w + 1), i ->
+      |         CASE WHEN i <= len THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)), 0)
+      |       >
+      |       COALESCE(list_sum(list_transform(range((r+1)*w + 1, (r+1)*w + w + 1), i ->
+      |         CASE WHEN i <= len THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)), 0)
+      |     THEN (CAST(1 AS BIGINT) << CAST(r AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS phash
+      | FROM g)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       phash, phash >> 44 AS band16
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mm_metadata _,
     "mm_features" -> mm_features _,
     "mm_image_meta" -> mm_image_meta _,
     "mm_frame_sample" -> mm_frame_sample _,
+    "mm_phash" -> mm_phash _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +439,6 @@ object Multimodal {
     "mm_features" -> mm_features_sql,
     "mm_image_meta" -> mm_image_meta_sql,
     "mm_frame_sample" -> mm_frame_sample_sql,
+    "mm_phash" -> mm_phash_sql,
   )
 }

@@ -231,11 +231,37 @@ object Pipeline {
        |WHERE bucket * 1000 < rate * 4294967296""".stripMargin
   }
 
+  /** Corpus mix balancing: per-language keep rates (per-mille) that flatten
+    * the token mix to the smallest language's total — the data-mixture step
+    * that runs before [[pipe_sample_stratified]] turns rates into row
+    * decisions. Two tiny aggregates over one corpus pass (per-language token
+    * sums combine map-side; the global min is a 1-row broadcast), and the
+    * arithmetic is all integer (floor division), so both engines produce
+    * bit-identical weights at any scale. */
+  def pipe_mix_weights(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .select(col("lang"), size(TextAnalysis.tokens).cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("lang_tokens"))
+    val mn = perLang.agg(min(col("lang_tokens")).as("min_tokens"))
+    perLang.crossJoin(broadcast(mn))
+      .select(col("lang"), col("lang_tokens"),
+        expr("min_tokens * 1000 DIV lang_tokens").as("weight_pm"))
+  }
+
+  val pipe_mix_weights_sql: String =
+    """WITH pl AS (SELECT lang,
+      |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS lang_tokens
+      |      FROM documents GROUP BY 1)
+      |SELECT lang, lang_tokens,
+      |       (SELECT min(lang_tokens) FROM pl) * 1000 // lang_tokens AS weight_pm
+      |FROM pl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_decontaminate" -> (pipe_decontaminate(_, _)),
     "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
     "pipe_pack" -> (pipe_pack(_, _)),
     "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
+    "pipe_mix_weights" -> (pipe_mix_weights(_, _)),
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -243,5 +269,6 @@ object Pipeline {
     "pipe_bloom_screen" -> pipe_bloom_screen_sql,
     "pipe_pack" -> pipe_pack_sql,
     "pipe_sample_stratified" -> pipe_sample_stratified_sql,
+    "pipe_mix_weights" -> pipe_mix_weights_sql,
     "pipe_corpus" -> pipe_corpus_sql)
 }

@@ -423,8 +423,58 @@ object Relational {
       |                    FROM lineitem l2
       |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** As-of join — each purchase event matched to the same user's most
+    * recent STRICTLY-PRIOR click (order (ts, event_id), so ts ties resolve
+    * deterministically), the operator behind feature backfills and
+    * attribution joins that row-stores ship natively and Spark lacks.
+    *
+    * Composed, not custom (SURVEY §2C preference (a)): one sort-shuffle on
+    * user_id and a running `last(..., ignoreNulls)` window over the UNION of
+    * both sides — no join at all, so there is no pairwise blow-up and the
+    * single exchange is the theoretical minimum for as-of semantics. At
+    * 100 TB the window key gains a time-bucket shard exactly like
+    * [[Pipeline.pipe_pack]] (carry the last click across bucket boundaries
+    * with a second pass over per-bucket tails — bucket count, not data,
+    * scale). The oracle states the identical window formulation, so the
+    * gate pins the tie-breaking and null-handling semantics, not just row
+    * counts. Output lag is exact integer microseconds. */
+  def q18_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+  }
+
+  val q18_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, ts FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |), m AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER w AS click_ts
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id AS purchase_id, user_id, click_id,
+      |       CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS lag_us
+      |FROM m WHERE event_type = 'purchase' AND click_id IS NOT NULL""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_asof_join" -> q18_asof_join _,
     "q15_window_funcs" -> q15_window_funcs _,
     "q16_median" -> q16_median _,
     "q17_small_quantity_revenue" -> q17_small_quantity_revenue _,
@@ -446,6 +496,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q18_asof_join" -> q18_sql,
     "q15_window_funcs" -> q15_sql,
     "q16_median" -> q16_sql,
     "q17_small_quantity_revenue" -> q17_sql,
