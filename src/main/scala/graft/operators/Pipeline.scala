@@ -242,8 +242,11 @@ object Pipeline {
     val perLang = Tables.documents(s, dir)
       .select(col("lang"), size(TextAnalysis.tokens).cast("long").as("n"))
       .groupBy(col("lang")).agg(sum(col("n")).as("lang_tokens"))
-    val mn = perLang.agg(min(col("lang_tokens")).as("min_tokens"))
-    perLang.crossJoin(broadcast(mn))
+    // global min via an empty-partition window over the AGGREGATED rows
+    // (cardinality = #languages, bounded) — a separate agg subquery would
+    // re-scan the corpus for a second full pass
+    perLang
+      .withColumn("min_tokens", min(col("lang_tokens")).over(Window.partitionBy()))
       .select(col("lang"), col("lang_tokens"),
         expr("min_tokens * 1000 DIV lang_tokens").as("weight_pm"))
   }

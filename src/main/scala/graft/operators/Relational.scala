@@ -445,10 +445,13 @@ object Relational {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ev
-      .withColumn("click_id",
-        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("click_ts",
-        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      // both running values in ONE select so Catalyst plans a single Window
+      // node over the one sort (separate withColumns leave two Window passes)
+      .select(col("*"),
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w).as("click_id"),
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w).as("click_ts"))
       .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
       .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
         (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("lag_us"))
