@@ -236,32 +236,49 @@ object Dedup {
       .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
       .toDF("src", "dst")
       .localCheckpoint(true) // pair generation runs once, not once per round
-    // Only nodes incident to an edge can ever change label: iterate over the
-    // near-dup node set (|pairs|-scale), not the whole corpus — at 100 TB the
-    // iterated frontier is the duplicate graph, a tiny fraction of N, and the
-    // untouched documents are appended as singleton clusters at the end.
+    val labels = connectedComponents(edges, maxRounds = 20)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    val clustered = labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("cluster_rep"), col("cluster_size"))
+    // Docs incident to no edge are singleton clusters and never enter the
+    // iteration; append them from the corpus directly.
+    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"), lit(1L).as("cluster_size"))
+    clustered.unionByName(singletons)
+  }
+
+  /** Min-label connected components over a SYMMETRIC, locally-checkpointed
+    * `(src, dst)` edge set: returns `(doc_id, comp)` for every edge-incident
+    * node, `comp` = the component's minimum node id.
+    *
+    * Only nodes incident to an edge are iterated (the near-dup frontier is
+    * |pairs|-scale, a tiny fraction of the corpus at 100 TB). Each round is
+    * ONE Spark job: neighbor-min then a pointer jump (follow the new label's
+    * own label, collapsing chains so convergence is O(log diameter), not
+    * O(diameter)), with the convergence count riding the job as an `observe`
+    * metric. Throws if `maxRounds` is exhausted before convergence — a
+    * silently-truncated propagation would return wrong components, which at
+    * production scale must be a loud failure, never a result. */
+  private[operators] def connectedComponents(edges: DataFrame, maxRounds: Int): DataFrame = {
     val nodes = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     val t0 = System.nanoTime()
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
       val stepped = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp1"))
-      // pointer jump: follow comp1's own label, collapsing label chains so
-      // path-shaped components converge in O(log d) rounds, not O(d)
       val jump = labels.select(col("doc_id").as("jid"), col("comp").as("jcomp"))
       val next = stepped
         .join(jump, stepped("comp1") === jump("jid"), "left")
         .select(col("doc_id"), col("comp"),
           least(col("comp1"), coalesce(col("jcomp"), col("comp1"))).as("comp2"))
-        // convergence count rides the SAME job as the materialization
-        // (observe -> accumulator), so each round is exactly one Spark job
         .observe(s"conv$rounds",
           sum(when(col("comp2") =!= col("comp"), 1L).otherwise(0L)).as("n_changed"))
         .select(col("doc_id"), col("comp2").as("comp"))
@@ -272,13 +289,11 @@ object Dedup {
       System.err.println(f"[dedup_clusters] round $rounds: changed=$changed, " +
         f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    val clustered = labels.join(sizes, "comp")
-      .select(col("doc_id"), col("comp").as("cluster_rep"), col("cluster_size"))
-    val singletons = Tables.documents(s, dir).select(col("doc_id"))
-      .join(nodes, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_rep"), lit(1L).as("cluster_size"))
-    clustered.unionByName(singletons)
+    require(changed == 0,
+      s"connected components did not converge within $maxRounds rounds " +
+        s"($changed labels still changing) — raise maxRounds; returning " +
+        "truncated labels would be silently wrong")
+    labels
   }
 
   val dedup_clusters_sql: String =

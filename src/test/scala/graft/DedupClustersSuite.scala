@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed connected-components loop vs a driver-side union-find on
+  * adversarial graph shapes. The oracle gate exercises it only on the
+  * fixture's shallow near-dup clusters; these tests pin the loop's behavior
+  * on the shapes that break naive propagation — long chains (diameter >>
+  * rounds without pointer jumping), cliques, forests of mixed components,
+  * and seeded random graphs — and that exhausting the round cap fails
+  * loudly instead of returning truncated labels.
+  */
+class DedupClustersSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-clusters")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = { spark; () }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Symmetric, checkpointed edge DataFrame from undirected pairs. */
+  private def edgeDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val both = pairs ++ pairs.map(p => (p._2, p._1))
+    both.toDF("src", "dst").localCheckpoint(true)
+  }
+
+  /** Driver-side union-find: component min-label per node. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def run(pairs: Seq[(Long, Long)], maxRounds: Int = 20): Map[Long, Long] =
+    Dedup.connectedComponents(edgeDf(pairs), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("long chain converges within the cap via pointer jumping") {
+    // path 0-1-2-...-300: diameter 300 >> 20 rounds of plain neighbor-min;
+    // pointer jumping must collapse it in O(log d)
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    assert(run(chain) === unionFind(chain))
+  }
+
+  test("clique, star, and disjoint components labeled by their minimum") {
+    val clique = for { a <- 10L to 15L; b <- (a + 1) to 15L } yield (a, b)
+    val star = (31L to 40L).map(i => (30L, i))
+    val pair = Seq((100L, 101L))
+    val pairs = clique ++ star ++ pair
+    val got = run(pairs)
+    assert(got === unionFind(pairs))
+    assert(got(15L) === 10L && got(40L) === 30L && got(101L) === 100L)
+  }
+
+  test("seeded random graphs match union-find") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 80
+      val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      assert(run(pairs) === unionFind(pairs))
+    }
+  }
+
+  test("exhausting the round cap fails loudly instead of returning wrong labels") {
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException](run(chain, maxRounds = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
