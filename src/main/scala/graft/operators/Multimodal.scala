@@ -426,12 +426,90 @@ object Multimodal {
       |       phash, phash >> 44 AS band16
       |FROM p""".stripMargin
 
+  /** Audio fingerprint: a window-energy difference hash over each
+    * synthesized WAV's data chunk — the samples are cut into fixed
+    * [[AudioWin]]-sample windows and bit w is set when window w's energy sum
+    * exceeds window w+1's (capped at 60 bits), plus the same 16-bit band
+    * prefix as [[mm_phash]] / [[Dedup.dedup_simhash]] for bucketed near-dup
+    * joins — the audio-modality analogue of image dHash. Integer-only, so
+    * the oracle rebuilds the exact hash from the text column. Pure map, no
+    * shuffle. */
+  private val AudioWin = 64
+
+  def mm_audio_fp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        val wav = synthesizeWav(sampleRateFor(id), textBytes)
+        parseWavFingerprint(id, wav)
+      }
+    }.toDF("doc_id", "n_samples", "n_windows", "afp", "band16")
+  }
+
+  /** Walk the RIFF chunks to the data section, then fold the per-window
+    * u8-energy profile into the difference hash. */
+  private[operators] def parseWavFingerprint(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def magic(expect: String): Unit = {
+      val got = new Array[Byte](4); buf.get(got)
+      require(new String(got, "US-ASCII") == expect, s"bad magic in doc $id: expected $expect")
+    }
+    magic("RIFF"); buf.getInt; magic("WAVE")
+    var dataStart = -1; var dataLen = 0
+    while (buf.remaining() >= 8 && dataStart < 0) {
+      val tag = new Array[Byte](4); buf.get(tag)
+      val size = buf.getInt
+      if (new String(tag, "US-ASCII") == "data") { dataStart = buf.position(); dataLen = size }
+      else buf.position(buf.position() + size)
+    }
+    require(dataStart >= 0, s"no data chunk in doc $id")
+    val nWindows = math.max(1L, (dataLen + AudioWin - 1L) / AudioWin)
+    def winSum(w: Long): Long = {
+      var i = w * AudioWin; val end = math.min(i + AudioWin, dataLen.toLong)
+      var s = 0L
+      while (i < end) { s += bytes(dataStart + i.toInt) & 0xff; i += 1 }
+      s
+    }
+    var afp = 0L
+    val top = math.min(nWindows - 1, 60L)
+    var w = 0L
+    while (w < top) {
+      if (winSum(w) > winSum(w + 1)) afp |= 1L << w
+      w += 1
+    }
+    (id, dataLen.toLong, nWindows, afp, afp >>> 44)
+  }
+
+  // Oracle: the WAV data chunk IS the text bytes, so window w covers text
+  // [w*64, w*64 + 64) and every hash bit is integer arithmetic over ord().
+  val mm_audio_fp_sql: String =
+    s"""WITH g AS (SELECT doc_id, text, length(text) AS len,
+      |        greatest(1, (length(text) + ${AudioWin - 1}) // $AudioWin) AS nw
+      |      FROM documents),
+      |p AS (SELECT doc_id, len, nw,
+      |   CAST(COALESCE(list_sum(list_transform(range(0, least(nw - 1, 60)), w ->
+      |     CASE WHEN
+      |       COALESCE(list_sum(list_transform(range(w*$AudioWin + 1, w*$AudioWin + ${AudioWin + 1}), i ->
+      |         CASE WHEN i <= len THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)), 0)
+      |       >
+      |       COALESCE(list_sum(list_transform(range((w+1)*$AudioWin + 1, (w+1)*$AudioWin + ${AudioWin + 1}), i ->
+      |         CASE WHEN i <= len THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)), 0)
+      |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS afp
+      | FROM g)
+      |SELECT doc_id, CAST(len AS BIGINT) AS n_samples, CAST(nw AS BIGINT) AS n_windows,
+      |       afp, afp >> 44 AS band16
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mm_metadata _,
     "mm_features" -> mm_features _,
     "mm_image_meta" -> mm_image_meta _,
     "mm_frame_sample" -> mm_frame_sample _,
     "mm_phash" -> mm_phash _,
+    "mm_audio_fp" -> mm_audio_fp _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,5 +518,6 @@ object Multimodal {
     "mm_image_meta" -> mm_image_meta_sql,
     "mm_frame_sample" -> mm_frame_sample_sql,
     "mm_phash" -> mm_phash_sql,
+    "mm_audio_fp" -> mm_audio_fp_sql,
   )
 }

@@ -337,6 +337,39 @@ object StreamingQueries {
     """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** One staged copy of `documents` per scale-factor dir for the streaming
+    * corpus-ingestion entries (same pattern as the events staging). */
+  private val stagedDocDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val tmp = stagedDocDirs.getOrElseUpdate(dir, {
+      val t = Files.createTempDirectory("graft-stream-docs-").toString
+      base.repartition(Chunks).write.mode("overwrite").parquet(t)
+      t
+    })
+    s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
+  /** Streaming corpus-ingestion dedup — the LLM-pipeline operator the state
+    * store exists for: documents arrive as a multi-batch stream and exact
+    * duplicates (normalized content fingerprint) are dropped across
+    * micro-batch boundaries, i.e. the seen-fingerprint set lives in the
+    * RocksDB provider between commits. Emitting only the fingerprint keys
+    * makes append-mode output deterministic (whichever copy arrives first,
+    * the kept row projects to the same fp), so the oracle is exactly
+    * DISTINCT over the batch table. */
+  def stream_doc_dedup(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      documentsStream(s2, dir)
+        .select(md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+        .dropDuplicates("fp"),
+      OutputMode.Append(), "stream_doc_dedup")
+
+  val stream_doc_dedup_sql: String =
+    """SELECT DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
   /** Watermarked APPEND-mode tumbling-window count — the production
     * streaming shape: the 1-hour watermark closes windows as micro-batches
     * advance, closed windows are emitted exactly once and their state is
@@ -397,6 +430,7 @@ object StreamingQueries {
     "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
+    "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -411,5 +445,6 @@ object StreamingQueries {
     "stream_tws" -> stream_tws_sql,
     "stream_tws_map" -> stream_tws_map_sql,
     "stream_statestore" -> stream_statestore_sql,
-    "stream_watermark" -> stream_watermark_sql)
+    "stream_watermark" -> stream_watermark_sql,
+    "stream_doc_dedup" -> stream_doc_dedup_sql)
 }
