@@ -55,9 +55,42 @@ object SourceFormats {
       |  min(md5(text)) AS min_fp_json, max(md5(text)) AS max_fp_json
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Hive-style partitioned layout — the on-disk shape of a production
+    * corpus (100 TB of documents is stored partitioned, never flat): stage
+    * `documents` once as `lang=<v>/part-*.parquet`, then read back with a
+    * partition filter. Catalyst prunes the listing to the one `lang=de`
+    * directory — the scan's PartitionFilters carry the predicate and the
+    * other partitions' files are never opened (asserted in
+    * `SourcePartitionSuite`), which at production scale is the difference
+    * between reading 100 TB and reading one partition. */
+  private val stagedPartitioned = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[sources] def stagePartitioned(s: SparkSession, dir: String): String =
+    stagedPartitioned.getOrElseUpdate(dir, {
+      val t = Files.createTempDirectory("graft-src-part-").toString
+      Tables.documents(s, dir).write.mode("overwrite").partitionBy("lang").parquet(t)
+      t
+    })
+
+  def src_partitioned(s: SparkSession, dir: String): DataFrame = {
+    val t = stagePartitioned(s, dir)
+    s.read.parquet(t)
+      .filter(col("lang") === "de")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("chars"))
+  }
+
+  val src_partitioned_sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars
+      |FROM documents WHERE lang = 'de' GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src_roundtrip" -> src_roundtrip _)
+    "src_roundtrip" -> src_roundtrip _,
+    "src_partitioned" -> src_partitioned _)
 
   val oracles: Map[String, String] = Map(
-    "src_roundtrip" -> src_roundtrip_sql)
+    "src_roundtrip" -> src_roundtrip_sql,
+    "src_partitioned" -> src_partitioned_sql)
 }

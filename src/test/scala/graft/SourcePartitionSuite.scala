@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The partition-pruning claim behind [[SourceFormats.src_partitioned]]: a
+  * partition filter must reach the scan as a PartitionFilter (pruned at file
+  * listing, before any I/O), not as a post-scan data filter, and the scan
+  * must touch only the selected partition's files.
+  */
+class SourcePartitionSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-src-partition")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = { spark; () }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("lang filter is pruned at partition level and reads only lang=de files") {
+    val t = SourceFormats.stagePartitioned(spark, sfDir)
+    val df = spark.read.parquet(t).filter(col("lang") === "de").select(col("doc_id"))
+    val scans = df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang predicate missing from PartitionFilters: ${scan.partitionFilters}")
+    // the pruned listing must contain only the one partition's files
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    val paths = selected.flatMap(_.files.map(_.getPath.toString))
+    assert(paths.nonEmpty && paths.forall(_.contains("lang=de")),
+      s"scan lists non-pruned files: ${paths.filterNot(_.contains("lang=de")).take(3)}")
+    // and the answer matches the unpartitioned source
+    val expected = graft.Tables.documents(spark, sfDir)
+      .filter(col("lang") === "de").count()
+    assert(df.count() === expected)
+  }
+}
