@@ -230,8 +230,22 @@ object Dedup {
     * O(log diameter) rounds; the cap is a safety bound. The oracle computes
     * true components with a recursive CTE, so the gate fails if propagation
     * stopped early. */
-  def dedup_clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedup_ngram_jaccard(s, dir).select(col("doc_id_a"), col("doc_id_b"))
+  def dedup_clusters(s: SparkSession, dir: String): DataFrame =
+    clusterize(s, dir, dedup_ngram_jaccard(s, dir))
+
+  /** The same canonicalization over the MINHASH-LSH candidate pairs — the
+    * production 100 TB path composed end-to-end (banded signatures → bucket
+    * join → verified pairs → components), where [[dedup_clusters]] over the
+    * exact inverted index is the correctness anchor. Identical output shape
+    * and an identical recursive-CTE oracle over the LSH pair set. */
+  def dedup_clusters_lsh(s: SparkSession, dir: String): DataFrame =
+    clusterize(s, dir, dedup_minhash_lsh(s, dir))
+
+  /** pairs(doc_id_a, doc_id_b, ...) → (doc_id, cluster_rep, cluster_size)
+    * for every document: components over the pair graph, singletons
+    * appended from the corpus. */
+  private def clusterize(s: SparkSession, dir: String, pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("doc_id_a"), col("doc_id_b"))
     val edges = pairs
       .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
       .toDF("src", "dst")
@@ -296,9 +310,10 @@ object Dedup {
     labels
   }
 
-  val dedup_clusters_sql: String =
+  /** Recursive-CTE true components over an arbitrary pair query. */
+  private def clustersSqlOver(pairsSql: String): String =
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_id_a, doc_id_b FROM ($dedup_ngram_jaccard_sql) t),
+       |pairs AS (SELECT doc_id_a, doc_id_b FROM ($pairsSql) t),
        |edges AS (SELECT doc_id_a s, doc_id_b d FROM pairs
        |          UNION SELECT doc_id_b, doc_id_a FROM pairs),
        |reach AS (
@@ -310,6 +325,9 @@ object Dedup {
        |SELECT c.doc_id, c.cluster_rep, n.cluster_size
        |FROM comp c JOIN (SELECT cluster_rep, count(*) AS cluster_size
        |                  FROM comp GROUP BY 1) n USING (cluster_rep)""".stripMargin
+
+  val dedup_clusters_sql: String = clustersSqlOver(dedup_ngram_jaccard_sql)
+  val dedup_clusters_lsh_sql: String = clustersSqlOver(dedup_minhash_lsh_sql)
 
   // --------------------------------------------------------------- SimHash
 
@@ -404,6 +422,7 @@ object Dedup {
     "dedup_simhash" -> dedup_simhash _,
     "dedup_embedding" -> dedup_embedding _,
     "dedup_clusters" -> dedup_clusters _,
+    "dedup_clusters_lsh" -> dedup_clusters_lsh _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,5 +432,6 @@ object Dedup {
     "dedup_simhash" -> dedup_simhash_sql,
     "dedup_embedding" -> dedup_embedding_sql,
     "dedup_clusters" -> dedup_clusters_sql,
+    "dedup_clusters_lsh" -> dedup_clusters_lsh_sql,
   )
 }
