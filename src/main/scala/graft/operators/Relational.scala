@@ -475,8 +475,40 @@ object Relational {
       |       CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS lag_us
       |FROM m WHERE event_type = 'purchase' AND click_id IS NOT NULL""".stripMargin
 
+  /** TPC-H Q19 shape: disjunctive bracket predicates spanning both join
+    * sides — three OR'd (brand, size-range, quantity-range) brackets over
+    * lineitem ⋈ part. The single-table conjuncts that hold across ALL
+    * brackets (quantity <= 30, size >= 1) are what Catalyst can factor out
+    * of the OR and push below the join; the residual disjunction evaluates
+    * post-join. Exercises CNF extraction + mixed-side predicate pushdown,
+    * the optimizer path none of q1–q18 touches. Part is broadcast as in
+    * every other fact⋈dim plan here. */
+  def q19_bracket_revenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 10) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 20) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 30) && $"l_quantity".between(20, 30)))
+      .agg(
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q19_sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_bracket_revenue" -> q19_bracket_revenue _,
     "q18_asof_join" -> q18_asof_join _,
     "q15_window_funcs" -> q15_window_funcs _,
     "q16_median" -> q16_median _,
@@ -499,6 +531,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_bracket_revenue" -> q19_sql,
     "q18_asof_join" -> q18_sql,
     "q15_window_funcs" -> q15_sql,
     "q16_median" -> q16_sql,
