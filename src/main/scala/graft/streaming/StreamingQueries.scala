@@ -238,6 +238,46 @@ object StreamingQueries {
       | AND c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
 
+  /** Stream-stream LEFT OUTER join with watermarks — the eviction-driven
+    * emission path the inner-join entry never exercises: a click with no
+    * purchase within 1 hour is emitted null-padded only once the watermark
+    * proves no match can still arrive (its join window has fully closed).
+    * Over the in-order staged stream the null-padded set is exactly the
+    * unmatched clicks with `click_ts + 1h < final watermark`, which the
+    * oracle states directly; matches always emit (ordered arrival means no
+    * side is ever late or evicted while still matchable). */
+  def stream_join_outer(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val clicks = eventsOrdered(s2, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsOrdered(s2, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases, expr(
+        """click_user = purchase_user AND
+          |purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + interval 1 hour""".stripMargin), "left_outer")
+        .select(col("click_id"), col("purchase_id"))
+    }, OutputMode.Append(), "stream_join_outer")
+
+  // The query's global watermark is the MIN across both watermark nodes,
+  // each of which sees only its own filtered side: min(max click_ts,
+  // max purchase_ts) - 1h — not the all-events max.
+  val stream_join_outer_sql: String =
+    """WITH c AS (SELECT event_id cid, user_id cu, ts cts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id pid, user_id pu, ts pts FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+      |              - INTERVAL '1 hour' AS w),
+      |m AS (SELECT cid, pid FROM c JOIN p
+      |      ON cu = pu AND pts >= cts AND pts <= cts + INTERVAL '1 hour')
+      |SELECT cid AS click_id, pid AS purchase_id FROM m
+      |UNION ALL
+      |SELECT cid AS click_id, NULL AS purchase_id FROM c, wm
+      |WHERE cid NOT IN (SELECT cid FROM m) AND cts + INTERVAL '1 hour' < w""".stripMargin
+
   /** flatMapGroupsWithState: running per-user event count + per-mille value
     * sum (update mode; last emission per key recovered via max_by). */
   def stream_fmgws(s: SparkSession, dir: String): DataFrame =
@@ -425,6 +465,7 @@ object StreamingQueries {
     "stream_dedup" -> (stream_dedup(_, _)),
     "stream_dedup_agg" -> (stream_dedup_agg(_, _)),
     "stream_join" -> (stream_join(_, _)),
+    "stream_join_outer" -> (stream_join_outer(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
@@ -441,6 +482,7 @@ object StreamingQueries {
     "stream_dedup" -> stream_dedup_sql,
     "stream_dedup_agg" -> stream_dedup_agg_sql,
     "stream_join" -> stream_join_sql,
+    "stream_join_outer" -> stream_join_outer_sql,
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
     "stream_tws_map" -> stream_tws_map_sql,
