@@ -743,6 +743,43 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ours === Set(("a", 3L), ("b", 1L), ("c", 1L)))
   }
 
+  test("session windows match the default HDFS provider (prefix-scan parity)") {
+    // same-query equality on the operator family that exercises our
+    // prefix-scan key codec hardest
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def runWith(providerClass: Option[String], sinkName: String): Set[(String, Long, Long)] = {
+      val input = MemoryStream[(Timestamp, String)]
+      def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+      val agg = input.toDF().toDF("ts", "k")
+        .groupBy(session_window($"ts", "5 seconds"), $"k")
+        .agg(count(lit(1)).as("n"))
+        .select($"k", $"session_window.start".cast("long").as("start"), $"n")
+      providerClass.foreach(c =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", c))
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt()).start()
+      try {
+        input.addData((ts(1), "a"), (ts(2), "a"), (ts(20), "a"), (ts(3), "b"))
+        q.processAllAvailable()
+        input.addData((ts(4), "a"), (ts(22), "a"), (ts(40), "b")) // extends both "a" sessions
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sinkName).as[(String, Long, Long)].collect().toSet
+    }
+
+    val ours = runWith(None, "sess_ours_sink") // session default = graft provider
+    val theirs = runWith(
+      Some("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"),
+      "sess_theirs_sink")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    assert(ours === theirs)
+    // sessions: a@[1..4+5), a@[20..22+5), b@[3..3+5), b@[40..45)
+    assert(ours === Set(("a", 1L, 3L), ("a", 20L, 2L), ("b", 3L, 1L), ("b", 40L, 1L)))
+  }
+
   test("mapGroupsWithState (non-flat) accumulates across batches") {
     // the non-flat variant the reference README positions its TTL against
     // (/root/reference/README.md:36): one output row per group per batch
