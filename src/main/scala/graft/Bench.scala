@@ -25,7 +25,10 @@ object Bench {
     // and the streaming one-off (events staging + micro-batch machinery) —
     // so measured times are steady-state rather than charging family warmup
     // to whichever member sorts first.
-    Seq("q1_pricing_summary", "dedup_ngram_jaccard", "stream_limit").foreach { w =>
+    // stream_limit stages the unsorted events dir; stream_watermark stages
+    // the ts-ordered dir (both one-offs shared by their whole family)
+    Seq("q1_pricing_summary", "dedup_ngram_jaccard", "stream_limit",
+        "stream_watermark").foreach { w =>
       val warm0 = System.nanoTime()
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
