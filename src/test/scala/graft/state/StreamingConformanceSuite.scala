@@ -339,6 +339,71 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((2, 10L, None))) // evicted unmatched -> null-padded
   }
 
+  test("stream-stream full outer join null-pads both evicted sides") {
+    // completes the join-family matrix (inner and left-outer covered above
+    // and in the gate): unmatched rows from EITHER side must emit
+    // null-padded once their join window closes under the watermark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Timestamp, Int)]
+    val rights = MemoryStream[(Timestamp, Int)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val l = lefts.toDF().toDF("lts", "k").withWatermark("lts", "5 seconds")
+    val r = rights.toDF().toDF("rts", "rk").withWatermark("rts", "5 seconds")
+    val j = l.join(r, expr(
+      "k = rk AND rts >= lts AND rts <= lts + interval 10 seconds"), "fullOuter")
+      .select(coalesce($"k", $"rk").as("key"),
+        $"lts".cast("long").as("lt"), $"rts".cast("long").as("rt"))
+
+    val q = j.writeStream.format("memory").queryName("fouter_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    try {
+      lefts.addData((ts(10), 1), (ts(10), 2)) // k=2 will stay unmatched
+      rights.addData((ts(15), 1), (ts(16), 3)) // rk=3 will stay unmatched
+      q.processAllAvailable()
+      lefts.addData((ts(100), 9)); rights.addData((ts(100), 9))
+      q.processAllAvailable()
+      lefts.addData((ts(200), 8)); rights.addData((ts(200), 8))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("fouter_sink").as[(Int, Option[Long], Option[Long])].collect().toSet
+    assert(rows.contains((1, Some(10L), Some(15L)))) // matched pair
+    assert(rows.contains((2, Some(10L), None))) // left evicted unmatched
+    assert(rows.contains((3, None, Some(16L)))) // right evicted unmatched
+  }
+
+  test("stream-stream right outer join null-pads the evicted right side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Timestamp, Int)]
+    val rights = MemoryStream[(Timestamp, Int)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val l = lefts.toDF().toDF("lts", "k").withWatermark("lts", "5 seconds")
+    val r = rights.toDF().toDF("rts", "rk").withWatermark("rts", "5 seconds")
+    val j = l.join(r, expr(
+      "k = rk AND rts >= lts AND rts <= lts + interval 10 seconds"), "rightOuter")
+      .select($"rk", $"lts".cast("long").as("lt"), $"rts".cast("long").as("rt"))
+
+    val q = j.writeStream.format("memory").queryName("router_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    try {
+      lefts.addData((ts(10), 1))
+      rights.addData((ts(15), 1), (ts(16), 3)) // rk=3 stays unmatched
+      q.processAllAvailable()
+      lefts.addData((ts(100), 9)); rights.addData((ts(100), 9))
+      q.processAllAvailable()
+      lefts.addData((ts(200), 8)); rights.addData((ts(200), 8))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("router_sink").as[(Int, Option[Long], Long)].collect().toSet
+    assert(rows.contains((1, Some(10L), 15L)))
+    assert(rows.contains((3, None, 16L))) // right evicted unmatched -> null-padded left
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark delay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
