@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +31,7 @@ import org.apache.spark.sql.functions._
   * re-joins the shingle sets by doc_id, a broadcast-able lookup at dim-table
   * size and a shuffle join beyond.
   */
-object Dedup {
+object Dedup extends Logging {
 
   /** Spark SQL fragments (kept as SQL text so the DuckDB oracle is a
     * line-by-line mirror — both engines run the same lambda pipeline). */
@@ -297,10 +298,16 @@ object Dedup {
           sum(when(col("comp2") =!= col("comp"), 1L).otherwise(0L)).as("n_changed"))
         .select(col("doc_id"), col("comp2").as("comp"))
       labels = next.localCheckpoint(true)
+      // A missing metric must be a hard error, not "converged": treating it
+      // as 0 would pass the convergence guard below and return truncated
+      // labels silently — the exact failure this loop is built to make loud.
+      // (isNullAt covers only the legitimate empty-input case.)
       changed = next.queryExecution.observedMetrics.get(s"conv$rounds")
-        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).getOrElse(0L)
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+        .getOrElse(sys.error(s"observed metric conv$rounds missing — " +
+          "cannot verify connected-components convergence"))
       rounds += 1
-      System.err.println(f"[dedup_clusters] round $rounds: changed=$changed, " +
+      logInfo(f"connected components round $rounds: changed=$changed, " +
         f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(changed == 0,
@@ -382,7 +389,7 @@ object Dedup {
     * 100 TB rationale. */
   def dedup_embedding(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VecDot
-    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir))
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir), Lsh.maxBits(s))
     // repartition = plan barrier: bucket/norm are computed once behind one
     // exchange that both join sides reuse
     val e = Tables.embeddings(s, dir)

@@ -2,68 +2,103 @@ package graft.operators
 
 /** Random-hyperplane LSH shared by the embedding operators.
   *
-  * Up to [[MaxBits]] hyperplanes with deterministic ±1 coefficients over the
-  * 64-dim embedding space, embedded as identical literals in the Spark plan
-  * and the DuckDB oracle. The bit count adapts to corpus size —
-  * `clamp(4, 20, floor(log2(N/64)))` — targeting ~64 vectors per bucket, so
-  * the same operator is meaningful at 500 fixture vectors and at 10^9
-  * (where the previous fixed 8 axis-aligned sign bits left ~4M vectors per
-  * bucket and a quadratic within-bucket join — the VERDICT's scale-killer).
-  * Probing expands each lookup to all buckets at Hamming distance <= 1
-  * (nbits+1 probes) for recall.
+  * Deterministic ±1 hyperplane coefficients over the 64-dim embedding space,
+  * embedded as identical literals in the Spark plan and the DuckDB oracle.
+  * The bit count adapts to corpus size — `clamp(4, maxBits,
+  * floor(log2(N/64)))` — targeting ~64 vectors per bucket, so the same
+  * operator is meaningful at 500 fixture vectors and at 10^9 (where a fixed
+  * 8-bit code left ~4M vectors per bucket and a quadratic within-bucket
+  * join). Probing expands each lookup to all buckets at Hamming distance
+  * <= 1 (nbits+1 probes) for recall.
   *
-  * Axis-aligned sign bits are also correlated with the data distribution;
-  * random hyperplanes are not.
+  * The bucket-count CEILING is a config choice, not a constant: with the
+  * default `maxBits = 20` (2^20 buckets) the adaptive width saturates at
+  * ~6.7e7 vectors and buckets regrow linearly in N past it; for 10^8+
+  * corpora raise `spark.graft.lsh.maxBits` — the weight rows are generated
+  * on demand from the fixed seed and are PREFIX-STABLE (row k is identical
+  * at every ceiling >= k+1), so raising the ceiling never changes the
+  * buckets an existing width computed, only allows wider codes. The only
+  * cost is maxBits x Dim literal ints in the plan and one more sign test
+  * per extra bit. The static DuckDB oracles mirror the default ceiling;
+  * the suite covers non-default widths.
+  *
+  * Axis-aligned sign bits would also be correlated with the data
+  * distribution; random hyperplanes are not.
   */
 object Lsh {
-  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.{lit, typedLit, when}
   import graft.functions.VecDot
 
   val Dim = 64
-  /** Bucket-count ceiling: 2^MaxBits buckets. With TargetBucket=64 the
-    * adaptive bit count saturates at ~6.7e7 vectors; past that, buckets
-    * regrow linearly in N (work per bucket-join grows with them). For 10^8+
-    * corpora raise MaxBits — the only cost is the weights table
-    * (MaxBits x Dim ints) and one more sign test per extra bit. */
-  val MaxBits = 20
+  val DefaultMaxBits = 20
   val TargetBucket = 64
 
-  /** ±1 hyperplane coefficients, MaxBits x Dim, fixed seed. */
-  val weights: Array[Array[Int]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(MaxBits, Dim)(if (rnd.nextBoolean()) 1 else -1)
+  /** Config key for the bucket-count ceiling (2^maxBits buckets). */
+  val MaxBitsConf = "spark.graft.lsh.maxBits"
+
+  def maxBits(s: SparkSession): Int = {
+    val mb = s.conf.get(MaxBitsConf, DefaultMaxBits.toString).toInt
+    require(mb >= 4 && mb <= 62, s"$MaxBitsConf must be in [4, 62], got $mb")
+    mb
   }
 
-  /** clamp(4, 20, floor(log2(n / TargetBucket))) — the Scala twin of the
-    * oracle's `GREATEST(4, LEAST(20, length(bin(n // 64)) - 1))`. */
-  def numBits(n: Long): Int = {
+  /** ±1 hyperplane coefficients, `width` x Dim, fixed seed. Row-major fill
+    * from a single seeded stream makes row k the same at every width > k —
+    * widening the ceiling never rehashes existing buckets. Cached at the
+    * widest width requested so far (a few KB even at width 62). */
+  @volatile private var cached: Array[Array[Int]] = generate(DefaultMaxBits)
+
+  private def generate(width: Int): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(width, Dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  def weightsFor(width: Int): Array[Array[Int]] = {
+    val c = cached
+    if (c.length >= width) c
+    else synchronized {
+      if (cached.length < width) cached = generate(width)
+      cached
+    }
+  }
+
+  /** Default-ceiling weights (the rows the static oracles embed). */
+  def weights: Array[Array[Int]] = weightsFor(DefaultMaxBits)
+
+  /** clamp(4, maxBits, floor(log2(n / TargetBucket))) — the Scala twin of
+    * the oracle's `GREATEST(4, LEAST(maxBits, length(bin(n // 64)) - 1))`. */
+  def numBits(n: Long, maxBits: Int = DefaultMaxBits): Int = {
     val m = n / TargetBucket
     val fl = if (m >= 1) 63 - java.lang.Long.numberOfLeadingZeros(m) else 0
-    math.max(4, math.min(MaxBits, fl))
+    math.max(4, math.min(maxBits, fl))
   }
 
-  /** DuckDB literal: list of lists. */
+  /** DuckDB literal: list of lists (default ceiling, as the oracles use). */
   val weightsDuck: String =
-    weights.map(_.map(w => s"${w}.0").mkString("[", ",", "]"))
+    weightsFor(DefaultMaxBits).take(DefaultMaxBits)
+      .map(_.map(w => s"${w}.0").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
   /** Bucket id of `emb` under the first `nb` hyperplanes: nb codegen'd
     * [[VecDot]] sign tests against literal weight rows (the interpreted
     * aggregate-over-zip_with formulation was the bench's dominant cost). */
-  def bucketCol(nb: Int, emb: Column): Column =
+  def bucketCol(nb: Int, emb: Column): Column = {
+    val w = weightsFor(nb)
     (0 until nb).map { k =>
-      when(VecDot.dot(emb, typedLit(weights(k).map(_.toDouble))) >= 0.0d,
+      when(VecDot.dot(emb, typedLit(w(k).map(_.toDouble))) >= 0.0d,
         lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Spark: the Hamming<=1 probe set of a `blk` column (nb+1 buckets). */
   def probesSpark(nb: Int): String =
     s"array_union(array(blk), transform(sequence(0, ${nb - 1}), k -> blk ^ shiftleft(CAST(1 AS BIGINT), k)))"
 
-  /** DuckDB CTE computing `nb` from the corpus size (same clamp formula). */
+  /** DuckDB CTE computing `nb` from the corpus size (same clamp formula,
+    * default ceiling). */
   val paramsDuck: String =
-    s"params AS (SELECT GREATEST(4, LEAST($MaxBits, length(bin(CAST(count(*) // $TargetBucket AS BIGINT))) - 1)) AS nb FROM embeddings)"
+    s"params AS (SELECT GREATEST(4, LEAST($DefaultMaxBits, length(bin(CAST(count(*) // $TargetBucket AS BIGINT))) - 1)) AS nb FROM embeddings)"
 
   /** DuckDB: bucket id (requires `params` in scope via cross join). */
   val bucketDuck: String =

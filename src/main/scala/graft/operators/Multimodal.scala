@@ -366,6 +366,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions { batch =>
       batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
         val bmp = synthesizeBmp(widthFor(id), textBytes)
         parseBmpPhash(id, bmp)
       }
@@ -443,11 +444,22 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions { batch =>
       batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
         val wav = synthesizeWav(sampleRateFor(id), textBytes)
         parseWavFingerprint(id, wav)
       }
     }.toDF("doc_id", "n_samples", "n_windows", "afp", "band16")
   }
+
+  /** The fingerprint oracles compare UTF-8 BYTES (engine side) against
+    * `ord(substr(text, i, 1))` CODE POINTS (SQL side) — identical only for
+    * ASCII text, which the synthetic fixture guarantees. Asserted loudly so
+    * a non-ASCII corpus fails the job instead of silently diverging from
+    * the oracle. */
+  private def requireAscii(id: Long, textBytes: Array[Byte]): Unit =
+    require(!textBytes.exists(_ < 0),
+      s"doc $id contains non-ASCII text: the byte-exact fingerprint oracle " +
+        "only holds for ASCII corpora (bytes == code points)")
 
   /** Walk the RIFF chunks to the data section, then fold the per-window
     * u8-energy profile into the difference hash. */

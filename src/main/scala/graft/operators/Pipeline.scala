@@ -45,6 +45,34 @@ object Pipeline {
   private[operators] val BroadcastMaxEvalBytes = "spark.graft.decontaminate.broadcastMaxEvalBytes"
   private val DefaultMaxEvalBytes = 64L * 1024 * 1024
 
+  /** Eval-side raw-text bytes, estimated from parquet FOOTER metadata only:
+    * each column chunk records its total UNCOMPRESSED size, so summing the
+    * `text` chunks gives the plain-encoded text bytes (raw bytes + a small
+    * per-value length overhead — a faithful upper bound of raw text) without
+    * scanning any data page. The eval slice is the deterministic 1/20 of
+    * `documents` by doc_id, hence the /20. The previous ×4-over-file-size
+    * guess under-gated on highly compressible corpora (text under zstd
+    * routinely compresses 5–10×), the exact driver-OOM direction the gate
+    * exists to prevent; footer truth replaces the guess at the cost of one
+    * footer read per file (the listing the scan already performs). The only
+    * residual error is the slice's deviation from the column average, which
+    * concentrates to zero as document counts grow — a bounded-variance
+    * sampling error, not an unbounded compression-ratio one. */
+  private[operators] def evalTextBytesEstimate(s: SparkSession, dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val hconf = s.sparkContext.hadoopConfiguration
+    Tables.documents(s, dir).inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      try reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == "text")
+        .map(_.getTotalUncompressedSize).sum
+      finally reader.close()
+    }.sum / 20
+  }
+
   def pipe_decontaminate(s: SparkSession, dir: String): DataFrame = {
     val posts = Tables.documents(s, dir)
       .select(col("doc_id"), WordShingles.of(col("text"), 3).as("sh"))
@@ -52,20 +80,9 @@ object Pipeline {
       .select(col("doc_id"), expr(Dedup.h60S("s0", "")).as("s"))
     val evalPosts = posts.filter(col("doc_id") % 20 === 0).toDF("eval_doc_id", "s")
     val trainPosts = posts.filter(col("doc_id") % 20 =!= 0).toDF("train_doc_id", "s")
-    // Size-gate the broadcast from parquet FILE METADATA, not a data scan:
-    // the eval slice is 1/20 of `documents` by doc_id, and raw text expands
-    // at most ~4x over the compressed parquet bytes, so file-size/20*4
-    // upper-bounds the eval text bytes from a driver-side listing the read
-    // path has already done. (Previously this gate ran a full text-column
-    // aggregate — a second pass over a 100 TB column before the real job.)
     val maxBytes = s.conf.get(BroadcastMaxEvalBytes, DefaultMaxEvalBytes.toString).toLong
-    val hconf = s.sparkContext.hadoopConfiguration
-    val tableBytes = Tables.documents(s, dir).inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
-    }.sum
-    val evalBytesEst = tableBytes * 4 / 20
-    val evalSide = if (evalBytesEst <= maxBytes) broadcast(evalPosts) else evalPosts
+    val evalSide =
+      if (evalTextBytesEstimate(s, dir) <= maxBytes) broadcast(evalPosts) else evalPosts
     trainPosts.join(evalSide, "s")
       .groupBy(col("train_doc_id"), col("eval_doc_id"))
       .agg(count(lit(1)).as("n_common"))

@@ -428,33 +428,65 @@ object Relational {
     * deterministically), the operator behind feature backfills and
     * attribution joins that row-stores ship natively and Spark lacks.
     *
-    * Composed, not custom (SURVEY §2C preference (a)): one sort-shuffle on
-    * user_id and a running `last(..., ignoreNulls)` window over the UNION of
-    * both sides — no join at all, so there is no pairwise blow-up and the
-    * single exchange is the theoretical minimum for as-of semantics. At
-    * 100 TB the window key gains a time-bucket shard exactly like
-    * [[Pipeline.pipe_pack]] (carry the last click across bucket boundaries
-    * with a second pass over per-bucket tails — bucket count, not data,
-    * scale). The oracle states the identical window formulation, so the
-    * gate pins the tie-breaking and null-handling semantics, not just row
-    * counts. Output lag is exact integer microseconds. */
+    * Composed, not custom (SURVEY §2C preference (a)), and SHARDED BY TIME
+    * BUCKET so no single task ever holds a whole user's event history (one
+    * bot/power user would otherwise be a straggler at 100 TB — the same
+    * skew [[Pipeline.pipe_pack]] shards away by doc_id range):
+    *
+    *   1. per (user, day-bucket): running `last(click)` over (ts, event_id)
+    *      order with a strictly-prior row frame — the within-bucket answer;
+    *      partitions are bounded by a user's single-day volume;
+    *   2. per (user, bucket): the bucket's LAST click ("tail"), a plain
+    *      max(struct(ts, event_id)) aggregate on the same keys;
+    *   3. carry: running `last(tail)` across a user's buckets in bucket
+    *      order — a window over BUCKET-level rows (≤ time-range/day rows
+    *      per user, independent of event volume);
+    *   4. final click = within-bucket hit, else the carried tail (a click
+    *      in any earlier bucket precedes every current-bucket row, and
+    *      ts-ties can only collide within a bucket, so the compose is
+    *      exactly as-of).
+    *
+    * The shard is internal: results are IDENTICAL to the unsharded
+    * formulation, so the oracle keeps the plain windowed-SQL statement and
+    * a green hash proves the sharded plan computes the true as-of answer —
+    * tie-breaking and null-handling included. Output lag is exact integer
+    * microseconds. */
+  private val AsofBucketUs = 86400L * 1000000L // 1-day shard buckets
+
   def q18_asof_join(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .withColumn("bucket", expr(s"unix_micros(ts) DIV $AsofBucketUs"))
+    val wLocal = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ev
-      // both running values in ONE select so Catalyst plans a single Window
-      // node over the one sort (separate withColumns leave two Window passes)
-      .select(col("*"),
-        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
-          .over(w).as("click_id"),
-        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
-          .over(w).as("click_ts"))
-      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
-        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+    // both running values in ONE select so Catalyst plans a single Window
+    // node over the one sort (separate withColumns leave two Window passes)
+    val local = ev.select(col("*"),
+      last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+        .over(wLocal).as("l_click_id"),
+      last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+        .over(wLocal).as("l_click_ts"))
+    val tails = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("bucket"),
+        col("m.event_id").as("t_click_id"), col("m.ts").as("t_click_ts"))
+    val wCarry = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ev.select(col("user_id"), col("bucket")).distinct()
+      .join(tails, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        last(col("t_click_id"), ignoreNulls = true).over(wCarry).as("c_click_id"),
+        last(col("t_click_ts"), ignoreNulls = true).over(wCarry).as("c_click_ts"))
+    local.filter(col("event_type") === "purchase")
+      .join(carry, Seq("user_id", "bucket"), "left")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("l_click_id"), col("c_click_id")).as("click_id"),
+        (unix_micros(col("ts")) -
+          unix_micros(coalesce(col("l_click_ts"), col("c_click_ts")))).as("lag_us"))
+      .filter(col("click_id").isNotNull)
   }
 
   val q18_sql: String =

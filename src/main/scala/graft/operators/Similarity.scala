@@ -68,7 +68,7 @@ object Similarity {
     * near-neighbors that fall one bit away. Each query touches
     * ~(nbits+1)/2^nbits of the corpus instead of all of it. */
   def sim_topk_lsh(s: SparkSession, dir: String): DataFrame = {
-    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir))
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir), Lsh.maxBits(s))
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), Lsh.bucketCol(nb, col("embedding")).as("blk"),
         norm2C.as("n2"))
@@ -206,7 +206,7 @@ object Similarity {
   private val RangeTauPm = 300L // cosine threshold, per-mille (fixture cosines top out ~0.51)
 
   def sim_range(s: SparkSession, dir: String): DataFrame = {
-    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir))
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir), Lsh.maxBits(s))
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), Lsh.bucketCol(nb, col("embedding")).as("blk"),
         norm2C.as("n2"))

@@ -2,11 +2,13 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.Tables
 import graft.state.RocksDbStateStoreProvider
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Stateful streaming operators as driver-gated queries (SURVEY §2C).
   *
@@ -68,10 +70,27 @@ object StreamingQueries {
       val qs = b.stat.approxQuantile("tsl",
         (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.01).map(_.toLong)
       val bounds = (Long.MinValue +: qs :+ Long.MaxValue).toSeq
+      // Arrival order is enforced by EXPLICIT mtimes (FileStreamSource
+      // consumes in mtime order): each chunk's part files get a timestamp
+      // one minute after the previous chunk's, set with setLastModifiedTime
+      // rather than relying on write-time clocks — filesystems with coarse
+      // mtime granularity (HDFS: 1 s; some object stores) could otherwise
+      // tie or reorder chunks and the watermark would race ahead.
+      val seen = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+      var tick = System.currentTimeMillis() - 3600000L // past-dated: no future mtimes
       bounds.sliding(2).foreach { case Seq(lo, hi) =>
         b.filter(col("tsl") > lo && col("tsl") <= hi).drop("tsl")
           .coalesce(1).write.mode("append").parquet(t)
-        Thread.sleep(10) // distinct mtimes => deterministic arrival order
+        val dir = java.nio.file.Paths.get(t)
+        val parts = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
+          .toVector
+        parts.foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(
+            p, java.nio.file.attribute.FileTime.fromMillis(tick))
+          seen += p
+        }
+        tick += 60000L
       }
       t
     })
@@ -278,6 +297,107 @@ object StreamingQueries {
       |SELECT cid AS click_id, NULL AS purchase_id FROM c, wm
       |WHERE cid NOT IN (SELECT cid FROM m) AND cts + INTERVAL '1 hour' < w""".stripMargin
 
+  /** Stream-stream RIGHT OUTER join with watermarks — the mirror of
+    * [[stream_join_outer]]: a purchase with no prior click within 1 hour is
+    * null-padded once the watermark passes its own event time (a matching
+    * click would need click_ts <= purchase_ts, and clicks older than the
+    * watermark can no longer arrive). Same ordered staging, same
+    * min-across-sides watermark model in the oracle. */
+  def stream_join_right(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val clicks = eventsOrdered(s2, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsOrdered(s2, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases, expr(
+        """click_user = purchase_user AND
+          |purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + interval 1 hour""".stripMargin), "right_outer")
+        .select(col("click_id"), col("purchase_id"))
+    }, OutputMode.Append(), "stream_join_right")
+
+  val stream_join_right_sql: String =
+    """WITH c AS (SELECT event_id cid, user_id cu, ts cts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id pid, user_id pu, ts pts FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+      |              - INTERVAL '1 hour' AS w),
+      |m AS (SELECT cid, pid FROM c JOIN p
+      |      ON cu = pu AND pts >= cts AND pts <= cts + INTERVAL '1 hour')
+      |SELECT cid AS click_id, pid AS purchase_id FROM m
+      |UNION ALL
+      |SELECT NULL AS click_id, pid AS purchase_id FROM p, wm
+      |WHERE pid NOT IN (SELECT pid FROM m) AND pts < w""".stripMargin
+
+  /** Stream-stream FULL OUTER join with watermarks — completes the gated
+    * join matrix: unmatched rows from EITHER side null-pad once their own
+    * join window closes under the min-across-sides watermark (the left
+    * side's window closes at click_ts + 1h, the right side's at its own
+    * purchase_ts — asymmetric because the time-interval condition is). */
+  def stream_join_full(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val clicks = eventsOrdered(s2, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsOrdered(s2, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases, expr(
+        """click_user = purchase_user AND
+          |purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + interval 1 hour""".stripMargin), "full_outer")
+        .select(col("click_id"), col("purchase_id"))
+    }, OutputMode.Append(), "stream_join_full")
+
+  val stream_join_full_sql: String =
+    """WITH c AS (SELECT event_id cid, user_id cu, ts cts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id pid, user_id pu, ts pts FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+      |              - INTERVAL '1 hour' AS w),
+      |m AS (SELECT cid, pid FROM c JOIN p
+      |      ON cu = pu AND pts >= cts AND pts <= cts + INTERVAL '1 hour')
+      |SELECT cid AS click_id, pid AS purchase_id FROM m
+      |UNION ALL
+      |SELECT cid AS click_id, NULL AS purchase_id FROM c, wm
+      |WHERE cid NOT IN (SELECT cid FROM m) AND cts + INTERVAL '1 hour' < w
+      |UNION ALL
+      |SELECT NULL AS click_id, pid AS purchase_id FROM p, wm
+      |WHERE pid NOT IN (SELECT pid FROM m) AND pts < w""".stripMargin
+
+  /** Watermarked INNER stream-stream join — the state-EVICTING inner
+    * variant ([[stream_join]] deliberately runs unwatermarked for batch
+    * equivalence, so its state only grows). Over the in-order staged stream
+    * no match is ever lost to eviction: a click is evicted only once the
+    * watermark passes click_ts + 1h, which requires both sides to have seen
+    * events beyond click_ts + 2h — and ordered arrival means every matching
+    * purchase (ts <= click_ts + 1h) arrived before that. So the emitted set
+    * is exactly the batch inner join, while the state store demonstrably
+    * evicts (suite asserts the metrics); the oracle is the same SQL as the
+    * unwatermarked entry. */
+  def stream_join_inner_wm(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val clicks = eventsOrdered(s2, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsOrdered(s2, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases, expr(
+        """click_user = purchase_user AND
+          |purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
+        .select(col("click_id"), col("purchase_id"))
+    }, OutputMode.Append(), "stream_join_inner_wm")
+
+  val stream_join_inner_wm_sql: String = stream_join_sql
+
   /** flatMapGroupsWithState: running per-user event count + per-mille value
     * sum (update mode; last emission per key recovered via max_by). */
   def stream_fmgws(s: SparkSession, dir: String): DataFrame =
@@ -433,6 +553,147 @@ object StreamingQueries {
       |HAVING win_start + INTERVAL '1 hour' <=
       |       (SELECT max(ts) - INTERVAL '1 hour' FROM events)""".stripMargin
 
+  /** `dropDuplicatesWithinWatermark` — TTL-style dedup state: a key's
+    * fingerprint expires once the watermark passes its event time + delay,
+    * so the seen-set is bounded by the delay window instead of growing
+    * forever (the difference between this and [[stream_dedup]] at 100 TB).
+    * The dedup key includes the event's calendar day, so every duplicate of
+    * a key lands within 24h < the 25h delay of its first occurrence — and
+    * over the ordered stream a key can only be evicted once the watermark
+    * (which trails arrival by 25h) passes its expiry, by which point all
+    * its duplicates have arrived. Emission is therefore exactly one row per
+    * distinct key while state eviction runs throughout the 30-day fixture:
+    * the oracle is plain DISTINCT. */
+  def stream_dedup_wm(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      eventsOrdered(s2, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .withWatermark("ts", "25 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .select(col("user_id"), col("event_type"), col("day")),
+      OutputMode.Append(), "stream_dedup_wm")
+
+  val stream_dedup_wm_sql: String =
+    "SELECT DISTINCT user_id, event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events"
+
+  /** Watermarked APPEND-mode session windows — [[stream_session]] runs in
+    * complete mode (whole-result re-emission); this is the production path:
+    * a session is emitted exactly once, when the watermark proves its gap
+    * can no longer be extended, and its state (merged via the provider's
+    * prefix scan) is evicted. Over the ordered stream the emitted set is
+    * exactly the sessions whose end (last event + 2h gap) closed under the
+    * final watermark (max ts - 1h), which the oracle's islands query
+    * restates. */
+  def stream_session_append(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      eventsOrdered(s2, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Append(), "stream_session_append")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  val stream_session_append_sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '2 hours' THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session DESC
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_id
+      |HAVING max(ts) + INTERVAL '2 hours' <=
+      |       (SELECT max(ts) - INTERVAL '1 hour' FROM events)""".stripMargin
+
+  /** transformWithState with EVENT-TIME TIMERS — sessionization as a
+    * stateful processor: every batch folds its (sorted) rows into the open
+    * session, emits sessions closed by an in-stream gap, and re-arms a
+    * timer at last-event + gap; the timer fires through the provider's
+    * range-scan timer codec once the WATERMARK passes it, flushing the
+    * user's final session. Emission set = all gap-closed sessions plus
+    * final sessions whose timer expired under the final watermark — the
+    * oracle restates both legs over the islands query. */
+  def stream_tws_timers(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val typed = eventsOrdered(s2, dir)
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[(Long, java.sql.Timestamp)]
+      typed.groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor, TimeMode.EventTime(), OutputMode.Update())
+        .toDF("user_id", "start_us", "n_events")
+    }, OutputMode.Update(), "stream_tws_timers")
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("session_start"),
+        col("n_events"))
+
+  private val SessionGapUs = 2L * 3600 * 1000000 // 2 hours, microseconds
+
+  private class SessionTimerProcessor
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long, Long)] {
+    @transient private var open: ValueState[(Long, Long, Long)] = _ // (start_us, last_us, n)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long)](
+        "open", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    override def handleInputRows(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val ts = rows.map(r => micros(r._2)).toArray.sorted
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      var (start, last, n) =
+        if (open.exists()) open.get() else (ts.head, ts.head, 0L)
+      ts.foreach { t =>
+        if (n > 0L && t - last >= SessionGapUs) { // gap: close + start fresh
+          out += ((user, start, n))
+          start = t; last = t; n = 1L
+        } else { last = t; n += 1L }
+      }
+      open.update((start, last, n))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last / 1000L + SessionGapUs / 1000L)
+      out.result().iterator
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val result =
+        if (open.exists()) { val (st, _, n) = open.get(); Iterator((user, st, n)) }
+        else Iterator.empty
+      open.clear()
+      result
+    }
+  }
+
+  val stream_tws_timers_sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '2 hours' THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session DESC
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |), sess AS (
+      |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+      |         count(*) AS n_events
+      |  FROM numbered GROUP BY user_id, session_id
+      |), sess2 AS (
+      |  SELECT *, max(session_last) OVER (PARTITION BY user_id) AS user_last FROM sess
+      |)
+      |SELECT user_id, session_start, n_events FROM sess2
+      |WHERE session_last < user_last
+      |   OR session_last + INTERVAL '2 hours' <
+      |      (SELECT max(ts) - INTERVAL '1 hour' FROM events)""".stripMargin
+
   /** State introspection: run the per-type streaming aggregation to a
     * checkpoint, then read the final state back with the `statestore` data
     * source — the gate checks the STATE STORE CONTENTS equal the batch
@@ -466,6 +727,12 @@ object StreamingQueries {
     "stream_dedup_agg" -> (stream_dedup_agg(_, _)),
     "stream_join" -> (stream_join(_, _)),
     "stream_join_outer" -> (stream_join_outer(_, _)),
+    "stream_join_right" -> (stream_join_right(_, _)),
+    "stream_join_full" -> (stream_join_full(_, _)),
+    "stream_join_inner_wm" -> (stream_join_inner_wm(_, _)),
+    "stream_dedup_wm" -> (stream_dedup_wm(_, _)),
+    "stream_session_append" -> (stream_session_append(_, _)),
+    "stream_tws_timers" -> (stream_tws_timers(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
@@ -483,6 +750,12 @@ object StreamingQueries {
     "stream_dedup_agg" -> stream_dedup_agg_sql,
     "stream_join" -> stream_join_sql,
     "stream_join_outer" -> stream_join_outer_sql,
+    "stream_join_right" -> stream_join_right_sql,
+    "stream_join_full" -> stream_join_full_sql,
+    "stream_join_inner_wm" -> stream_join_inner_wm_sql,
+    "stream_dedup_wm" -> stream_dedup_wm_sql,
+    "stream_session_append" -> stream_session_append_sql,
+    "stream_tws_timers" -> stream_tws_timers_sql,
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
     "stream_tws_map" -> stream_tws_map_sql,

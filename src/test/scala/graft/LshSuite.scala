@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Lsh
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The configurable LSH bucket-count ceiling: code width derives from corpus
+  * size with `spark.graft.lsh.maxBits` as the saturation point, weight rows
+  * are prefix-stable as the ceiling grows, and buckets computed at widths
+  * PAST the old fixed cap match a from-scratch reimplementation. */
+class LshSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("lsh")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("numBits grows past the default ceiling when the config allows it") {
+    val n = 64L << 22 // = TargetBucket * 2^22 vectors
+    assert(Lsh.numBits(n) === Lsh.DefaultMaxBits, "default ceiling clamps at 20")
+    assert(Lsh.numBits(n, maxBits = 24) === 22, "raised ceiling admits the true width")
+    assert(Lsh.numBits(500) === 4, "fixture-scale floor unchanged")
+  }
+
+  test("maxBits reads the session config and rejects nonsense") {
+    val s2 = spark.newSession()
+    assert(Lsh.maxBits(s2) === Lsh.DefaultMaxBits)
+    s2.conf.set(Lsh.MaxBitsConf, "24")
+    assert(Lsh.maxBits(s2) === 24)
+    s2.conf.set(Lsh.MaxBitsConf, "63")
+    intercept[IllegalArgumentException](Lsh.maxBits(s2))
+  }
+
+  test("weight rows are prefix-stable as the ceiling widens") {
+    val w20 = Lsh.weights.map(_.clone) // default-ceiling rows
+    val w24 = Lsh.weightsFor(24)
+    assert(w24.length >= 24)
+    (0 until Lsh.DefaultMaxBits).foreach { k =>
+      assert(w24(k).toSeq === w20(k).toSeq,
+        s"row $k changed when the ceiling grew — existing buckets would rehash")
+    }
+  }
+
+  test("bucketCol at width 22 (past the old cap) matches a direct recompute") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val embs = Seq.fill(8)(Array.fill(Lsh.Dim)(rnd.nextFloat() * 2f - 1f))
+    val nb = 22
+    val got = embs.zipWithIndex.toDF("embedding", "i")
+      .select(col("i"), Lsh.bucketCol(nb, col("embedding")).as("blk"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val w = Lsh.weightsFor(nb)
+    embs.zipWithIndex.foreach { case (e, i) =>
+      var expect = 0L
+      (0 until nb).foreach { k =>
+        val dot = (0 until Lsh.Dim).map(d => e(d).toDouble * w(k)(d)).sum
+        if (dot >= 0.0) expect |= 1L << k
+      }
+      assert(got(i) === expect, s"embedding $i bucket mismatch at width $nb")
+    }
+  }
+}

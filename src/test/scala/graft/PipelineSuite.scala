@@ -48,4 +48,28 @@ class PipelineSuite extends AnyFunSuite with BeforeAndAfterAll
     assert(a.nonEmpty, "fixture must produce at least one contaminated pair")
     spark.conf.unset(Pipeline.BroadcastMaxEvalBytes)
   }
+
+  test("gate pivots exactly on the parquet-footer uncompressed text estimate") {
+    val est = Pipeline.evalTextBytesEstimate(spark, sfDir)
+    // sanity: the footer estimate tracks the actual eval text bytes tightly
+    // (the only residual error is the eval slice's deviation from the column
+    // average — no compression-ratio guess), unlike the former ×4-over-file
+    // heuristic which could undershoot by the corpus's compression ratio
+    val actual = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id % 20 = 0")
+      .selectExpr("sum(octet_length(text))").collect()(0).getLong(0)
+    assert(est >= actual / 2 && est <= actual * 2,
+      s"estimate $est should be metadata-faithful to actual eval bytes $actual")
+
+    // threshold exactly at the estimate -> broadcast; one byte under -> shuffle
+    spark.conf.set(Pipeline.BroadcastMaxEvalBytes, est.toString)
+    assert(broadcastJoins(
+      Pipeline.pipe_decontaminate(spark, sfDir).queryExecution.executedPlan) === 1,
+      "threshold == estimate must broadcast")
+    spark.conf.set(Pipeline.BroadcastMaxEvalBytes, (est - 1).toString)
+    assert(broadcastJoins(
+      Pipeline.pipe_decontaminate(spark, sfDir).queryExecution.executedPlan) === 0,
+      "threshold one byte under the estimate must take the shuffle path")
+    spark.conf.unset(Pipeline.BroadcastMaxEvalBytes)
+  }
 }
