@@ -404,6 +404,46 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((3, None, 16L))) // right evicted unmatched -> null-padded left
   }
 
+  test("watermarked inner stream-stream join evicts state without losing matches") {
+    // The gate's stream_join_inner_wm contract: over in-order arrival a row
+    // is only evicted once the watermark proves every possible match already
+    // arrived, so output stays exactly the batch join WHILE state shrinks.
+    // This test pins both halves: batch-equal output AND a positive
+    // numRowsRemoved in the join operator's progress metrics.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Timestamp, Int)]
+    val rights = MemoryStream[(Timestamp, Int)]
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+
+    val l = lefts.toDF().toDF("lts", "k").withWatermark("lts", "5 seconds")
+    val r = rights.toDF().toDF("rts", "rk").withWatermark("rts", "5 seconds")
+    val j = l.join(r, expr(
+      "k = rk AND rts >= lts AND rts <= lts + interval 10 seconds"))
+      .select($"k", $"lts".cast("long").as("lt"), $"rts".cast("long").as("rt"))
+
+    val q = j.writeStream.format("memory").queryName("innerwm_sink")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt()).start()
+    var removed = 0L
+    try {
+      lefts.addData((ts(10), 1)); rights.addData((ts(15), 1))
+      q.processAllAvailable()
+      lefts.addData((ts(100), 2)); rights.addData((ts(105), 2))
+      q.processAllAvailable()
+      lefts.addData((ts(300), 3)); rights.addData((ts(300), 3))
+      q.processAllAvailable()
+      lefts.addData((ts(500), 4)); rights.addData((ts(500), 4))
+      q.processAllAvailable()
+      removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    } finally q.stop()
+
+    val rows = spark.table("innerwm_sink").as[(Int, Long, Long)].collect().toSet
+    assert(rows === Set((1, 10L, 15L), (2, 100L, 105L), (3, 300L, 300L),
+      (4, 500L, 500L)), "every batch-join match must emit despite eviction")
+    assert(removed > 0, "watermark must have evicted join state rows")
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark delay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
