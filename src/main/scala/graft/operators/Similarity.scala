@@ -192,6 +192,121 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  /** IVF with a TRAINED coarse quantizer: [[sim_topk_ivf]]'s training-free
+    * quantizer (the K lowest-vec_id vectors) is the baseline; this entry runs
+    * k-means-style Lloyd iterations so cells adapt to the data distribution —
+    * the quality step real IVF indexes (FAISS-style) take.
+    *
+    * Determinism is the design problem: a float centroid MEAN depends on
+    * summation order, which no distributed engine guarantees. The trick:
+    * cosine is scale-invariant, so the centroid never needs dividing — each
+    * component is quantized to an integer (`floor(x * 2^20)` as BIGINT) and
+    * the cell centroid is the element-wise INTEGER SUM of its members'
+    * quantized vectors. Long addition is exact and associative, so training
+    * is bit-reproducible under any partitioning, and the DuckDB oracle
+    * reruns the identical iterations (same init, same tie-breaks) to the
+    * same bits.
+    *
+    * Scale shape per Lloyd iteration: centroids (≤ 4096 × dim longs, ~2 MB)
+    * broadcast; assignment is the same `max_by` hash agg as the untrained
+    * entry (no sort, one row per vector through the shuffle); the centroid
+    * update is [[graft.functions.VecSumLong]] — map-side combined, so the
+    * update shuffle carries one dim-length array per (cell × partition), NOT
+    * N×dim exploded rows. Empty cells drop out (deterministically in both
+    * engines). Total: `TrainIters + 1` linear passes, each the classic IVF
+    * build cost. */
+  private val QScale = 1048576L // 2^20: quantization keeps 20 fractional bits
+  private val TrainIters = 2
+
+  def sim_topk_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    val k = numCells(Tables.embeddingsCount(s, dir))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+          .as("qv"))
+
+    // score every vector against every centroid (cv: quantized-sum space)
+    def assign(cent: DataFrame): DataFrame = e
+      .crossJoin(broadcast(cent.withColumn("cn2", VecDot.norm2(col("cv")))))
+      .withColumn("cscore", VecDot.dot(col("cv"), col("embedding")) / sqrt(col("n2") * col("cn2")))
+
+    var cent = e.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("qv").as("cv"))
+    for (_ <- 1 to TrainIters) {
+      cent = assign(cent)
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("qv"), col("cid")), struct(col("cscore"), -col("cid"))).as("m"))
+        .groupBy(col("m.cid").as("cid"))
+        .agg(graft.functions.VecSumLong.of(col("m.qv")).as("cv"))
+    }
+
+    val scored = assign(cent)
+    val cells = scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("n2"), col("cid")),
+        struct(col("cscore"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.embedding"), col("m.n2"), col("m.cid"))
+    val probeCids = scored.filter(col("vec_id") < 50)
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("cscore")).as("neg"), col("cid").as("cid")))),
+        1, NumProbes).as("top"))
+      .select(col("vec_id"), explode(col("top.cid")).as("cid"))
+    val probes = e.filter(col("vec_id") < 50).join(probeCids, "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"), col("cid"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  // One Lloyd iteration in DuckDB: assign (argmax cosine, ties to low cid)
+  // then integer-sum centroid update. `idx` enumerates vector positions so
+  // the element-wise sum is a plain (cid, i) GROUP BY; sum(BIGINT) widens to
+  // HUGEINT in DuckDB, cast back (values are far under 2^63).
+  private def lloydDuck(prev: String, next: String, aTbl: String): String =
+    s"""s_$aTbl AS (SELECT e.vec_id, e.qv, cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / sqrt(e.n2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+      |    cid ASC) AS r
+      |  FROM e CROSS JOIN $prev),
+      |$next AS (SELECT cid, list(CAST(s AS BIGINT) ORDER BY i) AS cv FROM (
+      |    SELECT cid, idx.i, sum(qv[idx.i]) AS s
+      |    FROM s_$aTbl CROSS JOIN idx WHERE r = 1
+      |    GROUP BY cid, idx.i) GROUP BY cid)""".stripMargin
+
+  val sim_topk_ivf_trained_sql: String =
+    s"""WITH $cellsDuck,
+      |dim AS (SELECT max(len(embedding)) AS d FROM embeddings),
+      |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dim),
+      |e AS (SELECT vec_id, embedding,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS qv,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id cid, qv cv FROM e, ncells WHERE vec_id < k),
+      |${lloydDuck("c0", "c1", "i1")},
+      |${lloydDuck("c1", "c2", "i2")},
+      |sf AS (SELECT e.vec_id, e.embedding, e.n2, cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / sqrt(e.n2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+      |    cid ASC) AS r
+      |  FROM e CROSS JOIN c2),
+      |cells AS (SELECT vec_id, embedding, n2, cid FROM sf WHERE r = 1),
+      |probes AS (SELECT vec_id qid, embedding qe, n2 qn2, cid
+      |  FROM sf WHERE vec_id < 50 AND r <= $NumProbes),
+      |s AS (SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_sum(list_transform(range(1, len(qe)+1), i ->
+      |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+      |      vec_id ASC) AS rank
+      |  FROM probes JOIN cells USING (cid) WHERE vec_id != qid)
+      |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
+      |FROM s WHERE rank <= 3""".stripMargin
+
   /** Radius (range) similarity self-join: every pair of corpus vectors with
     * cosine above the threshold, blocked by the shared LSH bucketing —
     * candidates are pairs filing in the SAME bucket (no probe expansion:
@@ -237,6 +352,7 @@ object Similarity {
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
+    "sim_topk_ivf_trained" -> sim_topk_ivf_trained _,
     "sim_range" -> sim_range _,
   )
 
@@ -244,6 +360,7 @@ object Similarity {
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
+    "sim_topk_ivf_trained" -> sim_topk_ivf_trained_sql,
     "sim_range" -> sim_range_sql,
   )
 }
