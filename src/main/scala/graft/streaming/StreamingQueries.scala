@@ -694,6 +694,63 @@ object StreamingQueries {
       |   OR session_last + INTERVAL '2 hours' <
       |      (SELECT max(ts) - INTERVAL '1 hour' FROM events)""".stripMargin
 
+  /** STREAMING AS-OF JOIN — the streaming twin of
+    * [[graft.operators.Relational.q18_asof_join]]: each purchase is matched
+    * to the same user's most recent strictly-prior click, incrementally, with
+    * the per-user "latest click so far" carried across micro-batches in a
+    * ValueState — the feature-backfill/attribution shape that needs custom
+    * state because no built-in streaming join expresses "latest prior row".
+    *
+    * Exactness over the ordered stream: chunks are ts-SECOND range cuts, so
+    * every (ts, event_id) tie lands in one chunk; within a batch the
+    * processor sorts a user's rows by (ts, event_id) and folds — so each
+    * purchase sees exactly the clicks strictly before it in the global
+    * (ts, event_id) order, and the batch as-of SQL is an exact oracle. Each
+    * purchase emits at most once (when processed), so the update-mode sink
+    * table IS the result set.
+    *
+    * 100 TB posture: state is ONE (ts_us, click_id) pair per user — bounded
+    * and tiny (contrast with a stream-stream join buffering whole windows of
+    * both sides); per-batch work is a per-user sort of that user's rows in
+    * the batch, bounded by batch size not history. */
+  def stream_asof(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val typed = eventsOrdered(s2, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, Long, String, java.sql.Timestamp)]
+      typed.groupByKey(_._2)
+        .transformWithState(new AsofProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("purchase_id", "user_id", "click_id", "lag_us")
+    }, OutputMode.Update(), "stream_asof")
+
+  private class AsofProcessor
+    extends StatefulProcessor[Long, (Long, Long, String, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    @transient private var lastClick: ValueState[(Long, Long)] = _ // (ts_us, click_id)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastClick = getHandle.getValueState[(Long, Long)](
+        "lastClick", Encoders.product[(Long, Long)], TTLConfig.NONE)
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(r => (micros(r._4), r._1))
+      var st = if (lastClick.exists()) Option(lastClick.get()) else None
+      val out = Vector.newBuilder[(Long, Long, Long, Long)]
+      sorted.foreach { case (id, _, typ, ts) =>
+        val tus = micros(ts)
+        if (typ == "purchase")
+          st.foreach { case (cts, cid) => out += ((id, user, cid, tus - cts)) }
+        else st = Some((tus, id))
+      }
+      st.foreach(lastClick.update)
+      out.result().iterator
+    }
+  }
+
+  val stream_asof_sql: String = graft.operators.Relational.q18_sql
+
   /** State introspection: run the per-type streaming aggregation to a
     * checkpoint, then read the final state back with the `statestore` data
     * source — the gate checks the STATE STORE CONTENTS equal the batch
@@ -733,6 +790,7 @@ object StreamingQueries {
     "stream_dedup_wm" -> (stream_dedup_wm(_, _)),
     "stream_session_append" -> (stream_session_append(_, _)),
     "stream_tws_timers" -> (stream_tws_timers(_, _)),
+    "stream_asof" -> (stream_asof(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
@@ -756,6 +814,7 @@ object StreamingQueries {
     "stream_dedup_wm" -> stream_dedup_wm_sql,
     "stream_session_append" -> stream_session_append_sql,
     "stream_tws_timers" -> stream_tws_timers_sql,
+    "stream_asof" -> stream_asof_sql,
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
     "stream_tws_map" -> stream_tws_map_sql,

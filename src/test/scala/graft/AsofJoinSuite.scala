@@ -58,6 +58,16 @@ class AsofJoinSuite extends AnyFunSuite with BeforeAndAfterAll
     assert(sharded === unsharded, "shard + carry must be exactly as-of")
   }
 
+  test("streaming as-of (transformWithState) equals the batch operator") {
+    val batch = Relational.q18_asof_join(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = graft.streaming.StreamingQueries.queries("stream_asof")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "incremental ValueState as-of must equal the batch sort-window answer")
+  }
+
   test("no event-level window partitions on user_id alone") {
     val df = Relational.q18_asof_join(spark, sfDir)
     val windows = collect(df.queryExecution.executedPlan) { case w: WindowExec => w }
