@@ -126,6 +126,16 @@ object StreamingQueries {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Reap deactivated store instances promptly: the loaded-provider cache
+    // is only swept on the maintenance tick (60 s default), so a bench or
+    // verify run executing all 22 streaming gates back-to-back in one JVM
+    // would otherwise accumulate hundreds of open RocksDB instances (a
+    // 4-store watermarked join × 8 partitions each) whose native memory
+    // degrades every query that follows. The sweep only closes instances
+    // the coordinator reports inactive — never live state — and later
+    // readers (the `statestore` source) re-open from the checkpoint.
+    // (JVM-global: the first streaming query pins the tick period.)
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val ckptDir = Files.createTempDirectory("graft-ckpt-").toString
     val q = build(s).writeStream.format("memory").queryName(sink).outputMode(mode)
