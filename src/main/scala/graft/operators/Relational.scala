@@ -538,8 +538,136 @@ object Relational {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q20 shape — suppliers holding an outsized share of a part
+    * family's shipments (the fixture schema has no `partsupp`, so "excess
+    * supply" is measured from shipped lineitems): for parts named `small%`,
+    * a supplier qualifies if it shipped more than 12.5% of the part's total
+    * shipped quantity. The defining plan shape survives the adaptation —
+    * a correlated-aggregate semi-join, decorrelated as two cascaded hash
+    * aggregates.
+    *
+    * 100 TB posture: the part filter broadcasts; lineitem shuffles ONCE on
+    * (partkey, suppkey) for the first aggregate; the per-part total is a
+    * second aggregate over the already-tiny intermediate (never a second
+    * scan of lineitem); the share comparison is decimal-exact
+    * (`q × 8 > tot` — no division, no doubles). */
+  def q20_excess_supply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val smallParts = Tables.part(s, dir).filter($"p_name".like("small%"))
+      .select($"p_partkey")
+    val ps = Tables.lineitem(s, dir)
+      .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(dec($"l_quantity")).as("q"))
+    val totals = ps.groupBy($"l_partkey").agg(sum($"q").as("tot"))
+    val excess = ps.join(totals, "l_partkey")
+      .filter($"q" * lit(8) > $"tot")
+      .select($"l_suppkey").distinct()
+    // excess is ≤ one row per supplier by construction — broadcast it so the
+    // semi-join never shuffles the supplier table
+    Tables.supplier(s, dir)
+      .join(broadcast(excess), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+  }
+
+  val q20_sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%' GROUP BY 1, 2
+      |), tot AS (SELECT l_partkey, sum(q) AS tot FROM ps GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM ps JOIN tot USING (l_partkey) WHERE ps.q * 8 > tot.tot)""".stripMargin
+
+  /** TPC-H Q21 shape — suppliers who were the SOLE source of returns on
+    * multi-supplier orders (the fixture lacks receipt/commit dates, so
+    * "kept orders waiting" becomes "only supplier whose lines were
+    * returned", preserving Q21's defining double-correlated
+    * EXISTS/NOT-EXISTS shape): supplier S counts order O iff S had a
+    * returned line in O, ANOTHER supplier also shipped in O, and NO other
+    * supplier had a returned line in O.
+    *
+    * Decorrelated the way Catalyst would — per-order supplier counts
+    * (total and returned) instead of per-row rejoins: distinct
+    * (order, supplier) pairs shuffle once on orderkey; both EXISTS
+    * predicates become counts over that one intermediate. */
+  def q21_lone_return_supplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val d = li.select($"l_orderkey", $"l_suppkey").distinct()
+    val r = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val perOrder = d.groupBy($"l_orderkey").agg(count(lit(1)).as("n_supp"))
+    val perOrderR = r.groupBy($"l_orderkey").agg(count(lit(1)).as("n_rsupp"))
+    val lone = r.join(perOrder, "l_orderkey").join(perOrderR, "l_orderkey")
+      .filter($"n_supp" > 1 && $"n_rsupp" === 1)
+    lone.groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+  }
+
+  val q21_sql: String =
+    """WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |po AS (SELECT l_orderkey, count(*) AS n_supp FROM d GROUP BY 1),
+      |pr AS (SELECT l_orderkey, count(*) AS n_rsupp FROM r GROUP BY 1)
+      |SELECT s_name, numwait FROM (
+      |  SELECT r.l_suppkey, count(*) AS numwait FROM r
+      |  JOIN po USING (l_orderkey) JOIN pr USING (l_orderkey)
+      |  WHERE po.n_supp > 1 AND pr.n_rsupp = 1 GROUP BY 1
+      |) JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
+  /** TPC-H Q22 shape — untapped high-balance customers by nation: customers
+    * whose balance exceeds the average positive balance and who placed no
+    * order since 2000-01-01 (every fixture customer has SOME order, so
+    * Q22's "no orders at all" becomes dormancy; the anti-join + global
+    * scalar-subquery plan shape is unchanged; nation replaces the absent
+    * phone country code).
+    *
+    * 100 TB posture: the global average is a single-row aggregate broadcast
+    * by the cross join; the comparison multiplies instead of divides
+    * (`bal × cnt > tot` — decimal-exact, no double division); the anti join
+    * prunes orders to (custkey) after predicate pushdown of the date. */
+  def q22_dormant_value(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val posAvg = cust.filter($"c_acctbal" > 0)
+      .agg(sum(dec($"c_acctbal")).as("tot"), count(lit(1)).as("cnt"))
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(posAvg))
+      .filter(dec($"c_acctbal") * $"cnt" > $"tot")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec($"c_acctbal")).cast("double").as("totacctbal"))
+  }
+
+  val q22_sql: String =
+    """WITH pos AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT n_name, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, pos
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.tot
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n_name""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_excess_supply" -> q20_excess_supply _,
+    "q21_lone_return_supplier" -> q21_lone_return_supplier _,
+    "q22_dormant_value" -> q22_dormant_value _,
     "q19_bracket_revenue" -> q19_bracket_revenue _,
     "q18_asof_join" -> q18_asof_join _,
     "q15_window_funcs" -> q15_window_funcs _,
@@ -563,6 +691,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_excess_supply" -> q20_sql,
+    "q21_lone_return_supplier" -> q21_sql,
+    "q22_dormant_value" -> q22_sql,
     "q19_bracket_revenue" -> q19_sql,
     "q18_asof_join" -> q18_sql,
     "q15_window_funcs" -> q15_sql,
