@@ -276,7 +276,44 @@ object Pipeline {
       |       (SELECT min(lang_tokens) FROM pl) * 1000 // lang_tokens AS weight_pm
       |FROM pl""".stripMargin
 
+  /** Per-domain document cap — the anti-crawl-domination step of a corpus
+    * build: keep only the top [[DomainCapK]] documents per source, ranked by
+    * length (`n_chars` DESC, `doc_id` tiebreak — stand-in for a quality
+    * score). Real crawls are Zipf-distributed: one domain can be 10% of the
+    * corpus, so a single rank window partitioned by source would sort a
+    * whole domain in one task. The rank is TWO-PHASE instead (the
+    * `pipe_pack`/`q18` de-skew recipe): per (source, doc_id-range shard)
+    * top-K first — bounded partitions — then top-K of the ≤ K-per-shard
+    * survivors. A global top-K row is necessarily top-K within its own
+    * shard, so results are identical to the single-window formulation,
+    * which is what the oracle states; a green hash proves the sharded plan
+    * exact. Survivor volume is ≤ K × (id-range / [[CapShardSpan]]) per
+    * source — scale CapShardSpan with expected per-domain volume. */
+  private val DomainCapK = 5
+  private val CapShardSpan = 128L
+
+  def pipe_domain_cap(s: SparkSession, dir: String): DataFrame = {
+    val wLocal = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val wGlobal = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("shard", expr(s"doc_id DIV $CapShardSpan"))
+      .withColumn("lr", row_number().over(wLocal)).filter(col("lr") <= DomainCapK)
+      .withColumn("cap_rank", row_number().over(wGlobal)).filter(col("cap_rank") <= DomainCapK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("cap_rank"))
+  }
+
+  val pipe_domain_cap_sql: String =
+    s"""SELECT doc_id, source, n_chars, CAST(cap_rank AS INT) AS cap_rank FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS cap_rank
+       |  FROM documents)
+       |WHERE cap_rank <= $DomainCapK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_domain_cap" -> (pipe_domain_cap(_, _)),
     "pipe_decontaminate" -> (pipe_decontaminate(_, _)),
     "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
     "pipe_pack" -> (pipe_pack(_, _)),
@@ -285,6 +322,7 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_domain_cap" -> pipe_domain_cap_sql,
     "pipe_decontaminate" -> pipe_decontaminate_sql,
     "pipe_bloom_screen" -> pipe_bloom_screen_sql,
     "pipe_pack" -> pipe_pack_sql,

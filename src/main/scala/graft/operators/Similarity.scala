@@ -348,7 +348,66 @@ object Similarity {
       |SELECT id_a, id_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_per_mille
       |FROM p WHERE cos * 1000 >= $RangeTauPm""".stripMargin
 
+  /** Embedding-quality outlier detection — the CLIP-score-style filter step
+    * of a training-data pipeline: for each label group, the K vectors least
+    * aligned with the group's centroid (lowest cosine) are flagged. The
+    * centroid is EXACT under any partitioning: cosine's scale invariance
+    * means it never needs the float mean — it is the element-wise BIGINT sum
+    * of the group's quantized (`floor(x·2^20)`) vectors via the map-side-
+    * combined [[graft.functions.VecSumLong]] aggregate (the
+    * [[sim_topk_ivf_trained]] trick), and the oracle rebuilds it to the bit.
+    *
+    * 100 TB posture: one linear pass builds ≤ #labels centroids (broadcast
+    * back, ~dim longs each); scoring is a narrow map. The bottom-K rank is
+    * TWO-PHASE so no task ever sorts a whole label group (labels are few and
+    * huge — the exact skew `pipe_pack`/`q18` shard away): per (label,
+    * vec_id-range shard) bottom-K first, then bottom-K of the ≤ K-per-shard
+    * survivors. Results are identical to the single-window formulation,
+    * which is what the oracle states. */
+  private val OutlierK = 3
+  private val OutlierShardSpan = 128L
+
+  def sim_centroid_outlier(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), norm2C.as("n2"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+          .as("qv"))
+    val cents = e.groupBy(col("label"))
+      .agg(graft.functions.VecSumLong.of(col("qv")).as("cv"))
+      .withColumn("cn2", VecDot.norm2(col("cv")))
+    val scored = e.join(broadcast(cents), "label")
+      .withColumn("cos", VecDot.dot(col("cv"), col("embedding")) / sqrt(col("n2") * col("cn2")))
+      .withColumn("shard", expr(s"vec_id DIV $OutlierShardSpan"))
+    val wLocal = Window.partitionBy(col("label"), col("shard"))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+    val wGlobal = Window.partitionBy(col("label"))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+    scored
+      .withColumn("lr", row_number().over(wLocal)).filter(col("lr") <= OutlierK)
+      .withColumn("orank", row_number().over(wGlobal)).filter(col("orank") <= OutlierK)
+      .select(col("label"), col("vec_id"), col("orank"))
+  }
+
+  val sim_centroid_outlier_sql: String =
+    s"""WITH dim AS (SELECT max(len(embedding)) AS d FROM embeddings),
+      |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dim),
+      |e AS (SELECT vec_id, label, embedding,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS qv,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |cent AS (SELECT label, list(CAST(s AS BIGINT) ORDER BY i) AS cv FROM (
+      |    SELECT label, idx.i, sum(qv[idx.i]) AS s
+      |    FROM e CROSS JOIN idx GROUP BY label, idx.i) GROUP BY label),
+      |scored AS (SELECT e.label, e.vec_id, row_number() OVER (PARTITION BY e.label ORDER BY
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / sqrt(e.n2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ASC,
+      |    e.vec_id ASC) AS orank
+      |  FROM e JOIN cent USING (label))
+      |SELECT label, vec_id, CAST(orank AS INT) AS orank FROM scored WHERE orank <= $OutlierK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_outlier" -> sim_centroid_outlier _,
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
@@ -357,6 +416,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_centroid_outlier" -> sim_centroid_outlier_sql,
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
