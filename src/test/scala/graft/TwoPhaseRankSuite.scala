@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Pipeline, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-phase sharded top-K operators (`pipe_domain_cap`,
+  * `sim_centroid_outlier`): the local-rank-then-survivor-rank plan must
+  * (a) reproduce the single-window formulation row for row — including on a
+  * synthetic corpus where ONE domain dominates (the Zipf shape the shard
+  * exists for) and ties force the deterministic tiebreak — and (b) actually
+  * shard: every event-level rank window must partition on (key, shard),
+  * never the bare key. (The survivor window partitions on the bare key by
+  * design: its input is ≤ K rows per shard.) */
+class TwoPhaseRankSuite extends AnyFunSuite with BeforeAndAfterAll
+    with AdaptiveSparkPlanHelper {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .appName("twophase")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("pipe_domain_cap equals the single-window top-K on the fixture") {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id").asc)
+    val single = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val sharded = Pipeline.pipe_domain_cap(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(sharded.nonEmpty)
+    assert(sharded === single, "two-phase cap must be exactly the global top-K")
+  }
+
+  test("pipe_domain_cap survives a Zipf-dominant domain with ties") {
+    // one domain holds 90% of the docs and most lengths collide, so both the
+    // shard phase and the doc_id tiebreak do real work
+    val tmp = Files.createTempDirectory("graft-zipf-").toString
+    val s2 = spark
+    import s2.implicits._
+    val rows = (0L until 2000L).map { id =>
+      val source = if (id % 10 != 0) "megadomain" else s"src${id % 7}"
+      (id, s"t$id", "en", source, id * 31 % 13) // 13 distinct lengths
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id").asc)
+    val single = Tables.documents(spark, tmp)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val sharded = Pipeline.pipe_domain_cap(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(single.count(_._2 == "megadomain") == 5)
+    assert(sharded === single, "tie-dense skewed domain must rank identically")
+  }
+
+  test("sim_centroid_outlier equals the single-window bottom-K on the fixture") {
+    import graft.functions.{VecDot, VecSumLong}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VecDot.norm2(col("embedding")).as("n2"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("qv"))
+    val cents = e.groupBy(col("label"))
+      .agg(VecSumLong.of(col("qv")).as("cv"))
+      .withColumn("cn2", VecDot.norm2(col("cv")))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+    val single = e.join(broadcast(cents), "label")
+      .withColumn("cos",
+        VecDot.dot(col("cv"), col("embedding")) / sqrt(col("n2") * col("cn2")))
+      .withColumn("orank", row_number().over(w))
+      .filter(col("orank") <= 3)
+      .select(col("label"), col("vec_id"), col("orank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val sharded = Similarity.sim_centroid_outlier(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sharded.nonEmpty)
+    assert(sharded === single, "two-phase outlier rank must equal the global bottom-K")
+  }
+
+  test("no event-level rank window partitions on the bare key") {
+    for ((name, df) <- Seq(
+        "pipe_domain_cap" -> Pipeline.pipe_domain_cap(spark, sfDir),
+        "sim_centroid_outlier" -> Similarity.sim_centroid_outlier(spark, sfDir))) {
+      val windows = collect(df.queryExecution.executedPlan) { case w: WindowExec => w }
+      assert(windows.size == 2, s"$name must have local + survivor windows")
+      // every bare-key window must be the SURVIVOR pass: fed by the sharded
+      // (key, shard) window, never by raw rows
+      windows.filter(_.partitionSpec.size == 1).foreach { survivor =>
+        val feeders = collect(survivor.child) { case w: WindowExec => w }
+        assert(feeders.exists(_.partitionSpec.size == 2),
+          s"$name bare-key window must consume a (key, shard) local rank, " +
+            s"got partition ${survivor.partitionSpec.mkString(", ")} over raw rows")
+      }
+      assert(windows.exists(_.partitionSpec.size == 2),
+        s"$name must contain the (key, shard) local window")
+    }
+  }
+}
