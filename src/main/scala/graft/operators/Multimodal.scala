@@ -427,6 +427,87 @@ object Multimodal {
       |       phash, phash >> 44 AS band16
       |FROM p""".stripMargin
 
+  /** Image RESIZE — the thumbnailing step of an image-training pipeline
+    * (decode → nearest-neighbor downscale → compact features), the one
+    * multimodal stage [[mm_phash]]'s row-profile hash doesn't cover: the
+    * full BMP is decoded (magic, LE header, bottom-up padded rows) and
+    * sampled to a fixed [[ThumbDim]]×[[ThumbDim]] grid with the standard
+    * nearest-neighbor map `src = (dst · srcDim) / thumbDim` in integer
+    * arithmetic. Emitted features are the thumbnail's pixel sum and a
+    * position-weighted checksum (Σ (i+1)·pixel_i in row-major order) that
+    * pins every sampled pixel's VALUE AND POSITION, so the oracle — which
+    * recomputes the grid independently from the text column — catches any
+    * off-by-one in the sampling map or the bottom-up row walk. Pure map
+    * over the binary column, no shuffle at any scale. */
+  private val ThumbDim = 8
+
+  def mm_resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
+        val bmp = synthesizeBmp(widthFor(id), textBytes)
+        resizeBmp(id, bmp)
+      }
+    }.toDF("doc_id", "width", "height", "thumb_sum", "thumb_chk")
+  }
+
+  /** Decode the BMP and nearest-neighbor-sample the [[ThumbDim]]² grid. */
+  private[operators] def resizeBmp(id: Long, bytes: Array[Byte]): (Long, Int, Int, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, s"bad BMP magic in doc $id")
+    require(buf.getInt == bytes.length, s"BMP size mismatch in doc $id")
+    buf.getShort; buf.getShort
+    val dataOffset = buf.getInt
+    require(buf.getInt == 40, s"unexpected DIB header in doc $id")
+    val width = buf.getInt
+    val height = buf.getInt
+    buf.getShort // planes
+    val bpp = buf.getShort
+    require(bpp == 8, s"not 8bpp in doc $id")
+    val stride = ((width * bpp / 8) + 3) / 4 * 4
+    def pixel(r: Int, c: Int): Int =
+      bytes(dataOffset + (height - 1 - r) * stride + c) & 0xff // bottom-up
+    var sum = 0L
+    var chk = 0L
+    var i = 0
+    while (i < ThumbDim * ThumbDim) {
+      val sr = (i / ThumbDim) * height / ThumbDim
+      val sc = (i % ThumbDim) * width / ThumbDim
+      val u = pixel(sr, sc)
+      sum += u
+      chk += (i + 1).toLong * u
+      i += 1
+    }
+    (id, width, height, sum, chk)
+  }
+
+  // Oracle: thumbnail pixel i samples logical (row, col) =
+  // ((i//8)*h//8, (i%8)*w//8), which is text byte row*w+col when inside the
+  // text and a zero pad otherwise — the whole grid is recomputable from the
+  // text column with integer arithmetic alone.
+  val mm_resize_sql: String =
+    """WITH g AS (SELECT doc_id, text, length(text) AS len,
+      |        CAST(16 + (doc_id % 16) * 4 AS BIGINT) AS w,
+      |        greatest(1, (length(text) + (16 + (doc_id % 16) * 4) - 1)
+      |                    // (16 + (doc_id % 16) * 4)) AS h
+      |      FROM documents),
+      |p AS (SELECT doc_id, w, h,
+      |   list_transform(range(0, 64), t ->
+      |     CASE WHEN ((t // 8) * h // 8) * w + ((t % 8) * w // 8) < len
+      |       THEN ord(substr(text,
+      |              CAST(((t // 8) * h // 8) * w + ((t % 8) * w // 8) + 1 AS INT), 1))
+      |       ELSE 0 END) AS px
+      | FROM g)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(list_sum(px) AS BIGINT) AS thumb_sum,
+      |  CAST(list_sum(list_transform(range(0, 64), t -> (t + 1) * px[CAST(t + 1 AS INT)]))
+      |       AS BIGINT) AS thumb_chk
+      |FROM p""".stripMargin
+
   /** Audio fingerprint: a window-energy difference hash over each
     * synthesized WAV's data chunk — the samples are cut into fixed
     * [[AudioWin]]-sample windows and bit w is set when window w's energy sum
@@ -522,6 +603,7 @@ object Multimodal {
     "mm_frame_sample" -> mm_frame_sample _,
     "mm_phash" -> mm_phash _,
     "mm_audio_fp" -> mm_audio_fp _,
+    "mm_resize" -> mm_resize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,5 +613,6 @@ object Multimodal {
     "mm_frame_sample" -> mm_frame_sample_sql,
     "mm_phash" -> mm_phash_sql,
     "mm_audio_fp" -> mm_audio_fp_sql,
+    "mm_resize" -> mm_resize_sql,
   )
 }

@@ -25,6 +25,29 @@ class MultimodalSuite extends AnyFunSuite {
     assert(w === 16 && h === 1 && nPix === 16L && stride === 16 && maxPix === 9)
   }
 
+  test("nearest-neighbor resize samples the exact grid through row padding") {
+    // 17 wide (stride 20: pad bytes in play), 16 rows => sr = tr*16/8 = 2*tr,
+    // sc = tc*17/8; pixel (r, c) = r*17 + c + 1 (values 1..255 fit a byte
+    // for the sampled positions), so every sampled value is predictable
+    val w = 17
+    val rows = 16
+    val pixels = Array.tabulate(w * rows)(i => ((i + 1) % 251).toByte)
+    val bmp = Multimodal.synthesizeBmp(w, pixels)
+    val (_, gotW, gotH, sum, chk) = Multimodal.resizeBmp(5L, bmp)
+    assert(gotW === w && gotH === rows)
+    var expSum = 0L
+    var expChk = 0L
+    for (i <- 0 until 64) {
+      val sr = (i / 8) * rows / 8
+      val sc = (i % 8) * w / 8
+      val u = (sr * w + sc + 1) % 251
+      expSum += u
+      expChk += (i + 1).toLong * u
+    }
+    assert(sum === expSum, "thumbnail pixel sum must match the sampled grid")
+    assert(chk === expChk, "position-weighted checksum must pin pixel order")
+  }
+
   test("WAV round trip preserves fmt fields and peak amplitude") {
     val samples = "abcXYZ".getBytes("US-ASCII")
     val wav = Multimodal.synthesizeWav(11000, samples)
