@@ -280,7 +280,41 @@ object TextAnalysis {
       |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS fp_scrubbed
       |FROM inj""".stripMargin
 
+  /** Corpus-level n-gram frequency — the vocabulary/boilerplate analysis
+    * pass of a corpus build: explode each document's word BIGRAMS, count
+    * globally, keep the top [[NgramTopK]] by (count DESC, bigram ASC — a
+    * total deterministic order).
+    *
+    * Scale: explode → partial hash agg combines map-side, so the shuffle
+    * carries one row per DISTINCT bigram per partition, not per occurrence;
+    * the global top-K is `orderBy().limit()`, which Spark executes as
+    * TakeOrderedAndProject — per-partition bounded heaps + a driver merge
+    * of K×partitions rows, never a full sort. No per-key window, so there
+    * is no skew surface at all. */
+  private val NgramTopK = 50
+
+  def text_ngram_top(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(expr(
+        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 2), i -> " +
+          "concat(split(trim(text), '\\\\s+')[i], ' ', split(trim(text), '\\\\s+')[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(NgramTopK)
+  }
+
+  val text_ngram_top_sql: String =
+    s"""SELECT bigram, count(*) AS n FROM (
+       |  SELECT unnest(list_transform(
+       |    range(1, len(string_split_regex(trim(text), '\\s+'))),
+       |    i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+       |         string_split_regex(trim(text), '\\s+')[i + 1])) AS bigram
+       |  FROM documents)
+       |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT $NgramTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_top" -> text_ngram_top _,
     "text_pii_scrub" -> text_pii_scrub _,
     "text_repetition" -> text_repetition _,
     "text_stats" -> text_stats _,
@@ -292,6 +326,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_top" -> text_ngram_top_sql,
     "text_pii_scrub" -> text_pii_scrub_sql,
     "text_repetition" -> text_repetition_sql,
     "text_stats" -> text_stats_sql,

@@ -162,6 +162,33 @@ object StreamingQueries {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** UNION of two independent streaming sources feeding one stateful
+    * aggregation — the multi-input topology of a real ingestion job (N
+    * feeds → one state): each branch is its own FileStreamSource over the
+    * staged events (its own offsets and file tracking), tagged, unioned,
+    * then aggregated in complete mode under this provider. Micro-batch
+    * alignment between the two sources doesn't matter — complete-mode
+    * output after both drain equals the batch union, which is what the
+    * oracle states. */
+  def stream_union(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val clicks = events(s2, dir).filter(col("event_type") === "click")
+        .select(lit("clicks").as("branch"), col("user_id"), col("value"))
+      val purchases = events(s2, dir).filter(col("event_type") === "purchase")
+        .select(lit("purchases").as("branch"), col("user_id"), col("value"))
+      clicks.union(purchases).groupBy(col("branch"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    }, OutputMode.Complete(), "stream_union")
+      .select(col("branch"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+
+  val stream_union_sql: String =
+    """SELECT CASE WHEN event_type = 'click' THEN 'clicks' ELSE 'purchases' END AS branch,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1""".stripMargin
+
   /** Event-time tumbling window counts (complete mode). */
   def stream_window(s: SparkSession, dir: String): DataFrame =
     runToTable(s, s2 =>
@@ -787,6 +814,7 @@ object StreamingQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_agg" -> (stream_agg(_, _)),
+    "stream_union" -> (stream_union(_, _)),
     "stream_window" -> (stream_window(_, _)),
     "stream_sliding" -> (stream_sliding(_, _)),
     "stream_session" -> (stream_session(_, _)),
@@ -811,6 +839,7 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "stream_agg" -> stream_agg_sql,
+    "stream_union" -> stream_union_sql,
     "stream_window" -> stream_window_sql,
     "stream_sliding" -> stream_sliding_sql,
     "stream_session" -> stream_session_sql,
