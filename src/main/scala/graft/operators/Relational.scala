@@ -596,15 +596,19 @@ object Relational {
     * predicates become counts over that one intermediate. */
   def q21_lone_return_supplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val d = li.select($"l_orderkey", $"l_suppkey").distinct()
-    val r = li.filter($"l_returnflag" === "R")
-      .select($"l_orderkey", $"l_suppkey").distinct()
-    val perOrder = d.groupBy($"l_orderkey").agg(count(lit(1)).as("n_supp"))
-    val perOrderR = r.groupBy($"l_orderkey").agg(count(lit(1)).as("n_rsupp"))
-    val lone = r.join(perOrder, "l_orderkey").join(perOrderR, "l_orderkey")
+    // ONE lineitem pass: the (order, supplier) distinct and the "had a
+    // return" flag come out of the same (orderkey, suppkey) hash aggregate,
+    // so both EXISTS predicates are counts over one shuffled intermediate
+    // (a separate distinct per predicate would scan and shuffle twice)
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("has_r"))
+    val perOrder = pairs.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum($"has_r").as("n_rsupp"))
+    pairs.filter($"has_r" === 1)
+      .join(perOrder, "l_orderkey")
       .filter($"n_supp" > 1 && $"n_rsupp" === 1)
-    lone.groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .select($"s_name", $"numwait")
   }

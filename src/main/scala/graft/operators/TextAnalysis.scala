@@ -295,9 +295,9 @@ object TextAnalysis {
 
   def text_ngram_top(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
+      .select(tokens.as("toks")) // bind the split once per row
       .select(explode(expr(
-        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 2), i -> " +
-          "concat(split(trim(text), '\\\\s+')[i], ' ', split(trim(text), '\\\\s+')[i + 1]))"))
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
