@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * steady-state time or reproducing cross-query interference (e.g. the
   * loaded-provider accumulation the 1 s maintenance tick in
   * `StreamingQueries.runStream` exists to prevent) without the full
-  * 76-entry `graft.Bench` sweep.
+  * `graft.Bench` sweep.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... Test/runMain graft.BenchOne <name>...
   * (prefix with a warmup query from the same cost family — e.g.
