@@ -86,11 +86,55 @@ object SourceFormats {
       |  CAST(sum(length(text)) AS BIGINT) AS chars
       |FROM documents WHERE lang = 'de' GROUP BY 1""".stripMargin
 
+  /** Parquet SCHEMA EVOLUTION — the lake reality at 100 TB: files written
+    * before a column existed sit next to files written after, and one read
+    * must see them all. Stage the corpus as two generations under one
+    * directory — even doc_ids written WITHOUT `n_chars` (the old schema),
+    * odd doc_ids WITH it — then read with `mergeSchema=true`: the footers
+    * are reconciled into the union schema and old-generation rows surface
+    * NULL for the added column. The aggregate pins exactly that: the
+    * evolved-row count and sum come out of the merged column, and the
+    * oracle recomputes them from the original table with the same even/odd
+    * split — a row leaking a non-NULL `n_chars` from an old file (or a
+    * dropped column) hash-fails. Footer reconciliation is a planning-time
+    * cost; the scan itself stays a plain pruned parquet read. */
+  private val stagedEvolved = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageEvolved(s: SparkSession, dir: String): String =
+    stagedEvolved.getOrElseUpdate(dir, {
+      val t = Files.createTempDirectory("graft-src-evolve-").toString
+      val base = Tables.documents(s, dir)
+      base.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("append").parquet(t)
+      base.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.mode("append").parquet(t)
+      t
+    })
+
+  def src_schema_merge(s: SparkSession, dir: String): DataFrame = {
+    val t = stageEvolved(s, dir)
+    s.read.option("mergeSchema", "true").parquet(t)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_evolved"),
+        sum(col("n_chars")).as("chars_evolved"))
+  }
+
+  val src_schema_merge_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_evolved,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS chars_evolved
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_roundtrip" -> src_roundtrip _,
-    "src_partitioned" -> src_partitioned _)
+    "src_partitioned" -> src_partitioned _,
+    "src_schema_merge" -> src_schema_merge _)
 
   val oracles: Map[String, String] = Map(
     "src_roundtrip" -> src_roundtrip_sql,
-    "src_partitioned" -> src_partitioned_sql)
+    "src_partitioned" -> src_partitioned_sql,
+    "src_schema_merge" -> src_schema_merge_sql)
 }
