@@ -312,7 +312,57 @@ object Pipeline {
        |  FROM documents)
        |WHERE cap_rank <= $DomainCapK""".stripMargin
 
+  /** Deterministic training-order interleave — the dataset-mixing step that
+    * fixes the global sample order: sources are round-robined (round r =
+    * one document from every source, sources in name order), so the
+    * training stream never sees a long single-source run regardless of how
+    * the corpus is stored. `ord = (r-1)·n_sources + source_idx` is pure
+    * integer arithmetic, bit-identical in any engine.
+    *
+    * The per-source rank r is a FULL ranking, which a naive
+    * `Window.partitionBy(source)` would compute by sorting each whole
+    * source in one task (the Zipf-domain straggler again). Instead the
+    * `pipe_pack` offset recipe: rank within (source, doc_id-range shard)
+    * [bounded partitions] + the count of earlier shards' docs [a window
+    * over per-shard COUNT rows, ≤ id-range/span per source — bounded by
+    * layout, not volume]. The source-index window runs on the distinct
+    * source list (#domains rows). The oracle states the plain
+    * single-window ranking, so a green hash proves the offset
+    * decomposition exact. */
+  def pipe_interleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("shard", expr(s"doc_id DIV $CapShardSpan"))
+    val wLocal = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+    val local = docs.withColumn("lr", row_number().over(wLocal))
+    val wShard = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_in_shard"))
+      .withColumn("off", coalesce(sum(col("n_in_shard")).over(wShard), lit(0L)))
+      .select(col("source"), col("shard"), col("off"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("sidx", row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
+    val nSrc = srcIdx.agg(count(lit(1)).as("ns"))
+    local.join(offsets, Seq("source", "shard"))
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"),
+        (col("off") + col("lr")).as("r"),
+        ((col("off") + col("lr") - 1L) * col("ns") + col("sidx")).as("ord"))
+  }
+
+  val pipe_interleave_sql: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r FROM documents),
+      |si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+      |       FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT count(*) AS ns FROM si)
+      |SELECT doc_id, source, CAST(r AS BIGINT) AS r,
+      |       CAST((r - 1) * ns + sidx AS BIGINT) AS ord
+      |FROM r JOIN si USING (source), n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_interleave" -> (pipe_interleave(_, _)),
     "pipe_domain_cap" -> (pipe_domain_cap(_, _)),
     "pipe_decontaminate" -> (pipe_decontaminate(_, _)),
     "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
@@ -322,6 +372,7 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_interleave" -> pipe_interleave_sql,
     "pipe_domain_cap" -> pipe_domain_cap_sql,
     "pipe_decontaminate" -> pipe_decontaminate_sql,
     "pipe_bloom_screen" -> pipe_bloom_screen_sql,

@@ -100,6 +100,22 @@ class TwoPhaseRankSuite extends AnyFunSuite with BeforeAndAfterAll
     assert(sharded === single, "two-phase outlier rank must equal the global bottom-K")
   }
 
+  test("pipe_interleave's shard-offset ranking equals the single-window rank") {
+    val wSingle = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val single = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(wSingle).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val offset = Pipeline.pipe_interleave(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(offset.nonEmpty)
+    assert(offset === single, "shard-count offset + local rank must equal the full rank")
+    // ord is a bijection onto a dense round-robin: no two docs share a slot
+    val ords = Pipeline.pipe_interleave(spark, sfDir)
+      .collect().map(_.getLong(3))
+    assert(ords.distinct.length === ords.length, "interleave positions must be unique")
+  }
+
   test("no event-level rank window partitions on the bare key") {
     for ((name, df) <- Seq(
         "pipe_domain_cap" -> Pipeline.pipe_domain_cap(spark, sfDir),
