@@ -5,11 +5,38 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are forced through the `noop` sink so every
   * output column is fully computed — a bare `.count()` would let Catalyst
   * prune projections and undercount the real work.
+  *
+  * Contention-proofing (round-7): each query runs REPEATS times (default 3,
+  * `SPARK_GRAFT_BENCH_REPEATS`) and the reported per-query number is the
+  * MEDIAN, with min/median/max emitted under `"stats"` so the artifact
+  * self-documents its noise band. One noisy host window (the round-6 driver
+  * artifact showed a 6.3x phantom on an unchanged plan) can no longer
+  * produce a false regression datapoint: a single inflated pass lands in
+  * `max` while the median stays steady-state. Failed queries are reported as
+  * -1 in `"queries"`, listed in `"failed"`, and EXCLUDED from `"value"` —
+  * previously a crash contributed -1.0 to the total, silently shrinking it.
   */
 object Bench {
+  private def runOnce(spark: SparkSession, sfDir: String, name: String): Option[Double] = {
+    val t0 = System.nanoTime()
+    try {
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Some((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      None
+    }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2) // odd-count repeats -> true middle; even -> upper median
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,27 +57,25 @@ object Bench {
     Seq("q1_pricing_summary", "dedup_ngram_jaccard", "stream_limit",
         "stream_watermark").foreach { w =>
       val warm0 = System.nanoTime()
-      try SparkEntry.queries(w)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
+      runOnce(spark, sfDir, w)
       System.err.println(f"[bench] warmup $w (discarded): ${(System.nanoTime() - warm0) / 1e9}%.2f s")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // -1 marks a failed query; a crash-until-elapsed time would read as a
-      // (fast) success in the JSON
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val times = (1 to repeats).flatMap(_ => runOnce(spark, sfDir, name))
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
+    }.mkString("{", ",", "}")
+    val stats = results.map { case (k, ts) =>
+      if (ts.nonEmpty)
+        s""""$k":{"min":${ts.min},"median":${median(ts)},"max":${ts.max}}"""
+      else s""""$k":{"min":-1,"median":-1,"max":-1}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"stats":$stats,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver's capture, but captured stdout can be
     // truncated (BENCH_r05.json lost its tail mid-line); the file is the

@@ -54,6 +54,11 @@ case class VecSumLong(
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // Reject n == 0 outright: a zero-length row is indistinguishable from
+    // the empty "no rows seen" sentinel buffer, so letting it through would
+    // make ragged detection order-dependent (absorbed if it arrives first,
+    // a ragged error if it arrives after a sized row).
+    require(n > 0, s"$prettyName: zero-length array input row")
     if (buffer.isEmpty) {
       val out = new Array[Long](n)
       var i = 0

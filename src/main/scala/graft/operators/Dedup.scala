@@ -279,6 +279,8 @@ object Dedup extends Logging {
     val nodes = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
+    // The seed is materialized; nothing reads `nodes` again — release it.
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistLocalCheckpoint(nodes)
     var changed = 1L
     var rounds = 0
     val t0 = System.nanoTime()
@@ -297,7 +299,15 @@ object Dedup extends Logging {
         .observe(s"conv$rounds",
           sum(when(col("comp2") =!= col("comp"), 1L).otherwise(0L)).as("n_changed"))
         .select(col("doc_id"), col("comp2").as("comp"))
+      val prev = labels
       labels = next.localCheckpoint(true)
+      // Round r is materialized (eager checkpoint) — release round r-1's
+      // blocks NOW rather than waiting for a driver GC to trip the
+      // ContextCleaner: at 15-20 rounds (deep chains) the stale blocks
+      // otherwise accumulate exactly the block-manager pressure that caused
+      // the round-4 regression. `nodes` stays persisted: it seeds the loop
+      // but nothing reads `prev` once `labels` exists.
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistLocalCheckpoint(prev)
       // A missing metric must be a hard error, not "converged": treating it
       // as 0 would pass the convergence guard below and return truncated
       // labels silently — the exact failure this loop is built to make loud.

@@ -659,8 +659,9 @@ object Relational {
       |)
       |SELECT n_name, count(*) AS numcust,
       |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-      |FROM customer, pos
+      |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
+      |CROSS JOIN pos
       |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.tot
       |  AND NOT EXISTS (
       |    SELECT 1 FROM orders

@@ -296,6 +296,12 @@ object TextAnalysis {
   def text_ngram_top(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(tokens.as("toks")) // bind the split once per row
+      // Guard docs with < 2 tokens: sequence(0, size-2) with size-2 == -1
+      // yields the DESCENDING [0,-1] (not empty), whose transform emits two
+      // NULL bigrams per short doc — a null group the oracle's range(1,1)=[]
+      // never produces. The filter keeps both sides exactly "docs that have
+      // at least one bigram".
+      .filter(expr("size(toks) >= 2"))
       .select(explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .as("bigram"))

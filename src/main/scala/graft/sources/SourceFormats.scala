@@ -25,8 +25,8 @@ object SourceFormats {
   private def stage(s: SparkSession, dir: String): (String, String) =
     staged.getOrElseUpdate(dir, {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
-      val csvDir = Files.createTempDirectory("graft-src-csv-").toString
-      val jsonDir = Files.createTempDirectory("graft-src-json-").toString
+      val csvDir = graft.Staging.tempDir("graft-src-csv-").toString
+      val jsonDir = graft.Staging.tempDir("graft-src-json-").toString
       base.write.mode("overwrite").option("header", "true").csv(csvDir)
       base.write.mode("overwrite").json(jsonDir)
       (csvDir, jsonDir)
@@ -67,7 +67,7 @@ object SourceFormats {
 
   private[sources] def stagePartitioned(s: SparkSession, dir: String): String =
     stagedPartitioned.getOrElseUpdate(dir, {
-      val t = Files.createTempDirectory("graft-src-part-").toString
+      val t = graft.Staging.tempDir("graft-src-part-").toString
       Tables.documents(s, dir).write.mode("overwrite").partitionBy("lang").parquet(t)
       t
     })
@@ -102,7 +102,7 @@ object SourceFormats {
 
   private def stageEvolved(s: SparkSession, dir: String): String =
     stagedEvolved.getOrElseUpdate(dir, {
-      val t = Files.createTempDirectory("graft-src-evolve-").toString
+      val t = graft.Staging.tempDir("graft-src-evolve-").toString
       val base = Tables.documents(s, dir)
       base.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), col("text"))

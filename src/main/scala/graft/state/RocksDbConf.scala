@@ -29,6 +29,7 @@ final case class RocksDbConf(
     strictExpire: Boolean,
     writeBufferSizeMb: Long,
     writeBufferNumber: Int,
+    totalMemoryMb: Long,
     backgroundJobs: Int,
     trackTotalNumberOfRows: Boolean,
     changelogEnabled: Boolean,
@@ -41,6 +42,11 @@ object RocksDbConf extends Logging {
   val WRITE_BUFFER_SIZE_MB: String = s"$PREFIX.rocksdb.writeBufferSizeMb"
   val WRITE_BUFFER_NUMBER: String = s"$PREFIX.rocksdb.maxWriteBufferNumber"
   val BACKGROUND_JOBS: String = s"$PREFIX.rocksdb.maxBackgroundJobs"
+  /** JVM-wide cap (MB) on RocksDB memory across ALL provider instances in
+    * the executor (shared block cache + write-buffer manager). 0 = unbounded
+    * per-instance sizing, the reference-compatible default. See
+    * [[SharedRocksMemory]]. */
+  val TOTAL_MEMORY_MB: String = s"$PREFIX.rocksdb.totalMemoryMb"
   val TRACK_TOTAL_ROWS: String = s"$PREFIX.rocksdb.trackTotalNumberOfRows"
   /** Changelog checkpointing (default on): commits upload only the batch's
     * writes, with a full snapshot every `minDeltasForSnapshot` versions;
@@ -64,6 +70,7 @@ object RocksDbConf extends Logging {
       strictExpire = confs.get(STRICT_EXPIRE).exists(parseBool(STRICT_EXPIRE, _)),
       writeBufferSizeMb = confs.get(WRITE_BUFFER_SIZE_MB).map(parseInt(WRITE_BUFFER_SIZE_MB, _).toLong).getOrElse(200L),
       writeBufferNumber = confs.get(WRITE_BUFFER_NUMBER).map(parseInt(WRITE_BUFFER_NUMBER, _)).getOrElse(3),
+      totalMemoryMb = confs.get(TOTAL_MEMORY_MB).map(parseInt(TOTAL_MEMORY_MB, _).toLong).getOrElse(0L),
       backgroundJobs = confs.get(BACKGROUND_JOBS).map(parseInt(BACKGROUND_JOBS, _)).getOrElse(10),
       trackTotalNumberOfRows = confs.get(TRACK_TOTAL_ROWS).forall(parseBool(TRACK_TOTAL_ROWS, _)),
       changelogEnabled = confs.get(CHANGELOG).forall(parseBool(CHANGELOG, _)),

@@ -377,11 +377,20 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
     if (cfName.startsWith(InternalCfPrefix) || conf.ttlSecs <= 0 || conf.strictExpire) 0
     else conf.ttlSecs
 
-  private def cfOptions(): ColumnFamilyOptions = new ColumnFamilyOptions()
-    .setWriteBufferSize(conf.writeBufferSizeMb * 1024L * 1024L)
-    .setMaxWriteBufferNumber(conf.writeBufferNumber)
-    .setCompressionType(CompressionType.SNAPPY_COMPRESSION)
-    .setCompactionStyle(CompactionStyle.UNIVERSAL)
+  private def cfOptions(): ColumnFamilyOptions = {
+    val o = new ColumnFamilyOptions()
+      .setWriteBufferSize(conf.writeBufferSizeMb * 1024L * 1024L)
+      .setMaxWriteBufferNumber(conf.writeBufferNumber)
+      .setCompressionType(CompressionType.SNAPPY_COMPRESSION)
+      .setCompactionStyle(CompactionStyle.UNIVERSAL)
+    // Under a JVM-wide budget every CF reads through the ONE shared block
+    // cache, so N instances can't each allocate a private default cache.
+    SharedRocksMemory.forBudget(conf.totalMemoryMb).foreach { pool =>
+      o.setTableFormatConfig(
+        new org.rocksdb.BlockBasedTableConfig().setBlockCache(pool.cache))
+    }
+    o
+  }
 
   private case class OpenDb(db: TtlDB, handles: mutable.LinkedHashMap[String, ColumnFamilyHandle])
 
@@ -393,6 +402,12 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       .setCreateIfMissing(true)
       .setCreateMissingColumnFamilies(true)
       .setMaxBackgroundJobs(conf.backgroundJobs)
+    // Global memtable ceiling: every instance's write buffers are charged to
+    // the shared pool, which flushes/stalls at the cap — the per-instance
+    // buffer knobs then size ONE DB's burst, not the executor's total.
+    SharedRocksMemory.forBudget(conf.totalMemoryMb).foreach { pool =>
+      dbOptions.setWriteBufferManager(pool.writeBufferManager)
+    }
     val listed = Try {
       org.rocksdb.RocksDB.listColumnFamilies(new Options(dbOptions, cfOptions()), dir.getAbsolutePath)
         .asScala.map(new String(_, "UTF-8")).toSeq

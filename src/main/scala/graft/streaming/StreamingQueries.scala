@@ -42,7 +42,7 @@ object StreamingQueries {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
     val tmp = stagedDirs.getOrElseUpdate(dir, {
-      val t = Files.createTempDirectory("graft-stream-in-").toString
+      val t = graft.Staging.tempDir("graft-stream-in-").toString
       base.repartition(Chunks).write.mode("overwrite").parquet(t)
       t
     })
@@ -65,7 +65,7 @@ object StreamingQueries {
   private def eventsOrdered(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
     val tmp = stagedOrderedDirs.getOrElseUpdate(dir, {
-      val t = Files.createTempDirectory("graft-stream-ord-").toString
+      val t = graft.Staging.tempDir("graft-stream-ord-").toString
       val b = base.withColumn("tsl", col("ts").cast("long"))
       val qs = b.stat.approxQuantile("tsl",
         (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.01).map(_.toLong)
@@ -137,7 +137,7 @@ object StreamingQueries {
     // (JVM-global: the first streaming query pins the tick period.)
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val ckptDir = Files.createTempDirectory("graft-ckpt-").toString
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
     val q = build(s).writeStream.format("memory").queryName(sink).outputMode(mode)
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
@@ -246,7 +246,14 @@ object StreamingQueries {
       |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
   /** Streaming deduplication on (user_id, event_type) (append mode, no
-    * watermark so dedup is global — exactly DISTINCT). */
+    * watermark so dedup is global — exactly DISTINCT).
+    *
+    * ANCHOR ONLY — without a watermark the seen-key state grows without
+    * bound (one entry per distinct key, forever). This shape exists because
+    * its batch equivalence makes it an exact oracle anchor for the
+    * cross-batch state machinery; never run it on an unbounded production
+    * stream. The production twin is [[stream_dedup_wm]]
+    * (`dropDuplicatesWithinWatermark`), whose state is watermark-evicted. */
   def stream_dedup(s: SparkSession, dir: String): DataFrame =
     runToTable(s, s2 =>
       events(s2, dir).select(col("user_id"), col("event_type"))
@@ -273,7 +280,15 @@ object StreamingQueries {
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
 
   /** Stream-stream inner join: purchases within 1 hour after a click by the
-    * same user (append mode, no watermark so no state eviction). */
+    * same user (append mode, no watermark so no state eviction).
+    *
+    * ANCHOR ONLY — with no watermark BOTH join sides are retained in state
+    * forever (every click and every purchase ever seen), which is exactly
+    * what makes the batch join an exact oracle, and exactly what a
+    * production stream must never do. The production twins are the
+    * watermarked matrix: [[stream_join_inner_wm]],
+    * [[stream_join_outer]]/[[stream_join_right]]/[[stream_join_full]],
+    * where the 1 h watermark bounds state to the open join window. */
   def stream_join(s: SparkSession, dir: String): DataFrame =
     runToTable(s, { s2 =>
       val clicks = events(s2, dir).filter(col("event_type") === "click")
@@ -541,7 +556,7 @@ object StreamingQueries {
   private def documentsStream(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
     val tmp = stagedDocDirs.getOrElseUpdate(dir, {
-      val t = Files.createTempDirectory("graft-stream-docs-").toString
+      val t = graft.Staging.tempDir("graft-stream-docs-").toString
       base.repartition(Chunks).write.mode("overwrite").parquet(t)
       t
     })

@@ -77,6 +77,21 @@ class DedupClustersSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("iterative rounds release their predecessors' checkpoint blocks") {
+    // 2000-node path needs ~11 pointer-jumping rounds; before the round-7
+    // fix every round left its localCheckpoint blocks pinned, so a deep
+    // chain would show +rounds persisted RDDs here. Only the FINAL labels
+    // checkpoint may stay live (the caller still reads it).
+    val chain = (0L until 2000L).map(i => (i, i + 1))
+    val edges = edgeDf(chain)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = Dedup.connectedComponents(edges, 40)
+    assert(labels.collect().length === 2001)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"checkpoint leak across rounds: persisted RDDs before=$before after=$after")
+  }
+
   test("exhausting the round cap fails loudly instead of returning wrong labels") {
     val chain = (0L until 300L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException](run(chain, maxRounds = 2))

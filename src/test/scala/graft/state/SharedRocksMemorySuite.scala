@@ -1,0 +1,74 @@
+package graft.state
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import StateStoreTestHelper._
+
+/** The JVM-wide RocksDB memory budget ([[SharedRocksMemory]]): N concurrent
+  * provider instances writing more state than the budget must stay under the
+  * combined (block cache + charged memtables) ceiling, with flushes — not
+  * growth — absorbing the pressure, and every store must still read back
+  * exactly what it committed. Also pins the one-pool-per-JVM contract.
+  */
+class SharedRocksMemorySuite extends AnyFunSuite {
+
+  private val BudgetMb = 32L
+
+  private def boundedConf = storeConf(extra = Map(
+    RocksDbConf.TOTAL_MEMORY_MB -> BudgetMb.toString,
+    // small per-instance buffers so memtables rotate naturally in-test
+    RocksDbConf.WRITE_BUFFER_SIZE_MB -> "4"))
+
+  test("unbounded default (0) creates no pool") {
+    assert(SharedRocksMemory.forBudget(0).isEmpty)
+    assert(SharedRocksMemory.forBudget(-1).isEmpty)
+  }
+
+  test("N concurrent providers stay under the shared budget and read back exactly") {
+    val budgetBytes = BudgetMb * 1024L * 1024L
+    val nProviders = 3
+    val keysPer = 40000
+    // ~230 B per key row x 40k x 3 ≈ 28 MB of raw key bytes alone — with
+    // RocksDB overheads the UNshared worst case is well past 32 MB, so a
+    // budget violation is observable, not vacuous.
+    val pad = "x" * 200
+    val dirs = Seq.fill(nProviders)(newCheckpointDir())
+    val providers = dirs.map(d => newProvider(d, boundedConf))
+    try {
+      val pool = SharedRocksMemory.forBudget(BudgetMb)
+      assert(pool.isDefined && pool.get.budgetBytes === budgetBytes)
+      val stores = providers.map(_.getStore(0, None))
+      var j = 0
+      while (j < keysPer) {
+        stores.foreach { st =>
+          put(st, s"k$j-$pad", j)
+          // The combined ceiling holds THROUGHOUT the write storm, not just
+          // at the end: sample every few thousand puts. 25% slack covers
+          // LRU shard rounding and non-strict insertion overshoot.
+          if (j % 5000 == 0) {
+            val usage = SharedRocksMemory.usageBytes
+            assert(usage <= budgetBytes * 5 / 4,
+              s"shared pool over budget mid-write: $usage of $budgetBytes")
+          }
+        }
+        j += 1
+      }
+      assert(SharedRocksMemory.usageBytes > 0, "writes were never charged to the pool")
+      stores.foreach(_.commit())
+    } finally providers.foreach(_.close())
+
+    // Correctness under memory pressure: each checkpoint read back through a
+    // FRESH provider (durability, not caches) holds exactly its own keys.
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val data = getData(d, 1, boundedConf)
+      assert(data.size === keysPer, s"provider $i lost rows under the budget")
+      assert(data(s"k7-$pad") === 7 && data(s"k${keysPer - 1}-$pad") === keysPer - 1)
+    }
+  }
+
+  test("one pool per JVM: a differing later budget reuses the first") {
+    val first = SharedRocksMemory.forBudget(BudgetMb).get
+    val second = SharedRocksMemory.forBudget(BudgetMb * 8).get
+    assert(second eq first, "budget must be fixed by the first provider")
+  }
+}
