@@ -52,7 +52,8 @@ import org.rocksdb._
   * dirty directory, `commit` marking Committed before the fallible upload,
   * and `metrics` guessing memory from schema default sizes.
   */
-class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
+class RocksDbStateStoreProvider extends StateStoreProvider with Logging
+    with org.apache.spark.sql.graftbridge.ChangeFeedBridge {
   import RocksDbStateStoreProvider._
 
   org.rocksdb.RocksDB.loadLibrary()
@@ -329,6 +330,164 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging {
       finally it.close()
       buf.result().iterator
     } finally store.release()
+  }
+
+  // ------------------------------------------------------------------
+  // SupportsFineGrainedReplay: the statestore data source's advanced
+  // options — `snapshotStartBatchId` (time-travel: rebuild endVersion from
+  // one SPECIFIC full snapshot) and `readChangeFeed` (CDC over state,
+  // served straight from the changelog deltas). Both are exact-or-fail:
+  // a missing snapshot or a broken delta chain is a typed error, never a
+  // silently-substituted different answer.
+  // ------------------------------------------------------------------
+
+  /** Rebuild state at `endVersion` starting from the full snapshot at
+    * exactly `snapshotVersion` (intermediate snapshots are deliberately NOT
+    * used — the caller asked to replay from that one, e.g. to debug whether
+    * a later snapshot diverged from its chain). Under checkpoint-format v2
+    * the delta lineage headers are walked back from `endVersion` so the
+    * replay follows the exact commit chain, and a caller-supplied
+    * `startStateStoreCkptId` must match the chain's snapshot commit. */
+  override def replayStateFromSnapshot(
+      snapshotVersion: Long,
+      endVersion: Long,
+      readOnly: Boolean,
+      startStateStoreCkptId: Option[String],
+      endStateStoreCkptId: Option[String]): StateStore = synchronized {
+    require(snapshotVersion >= 1, s"snapshotVersion must be >= 1, got $snapshotVersion")
+    require(endVersion >= snapshotVersion,
+      s"endVersion $endVersion cannot precede snapshotVersion $snapshotVersion")
+    lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
+    val dir =
+      if (ckptIdsEnabled) {
+        val endId = endStateStoreCkptId.orElse(resolveIdByVersion(endVersion)).getOrElse(
+          throw new IllegalStateException(
+            s"No durable commit found for state version $endVersion of $stateStoreId_ " +
+              "(checkpoint format v2)"))
+        var chain = List.empty[(Long, Option[String])]
+        var curV = endVersion
+        var curId = endId
+        while (curV > snapshotVersion) {
+          chain = (curV, Some(curId)) :: chain
+          curId = Changelog.readHeaderOnly(snapshots.openDelta(curV, Some(curId)))
+          curV -= 1
+        }
+        startStateStoreCkptId.foreach { sid =>
+          if (sid != curId) throw new IllegalStateException(
+            s"Snapshot lineage mismatch at version $snapshotVersion of $stateStoreId_: " +
+              s"the chain below commit ($endVersion, $endId) passes through commit $curId, " +
+              s"not the requested $sid")
+        }
+        if (!snapshots.snapshotExists(snapshotVersion, Some(curId)))
+          throw new IllegalStateException(
+            s"No full snapshot at state version $snapshotVersion (commit $curId) of " +
+              s"$stateStoreId_ — snapshotStartBatchId must name an existing snapshot")
+        val dest = freshDir()
+        snapshots.download(snapshotVersion, dest, Some(curId))
+        if (chain.nonEmpty) replayDeltas(dest, chain)
+        dest
+      } else {
+        if (!snapshots.snapshotExists(snapshotVersion, None))
+          throw new IllegalStateException(
+            s"No full snapshot at state version $snapshotVersion of $stateStoreId_ — " +
+              "snapshotStartBatchId must name an existing snapshot")
+        val deltas = snapshots.listDeltaVersions().toSet
+        val missing = ((snapshotVersion + 1) to endVersion).filterNot(deltas.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"Cannot replay versions (${snapshotVersion + 1}, $endVersion] of $stateStoreId_: " +
+            s"changelog files missing for ${missing.mkString(",")} " +
+            "(was changelog checkpointing disabled?)")
+        val dest = freshDir()
+        snapshots.download(snapshotVersion, dest)
+        if (endVersion > snapshotVersion)
+          replayDeltas(dest, ((snapshotVersion + 1) to endVersion).map(v => (v, Option.empty[String])))
+        dest
+      }
+    val store = new RocksDbStateStore(endVersion, dir, readOnly, None)
+    lastOpenStore = Some(store)
+    store
+  }
+
+  /** Change feed over the default column family, decoded straight from the
+    * changelog deltas — one record per (put | remove) as committed, stamped
+    * with the batch that committed it (`version - 1`). Non-default column
+    * families and multi-valued stores get a typed unsupported error rather
+    * than a wrong decode. */
+  override protected def changeFeedRecords(
+      startVersion: Long,
+      endVersion: Long,
+      colFamilyNameOpt: Option[String],
+      endStateStoreCkptId: Option[String])
+    : Iterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] with AutoCloseable = {
+    val cf = colFamilyNameOpt.getOrElse(DefaultCf)
+    if (cf != DefaultCf) throw new UnsupportedOperationException(
+      s"readChangeFeed over column family '$cf' is not supported by this provider " +
+        "(only the default family is); read the final state instead")
+    if (useMultipleValuesPerKey) throw new UnsupportedOperationException(
+      "readChangeFeed over a multi-valued store is not supported by this provider " +
+        "(changelog values are frame lists, not rows)")
+    if (!conf.changelogEnabled) throw new UnsupportedOperationException(
+      s"readChangeFeed requires changelog checkpointing (${RocksDbConf.CHANGELOG}=true); " +
+        "this checkpoint was written with full snapshots only")
+    require(startVersion >= 1 && endVersion >= startVersion,
+      s"invalid change feed range [$startVersion, $endVersion]")
+    // v2: per-version commit IDs recovered by walking lineage headers back
+    // from the end of the range; v1: version numbers alone name the files.
+    val versionIds: Seq[(Long, Option[String])] =
+      if (!ckptIdsEnabled) (startVersion to endVersion).map(v => (v, Option.empty[String]))
+      else {
+        val endId = endStateStoreCkptId.orElse(resolveIdByVersion(endVersion)).getOrElse(
+          throw new IllegalStateException(
+            s"No durable commit found for state version $endVersion of $stateStoreId_ " +
+              "(checkpoint format v2)"))
+        var acc = List.empty[(Long, Option[String])]
+        var curV = endVersion
+        var curId = endId
+        while (curV >= startVersion) {
+          acc = (curV, Some(curId)) :: acc
+          if (curV > startVersion)
+            curId = Changelog.readHeaderOnly(snapshots.openDelta(curV, Some(curId)))
+          curV -= 1
+        }
+        acc
+      }
+    val keyCodec = KeyCodec(keyEncoderSpec)
+    val evolution = schemaProvider.flatMap { sp =>
+      Try(new ValueSchemaEvolution(sp, DefaultCf, valueSchema)).toOption
+    }
+    val valueCodec = new ValueCodec(valueSchema.length, multiValued = false, evolution)
+    new Iterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] with AutoCloseable {
+      private val remaining = versionIds.iterator
+      private var curStream: java.io.InputStream = _
+      private var cur: Iterator[Changelog.Record] = Iterator.empty
+      private var curVersion = 0L
+
+      @annotation.tailrec
+      private def advance(): Boolean =
+        if (cur.hasNext) true
+        else if (!remaining.hasNext) false
+        else {
+          val (v, id) = remaining.next()
+          curVersion = v
+          curStream = snapshots.openDelta(v, id)
+          if (id.isDefined) Changelog.readHeader(curStream)
+          // internal families (TTL deadlines, meta counters) are commit
+          // bookkeeping, not user state changes
+          cur = Changelog.read(curStream).filter(_.cf == cf)
+          advance()
+        }
+
+      override def hasNext: Boolean = advance()
+      override def next(): (RecordType.Value, UnsafeRow, UnsafeRow, Long) = {
+        if (!advance()) throw new NoSuchElementException("change feed exhausted")
+        val r = cur.next()
+        if (r.op == Changelog.OpPut)
+          (RecordType.PUT_RECORD, keyCodec.decode(r.key), valueCodec.decodeSingle(r.value), curVersion - 1)
+        else
+          (RecordType.DELETE_RECORD, keyCodec.decode(r.key), null, curVersion - 1)
+      }
+      override def close(): Unit = if (curStream != null) Try(curStream.close())
+    }
   }
 
   override def supportedCustomMetrics: Seq[StateStoreCustomMetric] =

@@ -1,0 +1,194 @@
+package graft.state
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import StateStoreTestHelper._
+
+/** The statestore data source's advanced options against this provider:
+  * `snapshotStartBatchId` (time-travel rebuild from one specific snapshot,
+  * via `SupportsFineGrainedReplay.replayStateFromSnapshot`) and
+  * `readChangeFeed` (CDC served from the changelog deltas). Covered at two
+  * levels: the SPI directly (exact replay results, exact change sequences,
+  * typed errors for every unsupported/missing-file shape) and end-to-end
+  * through `spark.read.format("statestore")` against a real multi-batch
+  * streaming-aggregation checkpoint.
+  */
+class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-fine-grained-replay")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = { spark; () }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Checkpoint with 4 committed versions and a full snapshot at v1 (chain
+    * base, always) and v2 (forced via maintenance with minDeltas=1):
+    * v1: a=1,b=1 | v2: a=2 | v3: -b, c=3 | v4: d=4. */
+  private def buildFixture(): (String, RocksDbStateStoreProvider) = {
+    val dir = newCheckpointDir()
+    val conf = storeConf(extra = Map(
+      SQLConf.STATE_STORE_MIN_DELTAS_FOR_SNAPSHOT.key -> "1"))
+    val p = newProvider(dir, conf)
+    val s0 = p.getStore(0, None); put(s0, "a", 1); put(s0, "b", 1); s0.commit()
+    val s1 = p.getStore(1, None); put(s1, "a", 2); s1.commit()
+    p.doMaintenance() // cadence snapshot at v2
+    val s2 = p.getStore(2, None); remove(s2, "b"); put(s2, "c", 3); s2.commit()
+    val s3 = p.getStore(3, None); put(s3, "d", 4); s3.commit()
+    (dir, p)
+  }
+
+  test("replayStateFromSnapshot rebuilds endVersion from the named snapshot") {
+    val (_, p) = buildFixture()
+    try {
+      assert(snapshotFiles(p.stateStoreId.checkpointRootLocation).sorted === Seq(1L, 2L))
+      // from the v2 snapshot through deltas 3,4 — sees the remove and late puts
+      val s24 = p.replayReadStateFromSnapshot(2, 4)
+      try assert(readAll(s24) === Map("a" -> 2, "c" -> 3, "d" -> 4))
+      finally s24.release()
+      // snapshot-only read: state exactly as of v2
+      val s22 = p.replayReadStateFromSnapshot(2, 2)
+      try assert(readAll(s22) === Map("a" -> 2, "b" -> 1))
+      finally s22.release()
+      // longest chain: v1 snapshot + deltas 2,3,4
+      val s14 = p.replayReadStateFromSnapshot(1, 4)
+      try assert(readAll(s14) === Map("a" -> 2, "c" -> 3, "d" -> 4))
+      finally s14.release()
+    } finally p.close()
+  }
+
+  test("replay from a version with no snapshot is a typed error, not a substitute") {
+    val (_, p) = buildFixture()
+    try {
+      val e = intercept[IllegalStateException](p.replayReadStateFromSnapshot(3, 4))
+      assert(e.getMessage.contains("must name an existing snapshot"))
+    } finally p.close()
+  }
+
+  test("change feed replays the exact put/remove sequence with batch ids") {
+    val (_, p) = buildFixture()
+    try {
+      val it = p.getStateStoreChangeDataReader(1, 4, None, None)
+      val got = it.map { case (typ, k, v, batchId) =>
+        (typ.toString, keyStr(k), Option(v).map(valueInt), batchId)
+      }.toVector
+      // enum value names here; the user-facing "update"/"delete" strings are
+      // asserted in the end-to-end data source test below
+      assert(got === Vector(
+        ("put_record", "a", Some(1), 0L),
+        ("put_record", "b", Some(1), 0L),
+        ("put_record", "a", Some(2), 1L),
+        ("delete_record", "b", None, 2L),
+        ("put_record", "c", Some(3), 2L),
+        ("put_record", "d", Some(4), 3L)))
+      // a sub-range re-reads cleanly (files are immutable)
+      val it2 = p.getStateStoreChangeDataReader(3, 3, None, None)
+      assert(it2.map(_._4).toVector === Vector(2L, 2L))
+    } finally p.close()
+  }
+
+  test("change feed: non-default column family is typed-unsupported") {
+    val (_, p) = buildFixture()
+    try {
+      val e = intercept[UnsupportedOperationException](
+        p.getStateStoreChangeDataReader(1, 2, Some("other_cf"), None))
+      assert(e.getMessage.contains("column family"))
+    } finally p.close()
+  }
+
+  test("changelog-disabled checkpoints: snapshot-only replay works, ranges and CDC are typed errors") {
+    val dir = newCheckpointDir()
+    val conf = storeConf(extra = Map(RocksDbConf.CHANGELOG -> "false"))
+    val p = newProvider(dir, conf)
+    try {
+      val s0 = p.getStore(0, None); put(s0, "a", 1); s0.commit()
+      val s1 = p.getStore(1, None); put(s1, "b", 2); s1.commit()
+      // every commit is a full snapshot: exact-version replay works
+      val s = p.replayReadStateFromSnapshot(2, 2)
+      try assert(readAll(s) === Map("a" -> 1, "b" -> 2))
+      finally s.release()
+      // but there are no deltas to bridge versions
+      val e1 = intercept[IllegalStateException](p.replayReadStateFromSnapshot(1, 2))
+      assert(e1.getMessage.contains("changelog"))
+      val e2 = intercept[UnsupportedOperationException](
+        p.getStateStoreChangeDataReader(1, 2, None, None))
+      assert(e2.getMessage.contains("changelog"))
+    } finally p.close()
+  }
+
+  // ------------------------------------------------------------------
+  // End-to-end through the statestore data source
+  // ------------------------------------------------------------------
+
+  /** 3-batch streaming count per key; returns the checkpoint dir.
+    * Batches: [a,a,b] [b,c] [a,c,c] → finals a=3, b=2, c=3. */
+  private def runAggQuery(): String = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val ckptDir = Files.createTempDirectory("graft-fgr-ckpt-").toString
+    val q = input.toDF().toDF("k")
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("fgr_sink")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    try {
+      input.addData("a", "a", "b"); q.processAllAvailable()
+      input.addData("b", "c"); q.processAllAvailable()
+      input.addData("a", "c", "c"); q.processAllAvailable()
+    } finally q.stop()
+    ckptDir
+  }
+
+  test("statestore source: snapshotStartBatchId time-travel equals the direct read") {
+    val ckptDir = runAggQuery()
+    val direct = spark.read.format("statestore").load(ckptDir)
+      .selectExpr("key.k AS k", "value.count AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct === Map("a" -> 3L, "b" -> 2L, "c" -> 3L))
+    // batch 0's state version always has a full snapshot (chain base);
+    // snapshot reads are per-partition, so union all shuffle partitions
+    val byPartition = (0 until 2).map { pid =>
+      spark.read.format("statestore")
+        .option("snapshotStartBatchId", 0)
+        .option("snapshotPartitionId", pid)
+        .option("batchId", 2)
+        .load(ckptDir)
+        .selectExpr("key.k AS k", "value.count AS n")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(byPartition.reduce(_ ++ _) === direct)
+    assert(byPartition.forall(_.nonEmpty), "both partitions should hold some keys")
+  }
+
+  test("statestore source: readChangeFeed emits per-batch running updates") {
+    val ckptDir = runAggQuery()
+    val feed = spark.read.format("statestore")
+      .option("readChangeFeed", true)
+      .option("changeStartBatchId", 0)
+      .load(ckptDir)
+      .selectExpr("batch_id", "change_type", "key.k AS k", "value.count AS n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(feed === Set(
+      (0L, "update", "a", 2L),
+      (0L, "update", "b", 1L),
+      (1L, "update", "b", 2L),
+      (1L, "update", "c", 1L),
+      (2L, "update", "a", 3L),
+      (2L, "update", "c", 3L)))
+  }
+}
