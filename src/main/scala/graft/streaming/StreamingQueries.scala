@@ -821,6 +821,63 @@ object StreamingQueries {
   val stream_statestore_sql: String =
     "SELECT event_type, count(*) AS n_events FROM events GROUP BY 1"
 
+  /** Mid-stream KILL + RESTART, gated end-to-end: run two chained stateful
+    * operators (dedup → aggregation) over HALF the input chunks, stop the
+    * query entirely, then restart from the same checkpoint with the rest of
+    * the input. The final complete-mode answer can only be right if BOTH
+    * operators' state (dedup seen-keys under operator 0, agg buffers under
+    * operator 1) was durably committed by the first run and exactly
+    * recovered by the second — the oracle is the plain batch answer over
+    * the whole fixture, so any lost or double-counted key hash-fails.
+    * (Suite-level recovery coverage lives in `StreamingConformanceSuite`;
+    * this entry proves it under the driver's own gate harness.) */
+  def stream_restart(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    val base = Tables.events(s, dir)
+    // The shared staged dir provides the chunk files; feed them through a
+    // fresh input dir in two halves so the checkpoint sees a true stop.
+    val stagedParts = {
+      events(s, dir) // ensure the shared staging exists
+      java.nio.file.Files.list(java.nio.file.Paths.get(stagedDirs(dir)))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toVector.sortBy(_.getFileName.toString)
+    }
+    val inDir = graft.Staging.tempDir("graft-restart-in-")
+    val ckptDir = graft.Staging.tempDir("graft-restart-ckpt-").toString
+    val sink = "stream_restart_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      java.nio.file.Files.copy(p, inDir.resolve(p.getFileName.toString))
+    }
+    def run(sinkName: String): Unit = {
+      val q = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, secondHalf) = stagedParts.splitAt(stagedParts.size / 2)
+    feed(firstHalf)
+    run(sink + "_phase1") // processes half the chunks, then STOPS entirely
+    feed(secondHalf)
+    run(sink) // a brand-new query resumes from the checkpoint
+    s.table(sink)
+  }
+
+  val stream_restart_sql: String =
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+
   /** Streaming global limit (append mode); which rows land is
     * non-deterministic, so this entry is rows-only checked. */
   def stream_limit(s: SparkSession, dir: String): DataFrame =
@@ -848,6 +905,7 @@ object StreamingQueries {
     "stream_tws" -> (stream_tws(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
+    "stream_restart" -> (stream_restart(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
@@ -874,5 +932,6 @@ object StreamingQueries {
     "stream_tws_map" -> stream_tws_map_sql,
     "stream_statestore" -> stream_statestore_sql,
     "stream_watermark" -> stream_watermark_sql,
+    "stream_restart" -> stream_restart_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql)
 }
