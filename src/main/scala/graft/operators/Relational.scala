@@ -245,18 +245,36 @@ object Relational {
   /** The 100 TB-safe distinct path: HyperLogLog++ sketch instead of the
     * exact double-shuffle `countDistinct` in q9. Partial sketches merge
     * map-side, so the shuffle carries one sketch per (partition, group)
-    * regardless of cardinality. Sketch estimates are engine-specific, so
-    * this entry is gated rows-only (no DuckDB oracle) — q9 remains the
-    * exact-values anchor for the same aggregation. */
+    * regardless of cardinality.
+    *
+    * Sketch estimates are engine-specific (DuckDB's approx sketch produces
+    * different numbers), so the raw estimate cannot be hash-compared — but
+    * it CAN be quantitatively gated: the query also computes the exact
+    * count and emits `approx_ok = |HLL − exact| ≤ 2% · exact` (rsd 0.01, so
+    * 2% ≈ a 2σ band; HLL is deterministic for fixed input, making the gate
+    * stable). The oracle asserts `true` per group alongside the exact
+    * columns, turning a wildly-off sketch into a hash FAIL instead of a
+    * rows-only shrug. The exact twin exists only to gate the sketch — the
+    * production query at 100 TB runs the HLL alone (see q9's docstring for
+    * why exact distinct double-shuffles). */
   def q9_distinct_approx(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(
-        approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
+        approx_count_distinct($"user_id", 0.01).as("n_approx"),
+        countDistinct($"user_id").as("n_users"),
         count(lit(1)).as("n_events"),
         sum(dec($"value")).cast("double").as("total_value"))
+      .select($"event_type", $"n_users", $"n_events", $"total_value",
+        (abs($"n_approx" - $"n_users") <= $"n_users" * 0.02).as("approx_ok"))
   }
+
+  val q9_approx_sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  true AS approx_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Global top-N with deterministic tie-break (TakeOrderedAndProject: one
     * partial top-N per partition, no full sort at scale). */
@@ -713,6 +731,7 @@ object Relational {
     "q7_supplier_rank" -> q7_sql,
     "q8_semi_anti" -> q8_sql,
     "q9_distinct_agg" -> q9_sql,
+    "q9_distinct_approx" -> q9_approx_sql,
     "q10_top_customers" -> q10_sql,
     "q11_scalar_funcs" -> q11_sql,
     "q12_rollup" -> q12_sql,
