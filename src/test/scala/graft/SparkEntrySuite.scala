@@ -31,9 +31,11 @@ class SparkEntrySuite extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only entries are the two designed exceptions") {
+  test("rows-only entries are the one designed exception") {
+    // q9_distinct_approx graduated to a full oracle in round 7 (2% tolerance
+    // flag); only the non-deterministic streaming limit remains rows-only.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("stream_limit", "q9_distinct_approx"),
+    assert(rowsOnly == Set("stream_limit"),
       s"unexpected rows-only (weaker-checked) gate entries: $rowsOnly")
   }
 }

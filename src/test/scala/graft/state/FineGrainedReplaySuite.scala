@@ -175,6 +175,29 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPartition.forall(_.nonEmpty), "both partitions should hold some keys")
   }
 
+  test("statestore source: joinSide reads a stream-stream join's buffered sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Int, String)]
+    val right = MemoryStream[(Int, String)]
+    val ckptDir = Files.createTempDirectory("graft-join-ckpt-").toString
+    val joined = left.toDF().toDF("k", "lv")
+      .join(right.toDF().toDF("k", "rv"), "k")
+    val q = joined.writeStream.format("memory").queryName("fgr_join_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    try {
+      left.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      right.addData((2, "x")); q.processAllAvailable()
+    } finally q.stop()
+    // each side's buffered input rows come back through the join-side reader
+    val ls = spark.read.format("statestore").option("joinSide", "left").load(ckptDir)
+    assert(ls.select($"value.lv").as[String].collect().toSet === Set("a", "b"))
+    val rs = spark.read.format("statestore").option("joinSide", "right").load(ckptDir)
+    assert(rs.select($"value.rv").as[String].collect().toSet === Set("x"))
+  }
+
   test("statestore source: readChangeFeed emits per-batch running updates") {
     val ckptDir = runAggQuery()
     val feed = spark.read.format("statestore")
