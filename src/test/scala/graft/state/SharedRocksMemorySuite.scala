@@ -66,6 +66,41 @@ class SharedRocksMemorySuite extends AnyFunSuite {
     }
   }
 
+  test("a real streaming query under the budget computes exactly and charges the pool") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-shared-memory-streaming")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        classOf[RocksDbStateStoreProvider].getName)
+      .config(RocksDbConf.TOTAL_MEMORY_MB, BudgetMb.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val q = input.toDF().toDF("k")
+        .groupBy($"k").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .writeStream.format("memory").queryName("shared_mem_sink")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sm-ckpt-").toString)
+        .start()
+      try {
+        input.addData("a", "a", "b"); q.processAllAvailable()
+        input.addData("b", "c"); q.processAllAvailable()
+        val got = spark.table("shared_mem_sink")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+      } finally q.stop()
+      // the engine-created providers really attached to the shared pool
+      assert(SharedRocksMemory.usageBytes > 0,
+        "streaming state was never charged to the shared pool")
+    } finally spark.stop()
+  }
+
   test("one pool per JVM: a differing later budget reuses the first") {
     val first = SharedRocksMemory.forBudget(BudgetMb).get
     val second = SharedRocksMemory.forBudget(BudgetMb * 8).get
