@@ -128,13 +128,65 @@ object SourceFormats {
       |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS chars_evolved
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** BUCKETED co-located join — the write-time shuffle that repeated joins
+    * amortize at 100 TB: `orders` and `customer` are staged once as
+    * catalog-registered external tables bucketed (and sorted) by their join
+    * key into the SAME bucket count, so a key-equal join of the two scans is
+    * planned WITHOUT a shuffle on either side — each task zips bucket i of
+    * both tables. At warehouse scale this turns every recurring
+    * fact⋈dimension-on-key join from two Exchanges into zero; the plan
+    * assertion (no `Exchange` under the join, broadcast disabled) lives in
+    * `SourcePartitionSuite`, while this gate pins the bucketed layout's
+    * CORRECTNESS — a bucket-pruned row or a row hashed into the wrong
+    * bucket shows up as a wrong aggregate. The per-mktsegment aggregate
+    * after the join still shuffles (5 groups — negligible); only the join
+    * itself is the demonstration. */
+  private val stagedBucketed = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[sources] def stageBucketed(s: SparkSession, dir: String): (String, String) =
+    stagedBucketed.getOrElseUpdate(dir, {
+      // table names must be unique per fixture dir within the shared JVM
+      val tag = Integer.toHexString(dir.hashCode & 0x7fffffff)
+      val (ot, ct) = (s"graft_orders_b$tag", s"graft_customer_b$tag")
+      Tables.orders(s, dir).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", graft.Staging.tempDir("graft-src-bucket-o-").toString)
+        .mode("overwrite").format("parquet").saveAsTable(ot)
+      Tables.customer(s, dir).write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", graft.Staging.tempDir("graft-src-bucket-c-").toString)
+        .mode("overwrite").format("parquet").saveAsTable(ct)
+      (ot, ct)
+    })
+
+  def src_bucketed(s: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = stageBucketed(s, dir)
+    val o = s.table(ot)
+    val c = s.table(ct)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        countDistinct(col("c_custkey")).as("n_custs"))
+  }
+
+  val src_bucketed_sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(DISTINCT c_custkey) AS n_custs
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_roundtrip" -> src_roundtrip _,
     "src_partitioned" -> src_partitioned _,
-    "src_schema_merge" -> src_schema_merge _)
+    "src_schema_merge" -> src_schema_merge _,
+    "src_bucketed" -> src_bucketed _)
 
   val oracles: Map[String, String] = Map(
     "src_roundtrip" -> src_roundtrip_sql,
     "src_partitioned" -> src_partitioned_sql,
-    "src_schema_merge" -> src_schema_merge_sql)
+    "src_schema_merge" -> src_schema_merge_sql,
+    "src_bucketed" -> src_bucketed_sql)
 }
