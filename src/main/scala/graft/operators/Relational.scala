@@ -259,13 +259,23 @@ object Relational {
     * why exact distinct double-shuffles). */
   def q9_distinct_approx(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
-      .groupBy($"event_type")
+    val ev = Tables.events(s, dir)
+    // The sketch and the exact count are SEPARATE aggregations joined on the
+    // tiny group key — never one mixed agg: Spark's distinct-rewrite of a
+    // mixed (countDistinct + HLL) aggregate keys the partial phase by
+    // (group, user) and carries the full ~13 KB HLL register buffer per
+    // DISTINCT USER through the shuffle (plan-audited: "... 1619 more
+    // fields" per row), which at corpus scale shuffles terabytes of
+    // registers. Split, the HLL path shuffles one sketch per (partition ×
+    // group) and the exact path shuffles plain (group, user) pairs.
+    val approx = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("n_approx"))
+    val exact = ev.groupBy($"event_type")
       .agg(
-        approx_count_distinct($"user_id", 0.01).as("n_approx"),
         countDistinct($"user_id").as("n_users"),
         count(lit(1)).as("n_events"),
         sum(dec($"value")).cast("double").as("total_value"))
+    exact.join(broadcast(approx), "event_type")
       .select($"event_type", $"n_users", $"n_events", $"total_value",
         (abs($"n_approx" - $"n_users") <= $"n_users" * 0.02).as("approx_ok"))
   }
