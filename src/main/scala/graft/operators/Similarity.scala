@@ -406,7 +406,49 @@ object Similarity {
       |  FROM e JOIN cent USING (label))
       |SELECT label, vec_id, CAST(orank AS INT) AS orank FROM scored WHERE orank <= $OutlierK""".stripMargin
 
+  /** INT8 embedding quantization — the memory lever that makes
+    * billion-vector ANN fit an executor fleet: per-vector linear
+    * quantization to 256 levels cuts a float32 corpus 4× (plus the two
+    * float params per vector), and IVF/LSH probe phases scan the int8
+    * codes. Pure narrow map — no shuffle, no state, scale-invariant.
+    *
+    * The gate outputs integer-exact summaries (code sum / min / max per
+    * vector) rather than the raw codes, and the quantization uses
+    * `floor(x + 0.5)` instead of `round` so both engines compute the
+    * identical IEEE-double expression left-to-right — the same
+    * integer-determinism discipline as the hash/rank gates. q_min/q_max
+    * also pin the invariant that the vector's own extremes map to 0 and
+    * 255 exactly. */
+  def sim_quantize_int8(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))").as("mn"),
+        expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))").as("mx"),
+        col("embedding"))
+      .select(col("vec_id"), expr(
+        """transform(embedding, x -> CASE WHEN mx = mn THEN 0
+          |  ELSE CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0D / (mx - mn) + 0.5D) AS INT) END)
+          |""".stripMargin).as("q"))
+      .select(col("vec_id"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"))
+  }
+
+  val sim_quantize_int8_sql: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |    list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+      |    list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+      |    ELSE CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) END) AS ql
+      |  FROM b)
+      |SELECT vec_id, CAST(list_sum(ql) AS BIGINT) AS q_sum,
+      |  list_min(ql) AS q_min, list_max(ql) AS q_max
+      |FROM q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_int8" -> sim_quantize_int8 _,
     "sim_centroid_outlier" -> sim_centroid_outlier _,
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
     "sim_topk_lsh" -> sim_topk_lsh _,
@@ -416,6 +458,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize_int8" -> sim_quantize_int8_sql,
     "sim_centroid_outlier" -> sim_centroid_outlier_sql,
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,

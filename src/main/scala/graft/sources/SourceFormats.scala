@@ -178,15 +178,54 @@ object SourceFormats {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** SORTED write layout for row-group skipping — at 100 TB the cheapest
+    * read is the one whose row groups never open: range-repartition +
+    * sort-within-partitions by a hot filter column before writing, so each
+    * parquet file (and each row group inside it) covers a TIGHT, disjoint
+    * `n_chars` interval and a range predicate prunes whole files from the
+    * footer min/max stats alone. `SourcePartitionSuite` asserts the
+    * skipping is real (footer stats disjoint, most row groups prunable for
+    * a selective predicate, filter pushed to the scan); this gate pins the
+    * sorted layout's correctness under a range read. */
+  private val stagedSorted = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[sources] def stageSorted(s: SparkSession, dir: String): String =
+    stagedSorted.getOrElseUpdate(dir, {
+      val t = graft.Staging.tempDir("graft-src-sorted-").toString
+      Tables.documents(s, dir)
+        .repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions(col("n_chars"), col("doc_id"))
+        .write.mode("overwrite").parquet(t)
+      t
+    })
+
+  def src_sorted_layout(s: SparkSession, dir: String): DataFrame = {
+    val t = stageSorted(s, dir)
+    s.read.parquet(t)
+      .filter(col("n_chars") >= 200 && col("n_chars") < 400)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        min(md5(col("text"))).as("min_fp"))
+  }
+
+  val src_sorted_layout_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars, min(md5(text)) AS min_fp
+      |FROM documents WHERE n_chars >= 200 AND n_chars < 400
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_roundtrip" -> src_roundtrip _,
     "src_partitioned" -> src_partitioned _,
     "src_schema_merge" -> src_schema_merge _,
-    "src_bucketed" -> src_bucketed _)
+    "src_bucketed" -> src_bucketed _,
+    "src_sorted_layout" -> src_sorted_layout _)
 
   val oracles: Map[String, String] = Map(
     "src_roundtrip" -> src_roundtrip_sql,
     "src_partitioned" -> src_partitioned_sql,
     "src_schema_merge" -> src_schema_merge_sql,
-    "src_bucketed" -> src_bucketed_sql)
+    "src_bucketed" -> src_bucketed_sql,
+    "src_sorted_layout" -> src_sorted_layout_sql)
 }

@@ -44,6 +44,44 @@ class SourcePartitionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === expected)
   }
 
+  test("range-sorted layout yields disjoint row-group stats and real skipping") {
+    import scala.jdk.CollectionConverters._
+    val t = SourceFormats.stageSorted(spark, sfDir)
+    // the range predicate reaches the scan as a pushed filter
+    val df = spark.read.parquet(t).filter(col("n_chars") < 200).select(col("doc_id"))
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("n_chars"),
+      s"n_chars not pushed: ${scan.metadata("PushedFilters")}")
+    // footer truth: each row group covers a tight n_chars interval, and the
+    // intervals are pairwise disjoint (range partitioning + in-file sort) —
+    // so min/max stats alone prune everything outside the predicate
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val ranges = new java.io.File(t).listFiles().filter(_.getName.startsWith("part-"))
+      .flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf))
+        try r.getFooter.getBlocks.asScala.toVector.map { b =>
+          val cc = b.getColumns.asScala.find(_.getPath.toDotString == "n_chars").get
+          (cc.getStatistics.genericGetMin.asInstanceOf[Number].longValue,
+            cc.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
+        } finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.length >= 4, s"expected several row groups, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"row-group stats interleave: $ranges")
+      case _ =>
+    }
+    val skippable = ranges.count(_._1 >= 200)
+    assert(skippable > 0, s"no row group prunable for n_chars < 200: $ranges")
+    // and the pruned read still computes the exact answer
+    val expected = graft.Tables.documents(spark, sfDir).filter(col("n_chars") < 200).count()
+    assert(df.count() === expected)
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val (ot, ct) = SourceFormats.stageBucketed(spark, sfDir)
     // disable broadcast so the bucket co-location (not a broadcast) is what
