@@ -420,9 +420,13 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       endStateStoreCkptId: Option[String])
     : Iterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] with AutoCloseable = {
     val cf = colFamilyNameOpt.getOrElse(DefaultCf)
-    if (cf != DefaultCf) throw new UnsupportedOperationException(
-      s"readChangeFeed over column family '$cf' is not supported by this provider " +
-        "(only the default family is); read the final state instead")
+    // Named transformWithState variables are fine: the reader inits this
+    // provider with the SELECTED variable's key/value schemas (reading TWS
+    // state without stateVarName is rejected upstream), so the init-time
+    // codecs below decode that family's bytes. Internal families are commit
+    // bookkeeping, never user state.
+    if (cf.startsWith(InternalCfPrefix)) throw new UnsupportedOperationException(
+      s"readChangeFeed over internal column family '$cf' is not supported")
     if (useMultipleValuesPerKey) throw new UnsupportedOperationException(
       "readChangeFeed over a multi-valued store is not supported by this provider " +
         "(changelog values are frame lists, not rows)")

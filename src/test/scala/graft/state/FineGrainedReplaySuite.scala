@@ -12,6 +12,25 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import StateStoreTestHelper._
 
+/** Top-level (NOT nested in the suite — a nested class would capture the
+  * non-serializable scalatest engine in its closure): per-key row counter
+  * in a ValueState named "cnt", for the TWS change-feed test. */
+class FgrCountProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[Long]("cnt",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(k: Long, rows: Iterator[(Long, Long)],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (st.exists()) st.get() else 0L) + rows.size
+    st.update(n)
+    Iterator((k, n))
+  }
+}
+
 /** The statestore data source's advanced options against this provider:
   * `snapshotStartBatchId` (time-travel rebuild from one specific snapshot,
   * via `SupportsFineGrainedReplay.replayStateFromSnapshot`) and
@@ -100,12 +119,21 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally p.close()
   }
 
-  test("change feed: non-default column family is typed-unsupported") {
+  test("change feed: internal column families rejected; named families filter") {
     val (_, p) = buildFixture()
     try {
+      // internal bookkeeping families (TTL deadlines, meta counters) are
+      // never user state
       val e = intercept[UnsupportedOperationException](
-        p.getStateStoreChangeDataReader(1, 2, Some("other_cf"), None))
-      assert(e.getMessage.contains("column family"))
+        p.getStateStoreChangeDataReader(1, 2,
+          Some(RocksDbStateStoreProvider.MetaCf), None))
+      assert(e.getMessage.contains("internal"))
+      // named user families are served by filtering the changelog; a family
+      // with no records in range yields an empty feed (the public reader
+      // validates stateVarName against operator metadata upstream, so an
+      // unknown name cannot reach this layer through the data source)
+      val it = p.getStateStoreChangeDataReader(1, 2, Some("absent_cf"), None)
+      assert(it.isEmpty)
     } finally p.close()
   }
 
@@ -196,6 +224,42 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ls.select($"value.lv").as[String].collect().toSet === Set("a", "b"))
     val rs = spark.read.format("statestore").option("joinSide", "right").load(ckptDir)
     assert(rs.select($"value.rv").as[String].collect().toSet === Set("x"))
+  }
+
+  test("statestore source: readChangeFeed over a named transformWithState variable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val ckptDir = Files.createTempDirectory("graft-tws-ckpt-").toString
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new FgrCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("k", "n")
+      .writeStream.format("memory").queryName("fgr_tws_sink")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    try {
+      input.addData((1L, 1L), (2L, 1L)); q.processAllAvailable()
+      input.addData((1L, 1L)); q.processAllAvailable()
+    } finally q.stop()
+    // the reader inits the provider with THIS variable's schemas, so the
+    // change feed decodes the named family's records
+    val feed = spark.read.format("statestore")
+      .option("stateVarName", "cnt")
+      .option("readChangeFeed", true)
+      .option("changeStartBatchId", 0)
+      .load(ckptDir)
+    val rows = feed.collect().map { r =>
+      (r.getAs[Long]("batch_id"), r.getAs[String]("change_type"),
+        r.getStruct(r.fieldIndex("key")).getLong(0),
+        r.getStruct(r.fieldIndex("value")).getLong(0))
+    }.toSet
+    assert(rows === Set(
+      (0L, "update", 1L, 1L),
+      (0L, "update", 2L, 1L),
+      (1L, "update", 1L, 2L)))
   }
 
   test("statestore source: readChangeFeed emits per-batch running updates") {
