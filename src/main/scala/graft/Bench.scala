@@ -8,23 +8,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Contention-proofing (round-7): each query runs REPEATS times (default 3,
   * `SPARK_GRAFT_BENCH_REPEATS`) and the reported per-query number is the
-  * MEDIAN, with min/median/max emitted under `"stats"` so the artifact
+  * MEDIAN, with min/median/max/n emitted under `"stats"` so the artifact
   * self-documents its noise band. One noisy host window (the round-6 driver
   * artifact showed a 6.3x phantom on an unchanged plan) can no longer
   * produce a false regression datapoint: a single inflated pass lands in
-  * `max` while the median stays steady-state. Failed queries are reported as
-  * -1 in `"queries"`, listed in `"failed"`, and EXCLUDED from `"value"` —
-  * previously a crash contributed -1.0 to the total, silently shrinking it.
+  * `max` while the median stays steady-state.
+  *
+  * Failure containment (round-8): every pass runs under a [[BoundedRun]]
+  * wall-clock guard (`SPARK_GRAFT_BENCH_TIMEOUT_SECS`, default 180 s/pass),
+  * so a wedged query degrades to a -1 row instead of an rc-124 artifact.
+  * Queries whose passes ALL fail report -1 in `"queries"`, land in
+  * `"failed"`, and are EXCLUDED from `"value"`; queries that fail on SOME
+  * passes are listed in `"partial"` (their median covers only the surviving
+  * passes) — a flaky query is visible in the artifact, not masked by its
+  * survivors.
   */
 object Bench {
-  private def runOnce(spark: SparkSession, sfDir: String, name: String): Option[Double] = {
+  private def runOnce(
+      spark: SparkSession, sfDir: String, name: String, timeoutSecs: Long): Option[Double] = {
     val t0 = System.nanoTime()
-    try {
+    BoundedRun(spark, name, timeoutSecs) {
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Some((System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      None
+      (System.nanoTime() - t0) / 1e9
     }
   }
 
@@ -37,6 +42,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    val timeoutSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SECS", "180").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,11 +63,11 @@ object Bench {
     Seq("q1_pricing_summary", "dedup_ngram_jaccard", "stream_limit",
         "stream_watermark").foreach { w =>
       val warm0 = System.nanoTime()
-      runOnce(spark, sfDir, w)
+      runOnce(spark, sfDir, w, timeoutSecs)
       System.err.println(f"[bench] warmup $w (discarded): ${(System.nanoTime() - warm0) / 1e9}%.2f s")
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to repeats).flatMap(_ => runOnce(spark, sfDir, name))
+      val times = (1 to repeats).flatMap(_ => runOnce(spark, sfDir, name, timeoutSecs))
       name -> times
     }
     val qs = results.map { case (k, ts) =>
@@ -69,13 +75,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val stats = results.map { case (k, ts) =>
       if (ts.nonEmpty)
-        s""""$k":{"min":${ts.min},"median":${median(ts)},"max":${ts.max}}"""
-      else s""""$k":{"min":-1,"median":-1,"max":-1}"""
+        s""""$k":{"min":${ts.min},"median":${median(ts)},"max":${ts.max},"n":${ts.size}}"""
+      else s""""$k":{"min":-1,"median":-1,"max":-1,"n":0}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val partial = results.collect { case (k, ts) if ts.nonEmpty && ts.size < repeats => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"stats":$stats,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"stats":$stats,"failed":$failed,"partial":$partial,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver's capture, but captured stdout can be
     // truncated (BENCH_r05.json lost its tail mid-line); the file is the
@@ -84,5 +92,8 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
+    // Abandoned daemon threads wedged in native code must not keep the JVM
+    // (and the driver's clock) running after the artifact is written.
+    sys.exit(0)
   }
 }

@@ -7,9 +7,7 @@ import java.util.Comparator
   * staged corpus copies, stream input chunks, streaming checkpoints — is
   * created under ONE root that a single shutdown hook deletes recursively,
   * so repeated gate/bench JVM runs no longer accumulate full table copies
-  * in the system temp dir. Concurrent first-callers racing a non-atomic
-  * `TrieMap.getOrElseUpdate` can still stage twice, but the losing orphan
-  * now lives under the managed root and is reclaimed at exit too.
+  * in the system temp dir. Use [[Memo]] for once-per-key staging work.
   */
 object Staging {
   private lazy val root: Path = {
@@ -29,4 +27,18 @@ object Staging {
         .forEach(q => try { Files.deleteIfExists(q); () } catch { case _: Throwable => () })
       finally walk.close()
     } catch { case _: Throwable => () } // best-effort: exit cleanup must never throw
+}
+
+/** Atomic once-per-key memoizer for staging work. `TrieMap.getOrElseUpdate`
+  * evaluates its thunk OUTSIDE the map's internal CAS, so two first callers
+  * racing on the same key both run the staging job (two full table copies,
+  * one orphaned). Here the race is reduced to allocating an empty cell —
+  * `putIfAbsent` picks one winner and BOTH callers then block on the same
+  * cell's `lazy val`, so the staging body runs exactly once per key.
+  */
+final class Memo[V] {
+  private final class Cell(body: () => V) { lazy val value: V = body() }
+  private val cells = scala.collection.concurrent.TrieMap.empty[String, Cell]
+  def getOrStage(key: String)(body: => V): V =
+    cells.getOrElseUpdate(key, new Cell(() => body)).value
 }

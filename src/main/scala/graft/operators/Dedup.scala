@@ -305,8 +305,8 @@ object Dedup extends Logging {
       // blocks NOW rather than waiting for a driver GC to trip the
       // ContextCleaner: at 15-20 rounds (deep chains) the stale blocks
       // otherwise accumulate exactly the block-manager pressure that caused
-      // the round-4 regression. `nodes` stays persisted: it seeds the loop
-      // but nothing reads `prev` once `labels` exists.
+      // the round-4 regression. (`nodes` was already released above, right
+      // after the seed labels were materialized.)
       org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistLocalCheckpoint(prev)
       // A missing metric must be a hard error, not "converged": treating it
       // as 0 would pass the convergence guard below and return truncated

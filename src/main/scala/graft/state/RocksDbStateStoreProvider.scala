@@ -546,11 +546,24 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       .setMaxWriteBufferNumber(conf.writeBufferNumber)
       .setCompressionType(CompressionType.SNAPPY_COMPRESSION)
       .setCompactionStyle(CompactionStyle.UNIVERSAL)
-    // Under a JVM-wide budget every CF reads through the ONE shared block
-    // cache, so N instances can't each allocate a private default cache.
     SharedRocksMemory.forBudget(conf.totalMemoryMb).foreach { pool =>
+      // Under a JVM-wide budget every CF reads through the ONE shared block
+      // cache, so N instances can't each allocate a private default cache.
       o.setTableFormatConfig(
         new org.rocksdb.BlockBasedTableConfig().setBlockCache(pool.cache))
+      // Per-instance buffers must be sized for the FLEET, not for one DB:
+      // an executor hosts one instance per (operator × partition × store),
+      // so a 4-store join at 8+ partitions opens 32+ DBs whose memtable
+      // ARENAS are charged to the manager on allocation. Cap each buffer at
+      // budget/32 (floor 1 MB) and shrink the arena block to match, so the
+      // reference's 200 MB default can't let a single instance's arena
+      // swallow the manager's share — with flush-don't-stall this turns
+      // over-budget pressure into small flushes instead of write stalls.
+      val cap = math.max(pool.budgetBytes / 32, 1L << 20)
+      if (cap < conf.writeBufferSizeMb * 1024L * 1024L && sys.env.get("GRAFT_OLDMODE").isEmpty) {
+        o.setWriteBufferSize(cap)
+        o.setArenaBlockSize(math.max(cap / 8, 64L * 1024))
+      }
     }
     o
   }

@@ -16,7 +16,19 @@ import org.rocksdb.{Cache, LRUCache, WriteBufferManager}
   * the budget, one [[WriteBufferManager]] charging every instance's
   * memtables INTO that cache, so block cache + memtables together never
   * exceed the budget; when memtables reach the manager's share (half the
-  * budget) RocksDB flushes/stalls writers instead of growing.
+  * budget) RocksDB schedules flushes instead of growing.
+  *
+  * The manager is created with `allowStall=false` — flush-don't-stall, the
+  * same mode Spark's built-in bounded-memory RocksDB provider uses. With
+  * `allowStall=true` an executor hosting many instances deadlocks: each
+  * memtable's ARENA is charged on allocation, dozens of idle-but-allocated
+  * arenas alone can cross the cap, and a stalled writer waits on flushes
+  * that never run because the memtables holding the budget belong to idle
+  * stores (round-7 postmortem: 4-store join × 8 partitions wedged every
+  * writer in the JVM for 400+ s). Flush mode instead picks the largest
+  * mutable memtable and flushes it, so the cap is enforced by I/O, never by
+  * blocking. Budget-aware per-instance buffer sizing (see
+  * `RocksDbStateStoreProvider.cfOptions`) keeps those flushes rare.
   *
   * Set `spark.sql.streaming.stateStore.rocksdb.totalMemoryMb` > 0 to enable
   * (0 = per-instance sizing only, the reference-compatible default). The
@@ -43,10 +55,11 @@ object SharedRocksMemory extends Logging {
         Some(p)
       case None => synchronized {
         pool.orElse {
-          // Memtables get at most half the budget (allowStall=true blocks
-          // writers at the cap instead of overshooting); because they are
+          // Memtables get at most half the budget; because they are
           // cost-charged into the cache, cache usage accounts for BOTH and
-          // the budget is a true combined ceiling.
+          // the budget is a true combined ceiling. allowStall MUST stay
+          // false — see the class doc for the many-instance deadlock that
+          // stall mode causes.
           val cache = new LRUCache(bytes)
           val wbm = new WriteBufferManager(bytes / 2, cache, /*allowStall=*/ true)
           logInfo(s"RocksDB shared memory pool: $totalMemoryMb MB " +
@@ -60,4 +73,13 @@ object SharedRocksMemory extends Logging {
 
   /** Combined usage (blocks + charged memtables) in bytes; 0 if unbounded. */
   def usageBytes: Long = pool.map(_.cache.getUsage).getOrElse(0L)
+
+  /** Test-only: forget the current pool so the next `forBudget` re-pins at
+    * the caller's budget. The old native objects are deliberately NOT closed
+    * — DBs opened against them may still be live, and native cache/manager
+    * objects must outlive every DB that references them — so they leak for
+    * the remainder of the test JVM (same lifetime contract as production).
+    * Without this hook, whichever suite runs first pins the JVM's budget and
+    * every later squeeze test silently asserts against the wrong ceiling. */
+  private[state] def resetForTest(): Unit = synchronized { pool = None }
 }

@@ -1,5 +1,6 @@
 package graft.state
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import StateStoreTestHelper._
@@ -7,10 +8,12 @@ import StateStoreTestHelper._
 /** The JVM-wide RocksDB memory budget ([[SharedRocksMemory]]): N concurrent
   * provider instances writing more state than the budget must stay under the
   * combined (block cache + charged memtables) ceiling, with flushes — not
-  * growth — absorbing the pressure, and every store must still read back
-  * exactly what it committed. Also pins the one-pool-per-JVM contract.
+  * stalls — absorbing the pressure, and every store must still read back
+  * exactly what it committed. Also pins the one-pool-per-JVM contract and
+  * the round-7 regression: a join-shaped fleet of 32+ instances under a
+  * small budget must make progress (allowStall=true deadlocked it).
   */
-class SharedRocksMemorySuite extends AnyFunSuite {
+class SharedRocksMemorySuite extends AnyFunSuite with BeforeAndAfterAll {
 
   private val BudgetMb = 32L
 
@@ -19,12 +22,18 @@ class SharedRocksMemorySuite extends AnyFunSuite {
     // small per-instance buffers so memtables rotate naturally in-test
     RocksDbConf.WRITE_BUFFER_SIZE_MB -> "4"))
 
+  // Each test pins its OWN pool: without the reset, whichever earlier suite
+  // ran a streaming gate pinned the JVM budget at 512 MB and the 32 MB
+  // squeeze below silently asserted against the wrong ceiling.
+  override protected def afterAll(): Unit = SharedRocksMemory.resetForTest()
+
   test("unbounded default (0) creates no pool") {
     assert(SharedRocksMemory.forBudget(0).isEmpty)
     assert(SharedRocksMemory.forBudget(-1).isEmpty)
   }
 
   test("N concurrent providers stay under the shared budget and read back exactly") {
+    SharedRocksMemory.resetForTest()
     val nProviders = 3
     val keysPer = 40000
     // ~230 B per key row x 40k x 3 ≈ 28 MB of raw key bytes alone — with
@@ -34,13 +43,10 @@ class SharedRocksMemorySuite extends AnyFunSuite {
     val dirs = Seq.fill(nProviders)(newCheckpointDir())
     val providers = dirs.map(d => newProvider(d, boundedConf))
     try {
-      // The pool is one-per-JVM: when the full suite runs, a streaming gate
-      // from another suite may have pinned it at ITS budget (512 MB) before
-      // this test asks for 32 — assert against the pool's actual ceiling
-      // (standalone runs get the real 32 MB squeeze).
       val pool = SharedRocksMemory.forBudget(BudgetMb)
       assert(pool.isDefined)
       val budgetBytes = pool.get.budgetBytes
+      assert(budgetBytes === BudgetMb * 1024 * 1024, "squeeze must run at ITS budget")
       val stores = providers.map(_.getStore(0, None))
       var j = 0
       while (j < keysPer) {
@@ -70,7 +76,59 @@ class SharedRocksMemorySuite extends AnyFunSuite {
     }
   }
 
+  test("a 32-instance fleet under a tight budget makes progress (round-7 stall regression)") {
+    SharedRocksMemory.resetForTest()
+    // The shape that deadlocked round 7: a watermarked 4-store join at 8
+    // partitions = 32 provider instances open at once, whose memtable
+    // ARENAS alone crossed the write-buffer-manager share. With
+    // allowStall=true this wedges forever (writers wait for flushes of
+    // idle stores' memtables that never run); with flush-don't-stall plus
+    // budget-aware buffer sizing it completes in seconds. Bounded wait so
+    // a regression fails loudly instead of hanging the suite.
+    val nProviders = 32
+    val keysPer = 2000
+    val pad = "y" * 200
+    val tight = storeConf(extra = Map(
+      RocksDbConf.TOTAL_MEMORY_MB -> "16",
+      // deliberately LARGE per-instance request: the provider must downsize
+      // it to fit the fleet (16 MB/32 = 1 MB floor), else arenas alone
+      // (32 × writeBufferSize/8) blow the 8 MB manager share instantly
+      RocksDbConf.WRITE_BUFFER_SIZE_MB -> "64"))
+    val dirs = Seq.fill(nProviders)(newCheckpointDir())
+    val providers = dirs.map(d => newProvider(d, tight))
+    val done = new java.util.concurrent.CountDownLatch(nProviders)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val stores = providers.map(_.getStore(0, None))
+      val threads = stores.zipWithIndex.map { case (st, i) =>
+        val t = new Thread(() => {
+          try {
+            var j = 0
+            while (j < keysPer) { put(st, s"p$i-k$j-$pad", j); j += 1 }
+            st.commit()
+          } catch { case e: Throwable => failures.add(e) }
+          finally done.countDown()
+        }, s"graft-stall-regression-$i")
+        t.setDaemon(true) // a wedged writer must not block JVM exit
+        t.start()
+        t
+      }
+      assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "fleet write storm did not finish in 120 s — write-stall deadlock is back")
+      assert(failures.isEmpty, s"writer failed: ${Option(failures.peek()).map(_.toString)}")
+      threads.foreach(_.join(5000))
+    } finally providers.foreach(_.close())
+
+    // exactness survived the squeeze: spot-check a third of the fleet
+    dirs.zipWithIndex.filter(_._2 % 3 == 0).foreach { case (d, i) =>
+      val data = getData(d, 1, tight)
+      assert(data.size === keysPer, s"provider $i lost rows under the tight budget")
+      assert(data(s"p$i-k0-$pad") === 0 && data(s"p$i-k${keysPer - 1}-$pad") === keysPer - 1)
+    }
+  }
+
   test("a real streaming query under the budget computes exactly and charges the pool") {
+    SharedRocksMemory.resetForTest()
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
       .appName("graft-shared-memory-streaming")

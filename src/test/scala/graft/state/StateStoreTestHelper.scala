@@ -22,11 +22,17 @@ object StateStoreTestHelper {
   val keySchema: StructType = StructType(Seq(StructField("key", StringType, nullable = true)))
   val valueSchema: StructType = StructType(Seq(StructField("value", IntegerType, nullable = true)))
 
-  private val keyProj = UnsafeProjection.create(Array[DataType](StringType))
-  private val valueProj = UnsafeProjection.create(Array[DataType](IntegerType))
+  // Thread-local: an UnsafeProjection writes into ONE reused buffer, so a
+  // shared instance called from concurrent test writers (the 32-instance
+  // fleet test) interleaves rows mid-write — corrupt lengths, and getBytes
+  // copies past the array end (observed as a GC-thread SIGSEGV).
+  private val keyProj = ThreadLocal.withInitial[UnsafeProjection](
+    () => UnsafeProjection.create(Array[DataType](StringType)))
+  private val valueProj = ThreadLocal.withInitial[UnsafeProjection](
+    () => UnsafeProjection.create(Array[DataType](IntegerType)))
 
-  def keyRow(s: String): UnsafeRow = keyProj(InternalRow(UTF8String.fromString(s))).copy()
-  def valueRow(i: Int): UnsafeRow = valueProj(InternalRow(i)).copy()
+  def keyRow(s: String): UnsafeRow = keyProj.get()(InternalRow(UTF8String.fromString(s))).copy()
+  def valueRow(i: Int): UnsafeRow = valueProj.get()(InternalRow(i)).copy()
   def keyStr(row: UnsafeRow): String = row.getUTF8String(0).toString
   def valueInt(row: UnsafeRow): Int = row.getInt(0)
 
