@@ -84,13 +84,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"stats":$stats,"failed":$failed,"partial":$partial,"sf":"$sfDir"}"""
-    println(json)
-    // The stdout line is the driver's capture, but captured stdout can be
-    // truncated (BENCH_r05.json lost its tail mid-line); the file is the
-    // complete, archivable artifact.
+    // File first: captured stdout can be truncated mid-line (BENCH_r05 and
+    // BENCH_r08 both lost the stdout tail — `"parsed": null`); the file is
+    // the complete, archivable artifact regardless of what the pipe kept.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    println(json)
+    System.out.flush()
     spark.stop()
     // Abandoned daemon threads wedged in native code must not keep the JVM
     // (and the driver's clock) running after the artifact is written.

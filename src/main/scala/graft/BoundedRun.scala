@@ -17,7 +17,14 @@ import org.apache.spark.sql.SparkSession
   * the loop moves on to the next query instead of wedging the artifact.
   */
 object BoundedRun {
-  def apply[A](spark: SparkSession, name: String, timeoutSecs: Long)(body: => A): Option[A] = {
+  def apply[A](spark: SparkSession, name: String, timeoutSecs: Long)(body: => A): Option[A] =
+    attempt(spark, name, timeoutSecs)(body).toOption
+
+  /** Like `apply`, but a failure carries WHY (exception string or timeout
+    * marker) so callers can persist a per-query error artifact — a silent
+    * absence in `CORRECTNESS_r*.json` cost round 8 a from-scratch diagnosis
+    * of 26 missing rows. */
+  def attempt[A](spark: SparkSession, name: String, timeoutSecs: Long)(body: => A): Either[String, A] = {
     val result = new LinkedBlockingQueue[Either[Throwable, A]](1)
     val t = new Thread(
       () => try result.put(Right(body))
@@ -32,13 +39,16 @@ object BoundedRun {
         // Gates run on cloned sessions whose StreamingQueryManager is their
         // own, but cancelAllJobs on the SHARED SparkContext fails any
         // in-flight micro-batch, which terminates the stream too.
+        // The abandoned thread may still be INSIDE a native RocksDB call:
+        // providers must never free native handles under it — see the
+        // lifetime contract in RocksDbStateStoreProvider (leak, don't close).
         Try(spark.streams.active.foreach(q => Try(q.stop())))
         Try(spark.sparkContext.cancelAllJobs())
-        None
+        Left(s"TIMEOUT after ${timeoutSecs}s")
       case Left(e) =>
         System.err.println(s"[guard] $name failed: ${e.getMessage}")
-        None
-      case Right(a) => Some(a)
+        Left(s"${e.getClass.getName}: ${e.getMessage}")
+      case Right(a) => Right(a)
     }
   }
 }

@@ -17,24 +17,40 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively. The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[nanosConf]]) — the
+  /** `events.ts` may arrive as parquet TIMESTAMP(MICROS) — read natively as
+    * a timestamp — or TIMESTAMP(NANOS), which Spark 4 only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[nanosConf]]; the
     * entry points `graft.Verify` / `graft.Bench` set it at session build, as
-    * loaders must not mutate session config as a side effect. The ns→µs
-    * conversion uses floor division (matching DuckDB for pre-epoch
-    * nanosecond timestamps, where truncation toward zero would round the
-    * wrong way).
+    * loaders must not mutate session config as a side effect), surfacing as
+    * a LongType column of epoch-nanos. The loader branches on the LOADED
+    * dtype so the same call works against either physical layout: timestamps
+    * pass through untouched; a long column gets the ns→µs floor-division
+    * conversion (matching DuckDB for pre-epoch nanosecond timestamps, where
+    * truncation toward zero would round the wrong way).
     */
   val nanosConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
 
   def events(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.getOption(nanosConf._1).contains(nanosConf._2),
-      s"session must set ${nanosConf._1}=${nanosConf._2} to read events.parquet")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(
-          "CASE WHEN ts >= 0 THEN ts div 1000 ELSE (ts - 999) div 1000 END")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case TimestampNTZType =>
+        // Sessions run UTC, so NTZ wall-clock == the UTC instant the old
+        // nanos path produced via timestamp_micros; normalizing to TIMESTAMP
+        // keeps every downstream expression (unix_micros, watermarks, window
+        // functions) on the type the whole engine was built and verified
+        // against.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN ts >= 0 THEN ts div 1000 ELSE (ts - 999) div 1000 END")))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected TIMESTAMP, TIMESTAMP_NTZ, " +
+          s"or INT64 epoch-nanos via ${nanosConf._1}=${nanosConf._2})")
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

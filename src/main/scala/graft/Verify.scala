@@ -40,9 +40,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      BoundedRun(spark, name, perQuerySecs) {
+      BoundedRun.attempt(spark, name, perQuerySecs) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+      } match {
+        case Right(_) => ()
+        case Left(err) =>
+          // A failed query must leave a trace the driver can surface as an
+          // `err` row — a silently absent entry cost round 8 a from-scratch
+          // diagnosis of 26 missing queries.
+          scala.util.Try(Files.writeString(Paths.get(s"$outDir/$name.err"), err))
       }
     }
     spark.stop()

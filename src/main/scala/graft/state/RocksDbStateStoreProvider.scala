@@ -358,12 +358,19 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     require(endVersion >= snapshotVersion,
       s"endVersion $endVersion cannot precede snapshotVersion $snapshotVersion")
     lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
+    // Under v2 the store's lineage is the commit the replay materialized:
+    // a WRITABLE replayed store commits endVersion+1 with this as its
+    // lineage header, so the chain walks back through the exact commit the
+    // caller replayed — `None` here would break lineage recovery of any
+    // commit built on top of a replay (round-7 ADVICE carryover).
+    var replayedLineage: Option[String] = None
     val dir =
       if (ckptIdsEnabled) {
         val endId = endStateStoreCkptId.orElse(resolveIdByVersion(endVersion)).getOrElse(
           throw new IllegalStateException(
             s"No durable commit found for state version $endVersion of $stateStoreId_ " +
               "(checkpoint format v2)"))
+        replayedLineage = Some(endId)
         var chain = List.empty[(Long, Option[String])]
         var curV = endVersion
         var curId = endId
@@ -403,16 +410,18 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
           replayDeltas(dest, ((snapshotVersion + 1) to endVersion).map(v => (v, Option.empty[String])))
         dest
       }
-    val store = new RocksDbStateStore(endVersion, dir, readOnly, None)
+    val store = new RocksDbStateStore(endVersion, dir, readOnly, replayedLineage)
     lastOpenStore = Some(store)
     store
   }
 
   /** Change feed over the default column family, decoded straight from the
     * changelog deltas — one record per (put | remove) as committed, stamped
-    * with the batch that committed it (`version - 1`). Non-default column
-    * families and multi-valued stores get a typed unsupported error rather
-    * than a wrong decode. */
+    * with the batch that committed it (`version - 1`). Multi-valued
+    * (ListState-backed) stores flatten: each put's value blob is a frame
+    * list and yields one PUT row per element, so the feed at batch B for
+    * key K is the complete list contents after that batch's update (exact —
+    * this provider's changelog stores full blobs, not merge deltas). */
   override protected def changeFeedRecords(
       startVersion: Long,
       endVersion: Long,
@@ -427,9 +436,6 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     // bookkeeping, never user state.
     if (cf.startsWith(InternalCfPrefix)) throw new UnsupportedOperationException(
       s"readChangeFeed over internal column family '$cf' is not supported")
-    if (useMultipleValuesPerKey) throw new UnsupportedOperationException(
-      "readChangeFeed over a multi-valued store is not supported by this provider " +
-        "(changelog values are frame lists, not rows)")
     if (!conf.changelogEnabled) throw new UnsupportedOperationException(
       s"readChangeFeed requires changelog checkpointing (${RocksDbConf.CHANGELOG}=true); " +
         "this checkpoint was written with full snapshots only")
@@ -459,36 +465,72 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     val evolution = schemaProvider.flatMap { sp =>
       Try(new ValueSchemaEvolution(sp, DefaultCf, valueSchema)).toOption
     }
-    val valueCodec = new ValueCodec(valueSchema.length, multiValued = false, evolution)
+    val valueCodec =
+      new ValueCodec(valueSchema.length, multiValued = useMultipleValuesPerKey, evolution)
     new Iterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] with AutoCloseable {
       private val remaining = versionIds.iterator
       private var curStream: java.io.InputStream = _
       private var cur: Iterator[Changelog.Record] = Iterator.empty
       private var curVersion = 0L
+      /** Rows decoded from the current record but not yet emitted — a
+        * multi-valued put yields one row per list element. */
+      private var pending: Iterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] =
+        Iterator.empty
+
+      private def decode(r: Changelog.Record)
+        : Iterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] = {
+        val batch = curVersion - 1
+        if (r.op == Changelog.OpPut) {
+          if (useMultipleValuesPerKey)
+            valueCodec.decodeAll(r.value)
+              .map(v => (RecordType.PUT_RECORD, keyCodec.decode(r.key), v, batch))
+          else Iterator.single(
+            (RecordType.PUT_RECORD, keyCodec.decode(r.key),
+              valueCodec.decodeSingle(r.value), batch))
+        } else Iterator.single(
+          (RecordType.DELETE_RECORD, keyCodec.decode(r.key), null, batch))
+      }
 
       @annotation.tailrec
       private def advance(): Boolean =
-        if (cur.hasNext) true
+        if (pending.hasNext) true
+        else if (cur.hasNext) { pending = decode(cur.next()); advance() }
         else if (!remaining.hasNext) false
         else {
           val (v, id) = remaining.next()
           curVersion = v
           curStream = snapshots.openDelta(v, id)
           if (id.isDefined) Changelog.readHeader(curStream)
-          // internal families (TTL deadlines, meta counters) are commit
-          // bookkeeping, not user state changes
-          cur = Changelog.read(curStream).filter(_.cf == cf)
+          // Internal families (TTL deadlines, meta counters) are commit
+          // bookkeeping, not user state changes — EXCEPT the persisted key
+          // schema of the requested family, which is validated against the
+          // init-time codecs as it streams by: decoding a CF whose stored
+          // layout differs from what this provider was init'ed with would
+          // emit garbage rows, not an error. (The `ks:` record is written in
+          // the CF's creation batch; a feed starting after it trusts init,
+          // same as the reference-free v1 path.)
+          val ksKey = (KeySchemaMetaPrefix + cf).getBytes("UTF-8")
+          cur = Changelog.read(curStream).flatMap { r =>
+            if (r.cf == cf) Some(r)
+            else {
+              if (r.cf == MetaCf && r.op == Changelog.OpPut &&
+                  java.util.Arrays.equals(r.key, ksKey)) {
+                val storedJson = new String(r.value, "UTF-8")
+                val stored = DataType.fromJson(storedJson).asInstanceOf[StructType]
+                if (!sameKeyLayout(stored, keySchema))
+                  throw StateStoreErrors.stateStoreKeySchemaNotCompatible(
+                    storedJson, keySchema.json)
+              }
+              None
+            }
+          }
           advance()
         }
 
       override def hasNext: Boolean = advance()
       override def next(): (RecordType.Value, UnsafeRow, UnsafeRow, Long) = {
         if (!advance()) throw new NoSuchElementException("change feed exhausted")
-        val r = cur.next()
-        if (r.op == Changelog.OpPut)
-          (RecordType.PUT_RECORD, keyCodec.decode(r.key), valueCodec.decodeSingle(r.value), curVersion - 1)
-        else
-          (RecordType.DELETE_RECORD, keyCodec.decode(r.key), null, curVersion - 1)
+        pending.next()
       }
       override def close(): Unit = if (curStream != null) Try(curStream.close())
     }
@@ -667,13 +709,65 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
 
     private[state] def isFinished: Boolean = state != State.Updating
 
+    /** Native-handle lifetime contract (round-8 SIGSEGV postmortem — two JVM
+      * crashes with heap-corruption signatures traced to freeing the native
+      * DB under a live reader):
+      *
+      *  - Every WRITE path (`put`/`remove`/`merge*`/`commit`/`abort`/
+      *    `metrics`/`snapshotIfDue`/CF ops) is `synchronized` on this store,
+      *    so [[ensureClosed]] (also synchronized) can never free the DB while
+      *    a writer is inside a native call.
+      *  - READ paths (`get`, `valuesIterator`, and iterators consumed lazily
+      *    long after creation) are deliberately NOT synchronized (hot path,
+      *    and post-commit reads must not contend) — they hold [[nativeRefs]]
+      *    for the duration of each native call instead, via [[withNativeRef]].
+      *  - [[ensureClosed]] publishes `dbClosed=true` FIRST, then drains
+      *    `nativeRefs` to zero (bounded wait). The increment-then-check /
+      *    publish-then-drain pairing guarantees either the closer sees the
+      *    reader's ref and waits, or the reader sees the flag and never
+      *    touches the native handle.
+      *  - If refs do not drain (a thread abandoned by `BoundedRun` or a task
+      *    kill is wedged inside a native call), the DB is deliberately
+      *    LEAKED — never freed under a live thread. A leaked native handle
+      *    costs memory; a freed one costs the whole JVM (delayed SIGSEGV on
+      *    a GC or VM thread, which is how round 8 lost two test runs).
+      */
+    private val nativeRefs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** Native RocksDB iterators currently open on this store; force-closed at
+      * [[ensureClosed]] once refs are drained (no thread can be inside one),
+      * mirroring how Spark's built-in RocksDB provider tracks and reaps
+      * leftover iterators at store close. */
+    private val openIterators =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[RocksIterator]()
+
+    private def withNativeRef[A](body: => A): A = {
+      nativeRefs.incrementAndGet()
+      try {
+        verify(!dbClosed, "State store RocksDB instance is already closed")
+        body
+      } finally nativeRefs.decrementAndGet()
+    }
+
     /** Close the underlying RocksDB (idempotent); metrics stay readable via
-      * the cached values captured here. */
+      * the cached values captured here. See the lifetime contract on
+      * [[nativeRefs]]: publish the closed flag, drain in-flight readers,
+      * then free — or leak deliberately if a reader never drains. */
     private[state] def ensureClosed(): Unit = synchronized {
       if (!dbClosed) {
         cachedMetrics = Some(computeMetrics())
         dbClosed = true
-        closeDb(opened)
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (nativeRefs.get() > 0 && System.nanoTime() < deadline) Thread.sleep(5)
+        if (nativeRefs.get() > 0) {
+          logWarning(s"Leaking RocksDB of $this: ${nativeRefs.get()} thread(s) still inside " +
+            "native calls after 5s (abandoned by a timeout/kill?) — a leaked handle is " +
+            "recoverable, a use-after-free is not")
+        } else {
+          openIterators.iterator().asScala.foreach(it => Try(it.close()))
+          openIterators.clear()
+          closeDb(opened)
+        }
       }
     }
 
@@ -752,18 +846,6 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         persistedCountsMap.getOrElse(name, 0L))
       cfs.put(name, info)
       info
-    }
-
-    /** Structural equality of key layouts: field names and nullability are
-      * ignored (neither affects UnsafeRow encoding); types must match. */
-    private def sameKeyLayout(a: DataType, b: DataType): Boolean = (a, b) match {
-      case (x: StructType, y: StructType) =>
-        x.length == y.length &&
-          x.fields.zip(y.fields).forall { case (f, g) => sameKeyLayout(f.dataType, g.dataType) }
-      case (x: ArrayType, y: ArrayType) => sameKeyLayout(x.elementType, y.elementType)
-      case (x: MapType, y: MapType) =>
-        sameKeyLayout(x.keyType, y.keyType) && sameKeyLayout(x.valueType, y.valueType)
-      case _ => a == b
     }
 
     override def createColFamilyIfAbsent(
@@ -857,53 +939,70 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
 
     override def get(key: UnsafeRow, colFamilyName: String): UnsafeRow = {
       if (stateless) return null
-      val info = cfInfo(colFamilyName)
-      val kBytes = info.keyCodec.encode(key)
-      if (strictTtl && !isLive(colFamilyName, kBytes)) {
-        // strict mode is the only expiry authority (no TtlDB compaction
-        // expiry) — reclaim the dead record on access
-        if (!readOnly && state == State.Updating) synchronized {
-          if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) != null) {
-            info.numKeys -= 1
+      withNativeRef {
+        val info = cfInfo(colFamilyName)
+        val kBytes = info.keyCodec.encode(key)
+        if (strictTtl && !isLive(colFamilyName, kBytes)) {
+          // strict mode is the only expiry authority (no TtlDB compaction
+          // expiry) — reclaim the dead record on access
+          if (!readOnly && state == State.Updating) synchronized {
+            if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) != null) {
+              info.numKeys -= 1
+            }
+            db.delete(handle(colFamilyName), kBytes)
+            recordRemove(colFamilyName, kBytes)
+            db.delete(deadlineHandle(colFamilyName), kBytes)
+            recordRemove(deadlineCfName(colFamilyName), kBytes)
           }
-          db.delete(handle(colFamilyName), kBytes)
-          recordRemove(colFamilyName, kBytes)
-          db.delete(deadlineHandle(colFamilyName), kBytes)
-          recordRemove(deadlineCfName(colFamilyName), kBytes)
+          null
+        } else {
+          val vBytes = db.get(handle(colFamilyName), kBytes)
+          if (vBytes == null) null
+          else {
+            // Access resets the TTL deadline (reference `expireAfterAccess`
+            // semantics, proven at RocksDbStateTimeoutSuite.scala:123-170);
+            // only while Updating — post-commit reads must not mutate the
+            // committed dir.
+            if (strictTtl && !readOnly && state == State.Updating) {
+              synchronized { touch(colFamilyName, kBytes) }
+            }
+            info.valueCodec.decodeSingle(vBytes)
+          }
         }
-        return null
       }
-      val vBytes = db.get(handle(colFamilyName), kBytes)
-      if (vBytes == null) return null
-      // Access resets the TTL deadline (reference `expireAfterAccess`
-      // semantics, proven at RocksDbStateTimeoutSuite.scala:123-170); only
-      // while Updating — post-commit reads must not mutate the committed dir.
-      if (strictTtl && !readOnly && state == State.Updating) {
-        synchronized { touch(colFamilyName, kBytes) }
-      }
-      info.valueCodec.decodeSingle(vBytes)
     }
 
     override def valuesIterator(key: UnsafeRow, colFamilyName: String): Iterator[UnsafeRow] = {
       if (stateless) return Iterator.empty
-      val info = cfInfo(colFamilyName)
-      val kBytes = info.keyCodec.encode(key)
-      if (strictTtl && !isLive(colFamilyName, kBytes)) return Iterator.empty
-      info.valueCodec.decodeAll(db.get(handle(colFamilyName), kBytes))
+      withNativeRef {
+        val info = cfInfo(colFamilyName)
+        val kBytes = info.keyCodec.encode(key)
+        if (strictTtl && !isLive(colFamilyName, kBytes)) Iterator.empty
+        else info.valueCodec.decodeAll(db.get(handle(colFamilyName), kBytes))
+      }
     }
 
     private def rowPairIterator(
         cf: String, lowerBound: Option[Array[Byte]]): StateStoreIterator[UnsafeRowPair] = {
       val info = cfInfo(cf)
-      val it = db.newIterator(handle(cf))
-      lowerBound match {
-        case Some(b) => it.seek(b)
-        case None => it.seekToFirst()
+      // Creation, every lazy hasNext/next, and the strict-TTL deadline probe
+      // each run under a native ref (see the lifetime contract on
+      // [[nativeRefs]]): the iterator is consumed long after this method
+      // returns, possibly racing a provider close from another thread.
+      val (it, dhOpt) = withNativeRef {
+        val i = db.newIterator(handle(cf))
+        openIterators.add(i)
+        lowerBound match {
+          case Some(b) => i.seek(b)
+          case None => i.seekToFirst()
+        }
+        (i, if (strictTtl && !stateless) Some(deadlineHandle(cf)) else None)
       }
       val raw: Iterator[(Array[Byte], Array[Byte])] = new Iterator[(Array[Byte], Array[Byte])] {
-        override def hasNext: Boolean = it.isValid &&
-          lowerBound.forall(b => startsWith(it.key(), b))
-        override def next(): (Array[Byte], Array[Byte]) = {
+        override def hasNext: Boolean = withNativeRef {
+          it.isValid && lowerBound.forall(b => startsWith(it.key(), b))
+        }
+        override def next(): (Array[Byte], Array[Byte]) = withNativeRef {
           it.status()
           val kv = (it.key(), it.value())
           it.next()
@@ -915,17 +1014,19 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         // Iterator visibility honors strict expiry but does not reset
         // deadlines (matching reference `:272-276`).
         else if (strictTtl) {
-          val dh = deadlineHandle(cf)
+          val dh = dhOpt.get
           raw.filter { case (kBytes, _) =>
-            val d = db.get(dh, kBytes)
-            d == null || (clock() - beLong(d)) <= ttlMs
+            withNativeRef {
+              val d = db.get(dh, kBytes)
+              d == null || (clock() - beLong(d)) <= ttlMs
+            }
           }
         } else raw
       val pair = new UnsafeRowPair()
       val rows = visible.map { case (kBytes, vBytes) =>
         pair.withRows(info.keyCodec.decode(kBytes), info.valueCodec.decodeSingle(vBytes))
       }
-      new StateStoreIterator(rows, () => it.close())
+      new StateStoreIterator(rows, () => if (openIterators.remove(it)) Try(it.close()))
     }
 
     private def startsWith(bytes: Array[Byte], prefix: Array[Byte]): Boolean = {
@@ -1217,6 +1318,18 @@ object RocksDbStateStoreProvider {
   /** Meta-CF key prefix under which each column family's key schema JSON is
     * persisted (`ks:<cfName>` → schema), for the restart compatibility check. */
   private[state] val KeySchemaMetaPrefix: String = "ks:"
+
+  /** Structural equality of key layouts: field names and nullability are
+    * ignored (neither affects UnsafeRow encoding); types must match. */
+  private[state] def sameKeyLayout(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length &&
+        x.fields.zip(y.fields).forall { case (f, g) => sameKeyLayout(f.dataType, g.dataType) }
+    case (x: ArrayType, y: ArrayType) => sameKeyLayout(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      sameKeyLayout(x.keyType, y.keyType) && sameKeyLayout(x.valueType, y.valueType)
+    case _ => a == b
+  }
 
   /** Injectable wall clock so TTL tests are deterministic (the reference used
     * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`). */

@@ -61,7 +61,7 @@ object SharedRocksMemory extends Logging {
           // false — see the class doc for the many-instance deadlock that
           // stall mode causes.
           val cache = new LRUCache(bytes)
-          val wbm = new WriteBufferManager(bytes / 2, cache, /*allowStall=*/ true)
+          val wbm = new WriteBufferManager(bytes / 2, cache, /*allowStall=*/ false)
           logInfo(s"RocksDB shared memory pool: $totalMemoryMb MB " +
             s"(write buffers capped at ${totalMemoryMb / 2} MB, charged to the block cache)")
           pool = Some(Pool(cache, wbm, bytes))

@@ -137,6 +137,85 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally p.close()
   }
 
+  test("replayStateFromSnapshot under v2 carries the replayed commit as its lineage") {
+    val dir = newCheckpointDir()
+    val conf = storeConf(extra = Map(
+      "spark.sql.streaming.stateStore.checkpointFormatVersion" -> "2"))
+    val p = newProvider(dir, conf)
+    try {
+      val s0 = p.getStore(0, None); put(s0, "a", 1); s0.commit()
+      val id1 = s0.getStateStoreCheckpointInfo().stateStoreCkptId
+      val s1 = p.getStore(1, id1); put(s1, "b", 2); s1.commit()
+      val id2 = s1.getStateStoreCheckpointInfo().stateStoreCkptId
+      // writable replay of commit (2, id2) from the v1 chain-base snapshot
+      val r = p.replayStateFromSnapshot(1, 2, readOnly = false, None, None)
+      // the store's lineage must be the commit the replay materialized —
+      // None here would orphan every commit built on top of a replay
+      assert(r.getStateStoreCheckpointInfo().baseStateStoreCkptId === id2)
+      put(r, "c", 3)
+      r.commit()
+      val id3 = r.getStateStoreCheckpointInfo().stateStoreCkptId
+      // a FRESH provider recovers the replay-based commit by walking the
+      // delta lineage headers back through (2, id2) to the v1 snapshot —
+      // which only resolves if the replayed store wrote id2 as its lineage
+      val pr = newProvider(dir, conf)
+      try {
+        val s = pr.getStore(3, id3)
+        assert(readAll(s) === Map("a" -> 1, "b" -> 2, "c" -> 3))
+        s.abort()
+      } finally pr.close()
+    } finally p.close()
+  }
+
+  test("change feed validates the persisted key schema against the init-time codecs") {
+    val (dir, p) = buildFixture()
+    p.close()
+    // a provider init'ed with a DIFFERENT key layout must get a typed error
+    // when the stored `ks:` schema record streams by — not garbage-decoded
+    // rows (the stored layout is authoritative for the bytes on disk)
+    val longKeys = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val bad = newProvider(dir, kSchema = longKeys)
+    try {
+      val it = bad.getStateStoreChangeDataReader(1, 4, None, None)
+      val e = intercept[Exception](it.toVector)
+      assert(e.getMessage.toLowerCase.contains("schema"),
+        s"expected a key-schema incompatibility error, got: ${e.getMessage}")
+    } finally bad.close()
+  }
+
+  test("change feed over a multi-valued (ListState) store flattens list elements") {
+    val dir = newCheckpointDir()
+    val p = newProvider(dir, useMultipleValuesPerKey = true)
+    try {
+      val cf = RocksDbStateStoreProvider.DefaultCf
+      val s0 = p.getStore(0, None)
+      s0.putList(keyRow("a"), Array(valueRow(1), valueRow(2)), cf)
+      s0.commit()
+      val s1 = p.getStore(1, None)
+      // merge rewrites the full blob, so batch 1 re-emits the whole list —
+      // the feed at batch B is the complete list contents after B's update
+      s1.merge(keyRow("a"), valueRow(3), cf)
+      s1.putList(keyRow("b"), Array(valueRow(9)), cf)
+      s1.commit()
+      val s2 = p.getStore(2, None)
+      s2.remove(keyRow("a"), cf)
+      s2.commit()
+      val got = p.getStateStoreChangeDataReader(1, 3, None, None).map { case (t, k, v, b) =>
+        (t.toString, keyStr(k), Option(v).map(valueInt), b)
+      }.toVector
+      assert(got === Vector(
+        ("put_record", "a", Some(1), 0L),
+        ("put_record", "a", Some(2), 0L),
+        ("put_record", "a", Some(1), 1L),
+        ("put_record", "a", Some(2), 1L),
+        ("put_record", "a", Some(3), 1L),
+        ("put_record", "b", Some(9), 1L),
+        ("delete_record", "a", None, 2L)))
+    } finally p.close()
+  }
+
   test("changelog-disabled checkpoints: snapshot-only replay works, ranges and CDC are typed errors") {
     val dir = newCheckpointDir()
     val conf = storeConf(extra = Map(RocksDbConf.CHANGELOG -> "false"))

@@ -32,6 +32,19 @@ class SharedRocksMemorySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(SharedRocksMemory.forBudget(-1).isEmpty)
   }
 
+  test("the pool's WriteBufferManager is flush-don't-stall (allowStall=false)") {
+    // The fleet test below passes on buffer-capping alone, so it cannot by
+    // itself catch stall mode being re-enabled (round-8 regression: the flag
+    // flipped back to true while doc and suite still claimed false). Pin the
+    // flag directly: with allowStall=true a 512 MB gate budget × 128-instance
+    // join fleet can wedge every writer in the JVM on flushes that never run.
+    SharedRocksMemory.resetForTest()
+    val pool = SharedRocksMemory.forBudget(BudgetMb).get
+    assert(!pool.writeBufferManager.allowStall(),
+      "shared WriteBufferManager must be created with allowStall=false " +
+        "(flush-don't-stall) — stall mode deadlocks many-instance executors")
+  }
+
   test("N concurrent providers stay under the shared budget and read back exactly") {
     SharedRocksMemory.resetForTest()
     val nProviders = 3
