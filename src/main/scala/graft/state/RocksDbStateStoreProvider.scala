@@ -462,8 +462,13 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         acc
       }
     val keyCodec = KeyCodec(keyEncoderSpec)
+    // Evolution must be looked up under the family actually being decoded:
+    // a named transformWithState variable's rows carry the 2-byte schema-ID
+    // prefix exactly when the schema provider tracks THAT family — decoding
+    // them under the default family's (absent) evolution shifts every value
+    // row by two bytes.
     val evolution = schemaProvider.flatMap { sp =>
-      Try(new ValueSchemaEvolution(sp, DefaultCf, valueSchema)).toOption
+      Try(new ValueSchemaEvolution(sp, cf, valueSchema)).toOption
     }
     val valueCodec =
       new ValueCodec(valueSchema.length, multiValued = useMultipleValuesPerKey, evolution)

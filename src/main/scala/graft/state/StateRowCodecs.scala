@@ -308,8 +308,10 @@ final class ValueCodec(
       override def next(): UnsafeRow = {
         val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
           ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-        val row = new UnsafeRow(numFields)
-        row.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + off + 4, len)
+        // decodeRow, not a raw pointTo: with schema evolution active each
+        // frame's row bytes carry the 2-byte schema-ID prefix — skipping it
+        // here shifted every multi-valued (ListState) row by two bytes.
+        val row = decodeRow(bytes, off + 4, len)
         off += 4 + len
         row
       }

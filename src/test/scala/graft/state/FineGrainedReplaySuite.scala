@@ -31,6 +31,24 @@ class FgrCountProcessor
   }
 }
 
+/** Top-level for the same serialization reason as [[FgrCountProcessor]]:
+  * per-key value log in a ListState named "vals", for the ListState
+  * change-feed test. */
+class FgrListProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ListState[Long] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getListState[Long]("vals",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(k: Long, rows: Iterator[(Long, Long)],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    rows.foreach(r => st.appendValue(r._2))
+    Iterator((k, st.get().size.toLong))
+  }
+}
+
 /** The statestore data source's advanced options against this provider:
   * `snapshotStartBatchId` (time-travel rebuild from one specific snapshot,
   * via `SupportsFineGrainedReplay.replayStateFromSnapshot`) and
@@ -339,6 +357,48 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
       (0L, "update", 1L, 1L),
       (0L, "update", 2L, 1L),
       (1L, "update", 1L, 2L)))
+  }
+
+  test("statestore source: readChangeFeed over a transformWithState ListState variable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val ckptDir = Files.createTempDirectory("graft-tws-list-ckpt-").toString
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new FgrListProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("k", "n")
+      .writeStream.format("memory").queryName("fgr_tws_list_sink")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    try {
+      input.addData((1L, 10L), (1L, 20L)); q.processAllAvailable()
+      input.addData((1L, 30L)); q.processAllAvailable()
+    } finally q.stop()
+    val feed = spark.read.format("statestore")
+      .option("stateVarName", "vals")
+      .option("readChangeFeed", true)
+      .option("changeStartBatchId", 0)
+      .load(ckptDir)
+    val rows = feed.collect().map { r =>
+      (r.getAs[Long]("batch_id"), r.getAs[String]("change_type"),
+        r.getStruct(r.fieldIndex("key")).getLong(0),
+        r.getStruct(r.fieldIndex("list_element")).getLong(0))
+    }.toVector
+    // each appendValue rewrites the full blob, so batch B's rows for a key
+    // are the complete list contents after each update within B:
+    // batch 0 appends 10 then 20 → [10], [10,20]; batch 1 appends 30 →
+    // [10,20,30]. Values must decode EXACTLY (a 2-byte schema-id prefix
+    // slip shows up here as value<<16).
+    assert(rows === Vector(
+      (0L, "update", 1L, 10L),
+      (0L, "update", 1L, 10L),
+      (0L, "update", 1L, 20L),
+      (1L, "update", 1L, 10L),
+      (1L, "update", 1L, 20L),
+      (1L, "update", 1L, 30L)))
   }
 
   test("statestore source: readChangeFeed emits per-batch running updates") {

@@ -581,6 +581,27 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     } finally p.close()
   }
 
+  test("provider close under an open iterator: typed error afterward, never a native crash") {
+    // Round-8 postmortem: freeing the native DB while a reader could still
+    // touch it corrupted the JVM heap (delayed SIGSEGV). The lifetime
+    // contract force-closes leftover native iterators only after in-flight
+    // readers drain, and every later use sees the closed flag BEFORE
+    // touching a native handle.
+    val ckpt = newCheckpointDir()
+    val p = newProvider(ckpt)
+    val s = p.getStore(0, None)
+    (0 until 100).foreach(i => put(s, s"k$i", i))
+    s.commit()
+    val it = s.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+    assert(it.hasNext)
+    it.next()
+    p.close() // drains refs, force-closes the leftover native iterator
+    val e = intercept[IllegalStateException](it.hasNext)
+    assert(e.getMessage.contains("already closed"))
+    // closing the consumer's handle after the force-close is a safe no-op
+    it.close()
+  }
+
   test("a changed key schema across restart is rejected with a typed error") {
     val ckpt = newCheckpointDir()
     val p1 = newProvider(ckpt)
