@@ -401,6 +401,26 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "update", 1L, 30L)))
   }
 
+  test("statestore source: joinSide combined with readChangeFeed is a typed upstream rejection") {
+    // CDC over a stream-stream join's buffered sides is refused by the data
+    // source's own option validation (conflicting options), so the provider
+    // SPI can never receive that shape — the join-side CDC gap is
+    // correct-by-refusal at the source layer, pinned here so an upstream
+    // behavior change surfaces as a test failure instead of a silent new
+    // code path.
+    val ckptDir = runAggQuery()
+    val e = intercept[Exception] {
+      spark.read.format("statestore")
+        .option("joinSide", "left")
+        .option("readChangeFeed", true)
+        .option("changeStartBatchId", 0)
+        .load(ckptDir)
+    }
+    val msg = e.getMessage.toLowerCase
+    assert(msg.contains("conflict") || msg.contains("cannot") || msg.contains("not support"),
+      s"expected a typed option-conflict rejection, got: ${e.getMessage}")
+  }
+
   test("statestore source: readChangeFeed emits per-batch running updates") {
     val ckptDir = runAggQuery()
     val feed = spark.read.format("statestore")
