@@ -225,6 +225,28 @@ class StateTtlSuite extends AnyFunSuite {
     }
   }
 
+  test("strict ttl over a multi-valued store: expiry hides the list, merge refreshes it") {
+    withFakeClock { clock =>
+      val cf = org.apache.spark.sql.execution.streaming.state.StateStore.DEFAULT_COL_FAMILY_NAME
+      val ckpt = newCheckpointDir()
+      val provider = newProvider(ckpt, conf = ttlConf(60, strict = true),
+        useMultipleValuesPerKey = true)
+      try {
+        val store = provider.getStore(0, None)
+        store.putList(keyRow("k1"), Array(valueRow(1), valueRow(2)), cf)
+        clock.advanceSecs(30)
+        // merge is an update: the whole list's deadline resets
+        store.merge(keyRow("k1"), valueRow(3), cf)
+        clock.advanceSecs(45) // 75s since putList, 45s since merge
+        assert(store.valuesIterator(keyRow("k1"), cf).map(valueInt).toVector
+          === Vector(1, 2, 3))
+        clock.advanceSecs(61) // past the ttl with no access in between
+        assert(store.valuesIterator(keyRow("k1"), cf).isEmpty)
+        store.commit()
+      } finally provider.close()
+    }
+  }
+
   test("lazy mode (non-strict) keeps keys visible at least until compaction") {
     withFakeClock { clock =>
       val ckpt = newCheckpointDir()
