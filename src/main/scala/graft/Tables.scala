@@ -63,4 +63,15 @@ object Tables {
   private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   def embeddingsCount(s: SparkSession, dir: String): Long =
     countCache.getOrElseUpdate(s"$dir/embeddings.parquet", embeddings(s, dir).count())
+
+  /** Cached embedding dimensionality (one single-row job per path) — PQ
+    * subspace boundaries are derived from it in both engines, so it must be
+    * read from the data, never assumed. */
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  def embeddingsDim(s: SparkSession, dir: String): Int =
+    dimCache.getOrElseUpdate(s"$dir/embeddings.parquet:dim",
+      embeddings(s, dir)
+        .select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")))
+        .head.getInt(0))
 }

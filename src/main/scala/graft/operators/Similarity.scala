@@ -447,7 +447,139 @@ object Similarity {
       |  list_min(ql) AS q_min, list_max(ql) AS q_max
       |FROM q""".stripMargin
 
+  /** Product-quantization ANN (the FAISS `PQx4` shape): the embedding space
+    * splits into [[PqM]] subspaces; each subspace learns [[PqK]] codewords by
+    * the same integer-exact Lloyd machinery as [[sim_topk_ivf_trained]]
+    * (cosine assignment is scale-invariant, so a codeword is the element-wise
+    * BIGINT SUM of its members' 2^20-quantized subvectors — bit-reproducible
+    * under any partitioning, and the DuckDB oracle re-trains to the same
+    * bits). A vector's code is its [[PqM]] codeword ids — the 4-byte-per-
+    * vector compression that makes 10^10-vector indexes executor-resident.
+    *
+    * Queries (vec_id < 50) score by ADC (asymmetric distance computation):
+    * one lookup table of (query × subspace × codeword) partial cosines —
+    * 50 × 4 × 16 rows, built once and broadcast — then a vector's score is
+    * the FIXED-ORDER sum of its codes' four table entries (per-subspace
+    * conditional sums added left-to-right, so the doubles are bit-identical
+    * in both engines; a plain SUM over the m rows would be
+    * summation-order-dependent).
+    *
+    * Scale shape: codes are one narrow row per (vector × subspace) through
+    * two hash aggs per Lloyd pass (max_by assignment, VecSumLong update) —
+    * no sort, no explosion; the ADC scan is linear in N like the code layout
+    * itself (production composes PQ codes with IVF lists — `sim_topk_ivf` —
+    * so a query scans ~N·probes/K codes, each M bytes). */
+  private val PqM = 4
+  private val PqK = 16
+  private val PqIters = 2
+
+  def sim_topk_pq(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.embeddingsDim(s, dir)
+    val sd = dim / PqM
+    // subspace m covers [m*sd+1, ...]; the last takes any remainder
+    def sliceLen(m: Int): Int = if (m == PqM - 1) dim - (PqM - 1) * sd else sd
+    val slices = (0 until PqM)
+      .map(m => s"slice(embedding, ${m * sd + 1}, ${sliceLen(m)})")
+      .mkString("array(", ", ", ")")
+    val subs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(expr(slices)).as(Seq("m", "sv")))
+      .withColumn("qsv",
+        expr(s"transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"))
+      .withColumn("sn2", VecDot.norm2(col("sv")))
+
+    def assign(codebook: DataFrame): DataFrame = subs
+      .join(broadcast(codebook.withColumn("cn2", VecDot.norm2(col("cv")))), Seq("m"))
+      .withColumn("cscore", VecDot.dot(col("cv"), col("sv")) / sqrt(col("sn2") * col("cn2")))
+
+    var code = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cid"), col("qsv").as("cv"))
+    for (_ <- 1 to PqIters) {
+      code = assign(code)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max_by(struct(col("qsv"), col("cid")), struct(col("cscore"), -col("cid"))).as("a"))
+        .groupBy(col("m"), col("a.cid").as("cid"))
+        .agg(graft.functions.VecSumLong.of(col("a.qsv")).as("cv"))
+    }
+
+    val assigned = assign(code)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("cid"))
+    // ADC lookup table: partial cosine of each query subvector against each
+    // UNIT-NORMALIZED codeword (codewords are unnormalized integer sums, so
+    // cross-subspace weights need the per-codeword length divided out)
+    val tbl = subs.filter(col("vec_id") < 50)
+      .join(broadcast(code.withColumn("cl", sqrt(VecDot.norm2(col("cv"))))), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        (VecDot.dot(col("cv"), col("sv")) / col("cl")).as("t"))
+
+    def tm(m: Int) = sum(when(col("m") === m, col("t"))).as(s"t$m")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    assigned.join(broadcast(tbl), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(tm(0), tm(1), tm(2), tm(3))
+      .withColumn("score", col("t0") + col("t1") + col("t2") + col("t3"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  // One per-subspace Lloyd iteration in DuckDB (the [[lloydDuck]] pattern
+  // with an extra `m` grouping column); `idx` is guarded by the subvector
+  // length so a non-uniform last subspace sums only its own positions.
+  private def pqLloydDuck(prev: String, next: String, aTbl: String): String =
+    s"""s_$aTbl AS (SELECT sq.vec_id, sq.m, sq.qsv, cid, row_number() OVER (PARTITION BY sq.vec_id, sq.m ORDER BY
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
+      |    / sqrt(sq.sn2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+      |    cid ASC) AS r
+      |  FROM sq JOIN $prev USING (m)),
+      |$next AS (SELECT m, cid, list(CAST(s AS BIGINT) ORDER BY i) AS cv FROM (
+      |    SELECT m, cid, idx.i, sum(qsv[idx.i]) AS s
+      |    FROM s_$aTbl CROSS JOIN idx WHERE r = 1 AND idx.i <= len(qsv)
+      |    GROUP BY m, cid, idx.i) GROUP BY m, cid)""".stripMargin
+
+  val sim_topk_pq_sql: String =
+    s"""WITH dims AS (SELECT max(len(embedding)) AS d,
+      |    CAST(max(len(embedding)) // $PqM AS BIGINT) AS sd FROM embeddings),
+      |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dims),
+      |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+      |sq AS (SELECT vec_id, m,
+      |    embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)] AS sv,
+      |    list_transform(embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)],
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS qsv,
+      |    list_sum(list_transform(embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)],
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sn2
+      |  FROM embeddings CROSS JOIN ms CROSS JOIN dims),
+      |c0 AS (SELECT m, vec_id AS cid, qsv AS cv FROM sq WHERE vec_id < $PqK),
+      |${pqLloydDuck("c0", "c1", "i1")},
+      |${pqLloydDuck("c1", "c2", "i2")},
+      |s_f AS (SELECT sq.vec_id, sq.m, cid, row_number() OVER (PARTITION BY sq.vec_id, sq.m ORDER BY
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
+      |    / sqrt(sq.sn2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+      |    cid ASC) AS r
+      |  FROM sq JOIN c2 USING (m)),
+      |assigned AS (SELECT vec_id, m, cid FROM s_f WHERE r = 1),
+      |tbl AS (SELECT sq.vec_id AS qid, c2.m AS m, c2.cid AS cid,
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
+      |    / sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS t
+      |  FROM sq JOIN c2 ON sq.m = c2.m WHERE sq.vec_id < 50),
+      |p AS (SELECT qid, a.vec_id,
+      |    sum(CASE WHEN a.m = 0 THEN t END) AS t0, sum(CASE WHEN a.m = 1 THEN t END) AS t1,
+      |    sum(CASE WHEN a.m = 2 THEN t END) AS t2, sum(CASE WHEN a.m = 3 THEN t END) AS t3
+      |  FROM assigned a JOIN tbl ON a.m = tbl.m AND a.cid = tbl.cid
+      |  WHERE a.vec_id != qid
+      |  GROUP BY qid, a.vec_id),
+      |s AS (SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY (((t0 + t1) + t2) + t3) DESC, vec_id ASC) AS rank
+      |  FROM p)
+      |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
+      |FROM s WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
     "sim_centroid_outlier" -> sim_centroid_outlier _,
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
@@ -458,6 +590,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,
     "sim_centroid_outlier" -> sim_centroid_outlier_sql,
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
