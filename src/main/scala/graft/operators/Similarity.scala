@@ -578,7 +578,142 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  /** IVF×PQ — the production composition SCALE.md describes: the coarse
+    * quantizer ([[sim_topk_ivf]]'s training-free K-cell version) prunes the
+    * corpus to a query's probed cells, and PQ codes ([[sim_topk_pq]]'s
+    * per-subspace integer-exact codebooks) score ONLY those candidates by
+    * ADC lookup. Per query the scan drops from N code rows to
+    * ~N·probes/K, each M bytes — the FAISS `IVFx,PQy` index shape.
+    *
+    * Plan shape: cell assignment and PQ coding are the siblings' linear
+    * passes (hash aggs, no sorts); the candidate set is
+    * cells ⋈ broadcast(probes) — one row per candidate through the scoring
+    * agg, never the whole corpus per query. */
+  def sim_topk_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val k = numCells(Tables.embeddingsCount(s, dir))
+    val dim = Tables.embeddingsDim(s, dir)
+    val sd = dim / PqM
+    def sliceLen(m: Int): Int = if (m == PqM - 1) dim - (PqM - 1) * sd else sd
+    val slices = (0 until PqM)
+      .map(m => s"slice(embedding, ${m * sd + 1}, ${sliceLen(m)})")
+      .mkString("array(", ", ", ")")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+
+    // ---- coarse cells (training-free quantizer, as sim_topk_ivf)
+    val cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("ccid"), col("embedding").as("qe"), col("n2").as("cn2"))
+    def cellScores(side: DataFrame): DataFrame = side
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore", dotC / sqrt(col("n2") * col("cn2")))
+    val cellOf = cellScores(e)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("ccid"), struct(col("cscore"), -col("ccid"))).as("cell"))
+    val probeCells = cellScores(e.filter(col("vec_id") < 50))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("cscore")).as("neg"), col("ccid").as("ccid")))),
+        1, NumProbes).as("top"))
+      .select(col("vec_id").as("qid"), explode(col("top.ccid")).as("cell"))
+
+    // ---- PQ codebooks + codes (as sim_topk_pq)
+    val subs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(expr(slices)).as(Seq("m", "sv")))
+      .withColumn("qsv",
+        expr(s"transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"))
+      .withColumn("sn2", VecDot.norm2(col("sv")))
+    def assign(codebook: DataFrame): DataFrame = subs
+      .join(broadcast(codebook.withColumn("cn2", VecDot.norm2(col("cv")))), Seq("m"))
+      .withColumn("cscore", VecDot.dot(col("cv"), col("sv")) / sqrt(col("sn2") * col("cn2")))
+    var code = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cid"), col("qsv").as("cv"))
+    for (_ <- 1 to PqIters) {
+      code = assign(code)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max_by(struct(col("qsv"), col("cid")), struct(col("cscore"), -col("cid"))).as("a"))
+        .groupBy(col("m"), col("a.cid").as("cid"))
+        .agg(graft.functions.VecSumLong.of(col("a.qsv")).as("cv"))
+    }
+    val assigned = assign(code)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("cid"))
+    val tbl = subs.filter(col("vec_id") < 50)
+      .join(broadcast(code.withColumn("cl", sqrt(VecDot.norm2(col("cv"))))), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        (VecDot.dot(col("cv"), col("sv")) / col("cl")).as("t"))
+
+    // ---- candidates = vectors filed in a probed cell; ADC-score them only
+    val cand = cellOf.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    def tm(m: Int) = sum(when(col("m") === m, col("t"))).as(s"t$m")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    cand.join(assigned, Seq("vec_id"))
+      .join(broadcast(tbl), Seq("qid", "m", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(tm(0), tm(1), tm(2), tm(3))
+      .withColumn("score", col("t0") + col("t1") + col("t2") + col("t3"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  val sim_topk_ivfpq_sql: String =
+    s"""WITH $cellsDuck,
+      |dims AS (SELECT max(len(embedding)) AS d,
+      |    CAST(max(len(embedding)) // $PqM AS BIGINT) AS sd FROM embeddings),
+      |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dims),
+      |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+      |e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id ccid, embedding ce, n2 cn2 FROM e, ncells WHERE vec_id < k),
+      |cscored AS (SELECT e.vec_id, ccid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_sum(list_transform(range(1, len(ce)+1), i ->
+      |      CAST(ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / sqrt(e.n2 * cn2) DESC,
+      |    ccid ASC) AS crank
+      |  FROM e CROSS JOIN cent),
+      |cellof AS (SELECT vec_id, ccid AS cell FROM cscored WHERE crank = 1),
+      |probes AS (SELECT vec_id AS qid, ccid AS cell FROM cscored
+      |  WHERE vec_id < 50 AND crank <= $NumProbes),
+      |sq AS (SELECT vec_id, m,
+      |    embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)] AS sv,
+      |    list_transform(embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)],
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS qsv,
+      |    list_sum(list_transform(embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)],
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sn2
+      |  FROM embeddings CROSS JOIN ms CROSS JOIN dims),
+      |c0 AS (SELECT m, vec_id AS cid, qsv AS cv FROM sq WHERE vec_id < $PqK),
+      |${pqLloydDuck("c0", "c1", "i1")},
+      |${pqLloydDuck("c1", "c2", "i2")},
+      |s_f AS (SELECT sq.vec_id, sq.m, cid, row_number() OVER (PARTITION BY sq.vec_id, sq.m ORDER BY
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
+      |    / sqrt(sq.sn2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+      |    cid ASC) AS r
+      |  FROM sq JOIN c2 USING (m)),
+      |assigned AS (SELECT vec_id, m, cid FROM s_f WHERE r = 1),
+      |tbl AS (SELECT sq.vec_id AS qid, c2.m AS m, c2.cid AS cid,
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
+      |    / sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS t
+      |  FROM sq JOIN c2 ON sq.m = c2.m WHERE sq.vec_id < 50),
+      |cand AS (SELECT probes.qid, cellof.vec_id
+      |  FROM cellof JOIN probes ON cellof.cell = probes.cell
+      |  WHERE cellof.vec_id != probes.qid),
+      |p AS (SELECT cand.qid, cand.vec_id,
+      |    sum(CASE WHEN a.m = 0 THEN t END) AS t0, sum(CASE WHEN a.m = 1 THEN t END) AS t1,
+      |    sum(CASE WHEN a.m = 2 THEN t END) AS t2, sum(CASE WHEN a.m = 3 THEN t END) AS t3
+      |  FROM cand JOIN assigned a ON cand.vec_id = a.vec_id
+      |  JOIN tbl ON tbl.qid = cand.qid AND tbl.m = a.m AND tbl.cid = a.cid
+      |  GROUP BY cand.qid, cand.vec_id),
+      |s AS (SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY (((t0 + t1) + t2) + t3) DESC, vec_id ASC) AS rank
+      |  FROM p)
+      |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
+      |FROM s WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
     "sim_centroid_outlier" -> sim_centroid_outlier _,
@@ -590,6 +725,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,
     "sim_centroid_outlier" -> sim_centroid_outlier_sql,
