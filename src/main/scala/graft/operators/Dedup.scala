@@ -242,24 +242,44 @@ object Dedup extends Logging {
   def dedup_clusters_lsh(s: SparkSession, dir: String): DataFrame =
     clusterize(s, dir, dedup_minhash_lsh(s, dir))
 
+  /** Components over the EMBEDDING near-dup pairs ([[dedup_embedding]]) —
+    * semantic dedup clusters: documents whose meanings collide (paraphrases,
+    * translations, templated rewrites) that no fingerprint family can link.
+    * Same frontier-only machinery over the `embeddings` universe, keyed by
+    * `vec_id`; output shape mirrors the text-side cluster gates. */
+  def dedup_clusters_embedding(s: SparkSession, dir: String): DataFrame =
+    clusterizeOver(
+      Tables.embeddings(s, dir).select(col("vec_id")),
+      dedup_embedding(s, dir).select(col("vec_id_a"), col("vec_id_b")),
+      "vec_id")
+
   /** pairs(doc_id_a, doc_id_b, ...) → (doc_id, cluster_rep, cluster_size)
     * for every document: components over the pair graph, singletons
     * appended from the corpus. */
-  private def clusterize(s: SparkSession, dir: String, pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.select(col("doc_id_a"), col("doc_id_b"))
+  private def clusterize(s: SparkSession, dir: String, pairsIn: DataFrame): DataFrame =
+    clusterizeOver(Tables.documents(s, dir).select(col("doc_id")),
+      pairsIn.select(col("doc_id_a"), col("doc_id_b")), "doc_id")
+
+  /** The universe-agnostic core: `universe` = one `idName` column holding
+    * every node (for singleton append), `pairsIn` = two columns
+    * `<idName>_a`, `<idName>_b`. Returns (idName, cluster_rep,
+    * cluster_size) for every universe node. */
+  private def clusterizeOver(
+      universe: DataFrame, pairsIn: DataFrame, idName: String): DataFrame = {
+    val pairs = pairsIn.toDF("ida", "idb")
     val edges = pairs
-      .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
+      .union(pairs.select(col("idb"), col("ida")))
       .toDF("src", "dst")
       .localCheckpoint(true) // pair generation runs once, not once per round
     val labels = connectedComponents(edges, maxRounds = 20)
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     val clustered = labels.join(sizes, "comp")
-      .select(col("doc_id"), col("comp").as("cluster_rep"), col("cluster_size"))
-    // Docs incident to no edge are singleton clusters and never enter the
-    // iteration; append them from the corpus directly.
-    val singletons = Tables.documents(s, dir).select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_rep"), lit(1L).as("cluster_size"))
+      .select(col("doc_id").as(idName), col("comp").as("cluster_rep"), col("cluster_size"))
+    // Nodes incident to no edge are singleton clusters and never enter the
+    // iteration; append them from the universe directly.
+    val singletons = universe.toDF(idName)
+      .join(labels.select(col("doc_id").as(idName)), Seq(idName), "left_anti")
+      .select(col(idName), col(idName).as("cluster_rep"), lit(1L).as("cluster_size"))
     clustered.unionByName(singletons)
   }
 
@@ -327,19 +347,21 @@ object Dedup extends Logging {
     labels
   }
 
-  /** Recursive-CTE true components over an arbitrary pair query. */
-  private def clustersSqlOver(pairsSql: String): String =
+  /** Recursive-CTE true components over an arbitrary pair query; `table` is
+    * the singleton universe and `id` its key (pair columns = `<id>_a/_b`). */
+  private def clustersSqlOver(
+      pairsSql: String, table: String = "documents", id: String = "doc_id"): String =
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_id_a, doc_id_b FROM ($pairsSql) t),
-       |edges AS (SELECT doc_id_a s, doc_id_b d FROM pairs
-       |          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+       |pairs AS (SELECT ${id}_a, ${id}_b FROM ($pairsSql) t),
+       |edges AS (SELECT ${id}_a s, ${id}_b d FROM pairs
+       |          UNION SELECT ${id}_b, ${id}_a FROM pairs),
        |reach AS (
-       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  SELECT $id AS src, $id AS dst FROM $table
        |  UNION
        |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
        |),
-       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src)
-       |SELECT c.doc_id, c.cluster_rep, n.cluster_size
+       |comp AS (SELECT src AS $id, min(dst) AS cluster_rep FROM reach GROUP BY src)
+       |SELECT c.$id, c.cluster_rep, n.cluster_size
        |FROM comp c JOIN (SELECT cluster_rep, count(*) AS cluster_size
        |                  FROM comp GROUP BY 1) n USING (cluster_rep)""".stripMargin
 
@@ -432,6 +454,11 @@ object Dedup extends Logging {
       |SELECT ia AS vec_id_a, ib AS vec_id_b, CAST(blk AS BIGINT) AS blk
       |FROM p WHERE dot > 0 AND dot * dot >= 0.16 * n2a * n2b""".stripMargin
 
+  // declared after dedup_embedding_sql — a forward val reference would
+  // embed null into the composed SQL at object init
+  val dedup_clusters_embedding_sql: String =
+    clustersSqlOver(dedup_embedding_sql, table = "embeddings", id = "vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedup_exact _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
@@ -440,6 +467,7 @@ object Dedup extends Logging {
     "dedup_embedding" -> dedup_embedding _,
     "dedup_clusters" -> dedup_clusters _,
     "dedup_clusters_lsh" -> dedup_clusters_lsh _,
+    "dedup_clusters_embedding" -> dedup_clusters_embedding _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +478,6 @@ object Dedup extends Logging {
     "dedup_embedding" -> dedup_embedding_sql,
     "dedup_clusters" -> dedup_clusters_sql,
     "dedup_clusters_lsh" -> dedup_clusters_lsh_sql,
+    "dedup_clusters_embedding" -> dedup_clusters_embedding_sql,
   )
 }

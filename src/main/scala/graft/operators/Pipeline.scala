@@ -136,6 +136,32 @@ object Pipeline {
        |JOIN reps ON d.doc_id = reps.doc_id
        |WHERE cls.quality_class = 'ok'""".stripMargin
 
+  /** The whole corpus build as ONE query — the flagship composition proving
+    * the primitive operators actually chain into the pipeline a user runs:
+    * [[pipe_corpus]] (quality gate + exact-dup representatives) minus the
+    * eval slice and every contaminated train document
+    * ([[pipe_decontaminate]]), assigned to splits by [[pipe_split]], rolled
+    * up to per-(split, language) document and token totals — the "what will
+    * my model actually train on" report.
+    *
+    * Scale: the corpus legs join on `doc_id` (co-partitioned aggregates over
+    * one `documents` scan each); the contaminated-id set is collision-sized
+    * (≪ corpus, broadcast anti-join); the split column is a pure map; the
+    * final rollup has #splits × #languages groups. Nothing in the
+    * composition adds a shuffle the standalone operators didn't already
+    * have. All-integer output, so the gate hash is exact. */
+  def pipe_e2e(s: SparkSession, dir: String): DataFrame = {
+    val contaminated = pipe_decontaminate(s, dir)
+      .select(col("train_doc_id").as("doc_id")).distinct()
+    pipe_corpus(s, dir)
+      .filter(col("doc_id") % 20 =!= 0) // the eval slice never trains
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(pipe_split(s, dir).select(col("doc_id"), col("split")), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
   /** Bloom-prefilter decontamination: the constant-size alternative to
     * [[pipe_decontaminate]]'s broadcast. The eval set's distinct shingle
     * hashes are folded into ONE Bloom sketch (bits fixed up front — size is
@@ -247,6 +273,49 @@ object Pipeline {
        |      FROM documents)
        |WHERE bucket * 1000 < rate * 4294967296""".stripMargin
   }
+
+  /** Deterministic train/val/test assignment — the split step every training
+    * corpus needs before anything touches an eval set. The split is a pure
+    * function of `doc_id` (first 8 hex chars of its md5, uniform in
+    * [0, 2^32)), so it is stable across runs, re-partitions, and engines —
+    * never `rand()`, which silently reassigns rows between executions. The
+    * 90/5/5 boundaries are exact integer comparisons (`bucket·20` vs
+    * multiples of 2^32·19/20), no floating point. Pure map: zero shuffle at
+    * any corpus size, and adding a stratification key later is a groupBy
+    * over this same column set. */
+  def pipe_split(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") * 10L < lit(9L * 4294967296L), lit("train"))
+          .when(col("bucket") * 20L < lit(19L * 4294967296L), lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  val pipe_split_sql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN bucket * 10 < 9 * 4294967296 THEN 'train'
+      |       WHEN bucket * 20 < 19 * 4294967296 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+      |      FROM documents)""".stripMargin
+
+  // declared after pipe_split_sql/pipe_corpus_sql/pipe_decontaminate_sql —
+  // a forward val reference would embed null into the composed SQL
+  val pipe_e2e_sql: String =
+    s"""WITH corpus AS ($pipe_corpus_sql),
+       |contaminated AS (
+       |  SELECT DISTINCT train_doc_id AS doc_id FROM ($pipe_decontaminate_sql) t),
+       |sp AS ($pipe_split_sql)
+       |SELECT sp.split, c.lang, count(*) AS n_docs,
+       |       CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens
+       |FROM corpus c JOIN sp ON c.doc_id = sp.doc_id
+       |WHERE c.doc_id % 20 <> 0
+       |  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Corpus mix balancing: per-language keep rates (per-mille) that flatten
     * the token mix to the smallest language's total — the data-mixture step
@@ -362,6 +431,8 @@ object Pipeline {
       |FROM r JOIN si USING (source), n""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_e2e" -> (pipe_e2e(_, _)),
+    "pipe_split" -> (pipe_split(_, _)),
     "pipe_interleave" -> (pipe_interleave(_, _)),
     "pipe_domain_cap" -> (pipe_domain_cap(_, _)),
     "pipe_decontaminate" -> (pipe_decontaminate(_, _)),
@@ -372,6 +443,8 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_e2e" -> pipe_e2e_sql,
+    "pipe_split" -> pipe_split_sql,
     "pipe_interleave" -> pipe_interleave_sql,
     "pipe_domain_cap" -> pipe_domain_cap_sql,
     "pipe_decontaminate" -> pipe_decontaminate_sql,

@@ -104,6 +104,62 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  /** k-NN GRAPH over the whole corpus — every node's top-[[KnnGraphK]]
+    * neighbors among its LSH probe-bucket candidates. The building block of
+    * semantic dedup clustering, diversity sampling, and graph-based ANN
+    * index construction (NN-descent seeds, HNSW layer 0).
+    *
+    * The plan is deliberately DIFFERENT from [[sim_topk_lsh]]: there the
+    * query set is known-small and broadcast is FORCED; here every corpus
+    * vector is a query, so no side is forced — Catalyst picks. At fixture
+    * scale it broadcasts the corpus side (it fits); past the broadcast
+    * threshold the same plan degrades gracefully to a shuffled hash join
+    * on the bucket id, where the probe-exploded query side (N×(nb+1) rows)
+    * co-locates with the corpus side (N rows, one bucket each). The window
+    * that ranks candidates partitions on the source vector id — a
+    * maximal-cardinality key whose per-partition size is bounded by the
+    * probe candidate count (~(nb+1)·TargetBucket ≈ a few hundred rows), so
+    * there is no skew surface and no task ever holds more than one node's
+    * candidate list (Spark further caps it with WindowGroupLimit: only the
+    * running top-k is kept before the final rank). Work is
+    * candidate-proportional (N·(nb+1)·bucket), never N². */
+  private val KnnGraphK = 3
+
+  def sim_knn_graph(s: SparkSession, dir: String): DataFrame = {
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir), Lsh.maxBits(s))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), Lsh.bucketCol(nb, col("embedding")).as("blk"),
+        norm2C.as("n2"))
+    val q = e
+      .repartition(col("vec_id")) // barrier: keep bucket agg out of the probe lambda
+      .select(col("vec_id").as("src"), col("embedding").as("qe"),
+        explode(expr(Lsh.probesSpark(nb))).as("blk"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(q, Seq("blk")) // shuffle join on bucket — neither side broadcasts
+      .filter(col("vec_id") =!= col("src"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnGraphK)
+      .select(col("src"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  val sim_knn_graph_sql: String =
+    s"""WITH ${Lsh.paramsDuck},
+       |e AS (SELECT vec_id, embedding,
+       |    ${Lsh.bucketDuck} AS blk,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings, params),
+       |q AS (SELECT vec_id src, embedding qe, unnest(${Lsh.probesDuck}) AS blk, n2 qn2
+       |  FROM e, params),
+       |s AS (SELECT src, vec_id,
+       |    row_number() OVER (PARTITION BY src ORDER BY
+       |      list_sum(list_transform(range(1, len(qe)+1), i ->
+       |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+       |      vec_id ASC) AS rank
+       |  FROM q JOIN e ON e.blk = q.blk AND vec_id != src)
+       |SELECT src, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
+       |FROM s WHERE rank <= $KnnGraphK""".stripMargin
+
   /** Coarse-quantizer size K ≈ √N (clamped), so cells hold ~√N vectors at
     * any corpus size — at 10^9 vectors, K = 4096 cells of ~250k rather than
     * a fixed literal leaving N/16 per cell. Both engines derive K from the
@@ -713,6 +769,7 @@ object Similarity {
       |FROM s WHERE rank <= 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> sim_knn_graph _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -725,6 +782,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> sim_knn_graph_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

@@ -319,7 +319,76 @@ object TextAnalysis {
        |  FROM documents)
        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT $NgramTopK""".stripMargin
 
+  /** Two merge rounds of byte-pair-encoding tokenizer training — the kernel
+    * an in-house BPE trainer runs hundreds of times over the corpus. Symbols
+    * start as single lowercase letters ([a-z]+ words); round 1 counts every
+    * adjacent symbol pair, the most frequent pair (count DESC, pair ASC
+    * tiebreak) is merged corpus-wide into one symbol (marker `0`, a
+    * character outside the alphabet so round-2 pairs remain 2-char strings),
+    * and round 2 recounts over the re-segmented words. Output = both
+    * rounds' top-[[BpeTopK]] pair tables.
+    *
+    * Merging uses `replace` (leftmost non-overlapping, identical in Spark
+    * and DuckDB — "aaa" with winner "aa" becomes "0a" in both), and the
+    * winning pair reaches round 2 as a broadcast single-row join, never a
+    * driver collect, so the same plan runs unchanged on a cluster.
+    *
+    * Scale: each round is scan → explode pairs → map-side-combined count
+    * (pair cardinality is bounded by the symbol alphabet squared, so the
+    * shuffle carries at most a few hundred rows per partition) →
+    * TakeOrderedAndProject. A full BPE vocabulary build is this plan in a
+    * driver loop with the growing merge table broadcast each round. */
+  private val BpeTopK = 10
+
+  def text_bpe_pairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+    // adjacent symbol pairs of a word = its 2-char substrings (symbols are
+    // single chars; sequence(1, n-1) is safe under the length>=2 filter)
+    def pairsOf(name: String): Column =
+      explode(expr(s"transform(sequence(1, length($name) - 1), i -> substr($name, i, 2))"))
+    val round1 = words.select(pairsOf("w").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val top1 = round1.orderBy(col("n").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("winner"))
+    val round2 = words.crossJoin(broadcast(top1))
+      .select(expr("replace(w, winner, '0')").as("m"))
+      .filter(length(col("m")) >= 2)
+      .select(pairsOf("m").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    round1.orderBy(col("n").desc, col("pair").asc).limit(BpeTopK)
+      .withColumn("round", lit(1))
+      .union(
+        round2.orderBy(col("n").desc, col("pair").asc).limit(BpeTopK)
+          .withColumn("round", lit(2)))
+      .select(col("round"), col("pair"), col("n"))
+  }
+
+  val text_bpe_pairs_sql: String =
+    s"""WITH words AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       |w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+       |round1 AS (
+       |  SELECT pair, count(*) AS n FROM (
+       |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+       |    FROM w2)
+       |  GROUP BY 1),
+       |winner AS (SELECT pair AS win FROM round1 ORDER BY n DESC, pair ASC LIMIT 1),
+       |round2 AS (
+       |  SELECT pair, count(*) AS n FROM (
+       |    SELECT unnest(list_transform(range(1, length(m)), i -> substr(m, i, 2))) AS pair
+       |    FROM (SELECT replace(w, (SELECT win FROM winner), '0') AS m FROM w2)
+       |    WHERE length(m) >= 2)
+       |  GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT 1 AS round, pair, n FROM round1 ORDER BY n DESC, pair ASC LIMIT $BpeTopK)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 2 AS round, pair, n FROM round2 ORDER BY n DESC, pair ASC LIMIT $BpeTopK)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> text_bpe_pairs _,
     "text_ngram_top" -> text_ngram_top _,
     "text_pii_scrub" -> text_pii_scrub _,
     "text_repetition" -> text_repetition _,
@@ -332,6 +401,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_pairs" -> text_bpe_pairs_sql,
     "text_ngram_top" -> text_ngram_top_sql,
     "text_pii_scrub" -> text_pii_scrub_sql,
     "text_repetition" -> text_repetition_sql,

@@ -50,6 +50,26 @@ class DedupClustersSuite extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.connectedComponents(edgeDf(pairs), maxRounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("embedding clusters: every vector labeled once; edges honored; sizes consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.dedup_clusters_embedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length === n, "every vector gets exactly one cluster row")
+    assert(out.map(_._1).distinct.length === n, "no vector labeled twice")
+    // representative is the component min → rep <= member everywhere
+    assert(out.forall { case (id, rep, _) => rep <= id })
+    // cluster_size is consistent with the label multiset
+    val sizes = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(out.forall { case (_, rep, sz) => sizes(rep) === sz })
+    // every near-dup edge joins its endpoints into one cluster
+    val label = out.map(t => t._1 -> t._2).toMap
+    Dedup.dedup_embedding(spark, dir).collect().foreach { r =>
+      assert(label(r.getLong(0)) === label(r.getLong(1)),
+        s"edge (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+  }
+
   test("long chain converges within the cap via pointer jumping") {
     // path 0-1-2-...-300: diameter 300 >> 20 rounds of plain neighbor-min;
     // pointer jumping must collapse it in O(log d)

@@ -52,6 +52,19 @@ class LshSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_knn_graph restricted to sim_topk_lsh's query set is identical") {
+    val dir = "/root/testdata/sf0.001"
+    // same LSH width, same probe set, same k, same tiebreak — the graph's
+    // rows for the topk query nodes must BE the topk result; any drift means
+    // the self-join formulation diverged from the broadcast formulation
+    val g = operators.Similarity.sim_knn_graph(spark, dir)
+      .filter(col("src") < 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val t = operators.Similarity.sim_topk_lsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(g === t)
+  }
+
   test("bucketCol at width 22 (past the old cap) matches a direct recompute") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)

@@ -72,4 +72,50 @@ class PipelineSuite extends AnyFunSuite with BeforeAndAfterAll
       "threshold one byte under the estimate must take the shuffle path")
     spark.conf.unset(Pipeline.BroadcastMaxEvalBytes)
   }
+
+  test("pipe_e2e rollup is consistent with its component operators") {
+    import org.apache.spark.sql.functions.col
+    val e2e = Pipeline.pipe_e2e(spark, sfDir).collect()
+    assert(e2e.nonEmpty)
+    assert(e2e.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // the rollup's doc total must equal the set algebra it claims:
+    // quality-ok reps, minus the eval slice, minus contaminated train docs
+    val contaminated = Pipeline.pipe_decontaminate(spark, sfDir)
+      .select(col("train_doc_id").as("doc_id")).distinct()
+    val expected = Pipeline.pipe_corpus(spark, sfDir)
+      .filter(col("doc_id") % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .count()
+    assert(e2e.map(_.getLong(2)).sum === expected)
+    assert(e2e.forall(_.getLong(3) > 0), "token totals must be positive")
+  }
+
+  test("pipe_split: total, determinism, and hash-faithful assignment") {
+    val a = Pipeline.pipe_split(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(a.length === total, "every document gets exactly one split")
+    assert(a.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+
+    // deterministic: a second evaluation assigns identically
+    val b = Pipeline.pipe_split(spark, sfDir).collect()
+    assert(a.map(r => r.getLong(0) -> r.getString(2)).toMap ===
+      b.map(r => r.getLong(0) -> r.getString(2)).toMap)
+
+    // hash-faithful: recompute one doc's bucket with java.security directly
+    val r0 = a.minBy(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r0.getLong(0).toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val bucket = java.lang.Long.parseLong(hex, 16)
+    val expected =
+      if (bucket * 10L < 9L * 4294967296L) "train"
+      else if (bucket * 20L < 19L * 4294967296L) "val"
+      else "test"
+    assert(r0.getString(2) === expected,
+      s"doc ${r0.getLong(0)} bucket $bucket must land in $expected")
+
+    // 90/5/5 within loose binomial bounds at fixture scale
+    val frac = a.count(_.getString(2) == "train").toDouble / total
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac far from 0.9")
+  }
 }
