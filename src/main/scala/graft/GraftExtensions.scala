@@ -80,5 +80,16 @@ object GraftExtensions {
         intLit(args(1), "minhash_sig", "numHashes"),
         longLit(args(2), "minhash_sig", "seed"))
       MinHashSig(args(0), as, bs, MinHashSig.Prime)
+    },
+    fn("vec_norm2",
+      "vec_norm2(a) - index-ordered double squared L2 norm of a numeric array") { args =>
+      arity("vec_norm2", args, 1)
+      VecDot(args(0), args(0))
+    },
+    fn("vec_sum_long",
+      "vec_sum_long(a) - aggregate: element-wise exact BIGINT sum of array<bigint> " +
+        "rows (map-side combined; ragged dims are a hard error)") { args =>
+      arity("vec_sum_long", args, 1)
+      graft.functions.VecSumLong(args(0))
     })
 }

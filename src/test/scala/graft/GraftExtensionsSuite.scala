@@ -55,6 +55,22 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff.count() === 0)
   }
 
+  test("vec_norm2 from SQL") {
+    val r = spark.sql("SELECT vec_norm2(array(3.0D, 4.0D)) AS n2")
+      .collect().head.getDouble(0)
+    assert(r === 25.0)
+  }
+
+  test("vec_sum_long aggregates from SQL with group semantics") {
+    val r = spark.sql(
+      """SELECT g, vec_sum_long(v) AS s FROM VALUES
+        |  (1, array(1L, 2L)), (1, array(10L, 20L)), (2, array(5L, 7L))
+        |  AS t(g, v) GROUP BY g ORDER BY g""".stripMargin)
+      .collect()
+    assert(r(0).getSeq[Long](1) === Seq(11L, 22L))
+    assert(r(1).getSeq[Long](1) === Seq(5L, 7L))
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b c', 1 + 2)").collect()
