@@ -349,6 +349,92 @@ object Multimodal {
        |         THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)) AS INT) AS max_luma_sampled
        |FROM documents""".stripMargin
 
+  /** Shot-boundary (scene-cut) detection over the synthesized Y4M streams —
+    * the standard first pass of video curation (split footage at cuts, then
+    * sample/caption per shot). A cut is declared between consecutive frames
+    * whose total-luma difference is at least [[SceneCutThreshold]]; output
+    * is the cut count and the first cut's frame index (-1 when none). All
+    * integer (luma sums compared directly), so the oracle reproduces the
+    * decisions exactly from the text column. Scale: pure map over the
+    * binary column via the same partition-parallel codec path as the other
+    * container ops — no shuffle at any corpus size. */
+  private[operators] val SceneCutThreshold = 200
+
+  def mm_scene_cut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        val y4m = synthesizeY4m(textBytes)
+        parseY4mSceneCuts(id, y4m)
+      }
+    }.toDF("doc_id", "n_frames", "n_cuts", "first_cut")
+  }
+
+  private[operators] def parseY4mSceneCuts(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (bytes(pos) != '\n'.toByte) pos += 1
+      pos += 1
+      new String(bytes, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = readLine()
+    require(header.startsWith("YUV4MPEG2 "), s"bad Y4M magic in doc $id")
+    var w = 0; var h = 0
+    header.drop("YUV4MPEG2 ".length).split(' ').foreach { tok =>
+      tok.head match {
+        case 'W' => w = tok.tail.toInt
+        case 'H' => h = tok.tail.toInt
+        case 'C' => require(tok == "Cmono", s"not mono in doc $id")
+        case _ => ()
+      }
+    }
+    val frameSize = w * h
+    var nFrames = 0L; var nCuts = 0L; var firstCut = -1L; var prevSum = 0L
+    while (pos < bytes.length) {
+      val mark = readLine()
+      require(mark == "FRAME" || mark.startsWith("FRAME "), s"bad frame marker in doc $id")
+      var sum = 0L
+      var i = 0
+      while (i < frameSize) {
+        sum += (bytes(pos + i) & 0xff)
+        i += 1
+      }
+      if (nFrames > 0 && math.abs(sum - prevSum) >= SceneCutThreshold) {
+        nCuts += 1
+        if (firstCut < 0) firstCut = nFrames
+      }
+      prevSum = sum
+      pos += frameSize
+      nFrames += 1
+    }
+    (id, nFrames, nCuts, firstCut)
+  }
+
+  // Oracle: per-frame luma sums from the text column (frame f covers text
+  // bytes [f*32, f*32+32), pad bytes zero), cut decisions re-derived with
+  // the same integer threshold.
+  val mm_scene_cut_sql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |    greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes) AS nf,
+       |    list_transform(range(0, greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes)), f ->
+       |      list_sum(list_transform(range(1, ${FrameBytes + 1}), j ->
+       |        CASE WHEN f * $FrameBytes + j <= length(text)
+       |             THEN ord(substr(text, CAST(f * $FrameBytes + j AS INT), 1))
+       |             ELSE 0 END))) AS sums
+       |  FROM documents),
+       |c AS (SELECT doc_id, nf,
+       |    list_filter(range(1, nf), f ->
+       |      abs(sums[f + 1] - sums[f]) >= $SceneCutThreshold) AS cuts
+       |  FROM f)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |       CAST(len(cuts) AS BIGINT) AS n_cuts,
+       |       CAST(coalesce(list_min(cuts), -1) AS BIGINT) AS first_cut
+       |FROM c""".stripMargin
+
   /** Image perceptual fingerprint: a difference hash (dHash family) over
     * each synthesized BMP's per-row luma profile — bit r is set when row r's
     * luma sum exceeds row r+1's (rows in logical top-down order, walked
@@ -597,6 +683,7 @@ object Multimodal {
       |FROM p""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cut" -> mm_scene_cut _,
     "mm_metadata" -> mm_metadata _,
     "mm_features" -> mm_features _,
     "mm_image_meta" -> mm_image_meta _,
@@ -607,6 +694,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_scene_cut" -> mm_scene_cut_sql,
     "mm_metadata" -> mm_metadata_sql,
     "mm_features" -> mm_features_sql,
     "mm_image_meta" -> mm_image_meta_sql,
