@@ -132,6 +132,78 @@ object Dedup extends Logging {
        |       CAST((common * 1000) // un AS BIGINT) AS jaccard_per_mille
        |FROM v WHERE common * 10 >= un * 6""".stripMargin
 
+  // ------------------------------------------------- shingle containment
+
+  /** Asymmetric near-dup: document A is CONTAINED in document B when at
+    * least [[ContainmentPct]]% of A's shingles also appear in B — the
+    * excerpt/quotation/boilerplate-wrapper case Jaccard structurally misses
+    * (a 50-word quote inside a 5000-word article has tiny Jaccard but
+    * containment ≈ 1). Directed output: one row per (contained, container)
+    * direction that passes, so mutual containment (near-identical docs)
+    * yields both rows. Tiny docs (< [[ContainmentMinShingles]] shingles)
+    * are excluded as contained candidates — a 1-shingle doc is "contained"
+    * everywhere its only shingle appears, which is noise, not signal.
+    *
+    * Same inverted-index core as [[dedup_ngram_jaccard]] (df-capped postings
+    * self-join, Σdf² bounded), so the scale posture is identical; the
+    * directed emission is two filtered projections of the one undirected
+    * pair table, not a second join. */
+  private val ContainmentPct = 80
+  private val ContainmentMinShingles = 5
+
+  def dedup_containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), expr(h60S("s0", "")).as("s"))
+      .repartition(col("s"))
+    val keep = postings.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select(col("s"))
+    val capped = postings.join(keep, "s").select(col("doc_id"), col("s"))
+    val p2 = capped.select(col("doc_id").as("doc_id_b"), col("s"))
+    val common = capped.join(p2,
+        capped("s") === p2("s") && capped("doc_id") < p2("doc_id_b"))
+      .groupBy(capped("doc_id").as("doc_id_a"), p2("doc_id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("doc_id_a", "na"), "doc_id_a")
+      .join(sizes.toDF("doc_id_b", "nb"), "doc_id_b")
+    def directed(cid: String, cn: String, kid: String) =
+      common
+        .filter(col(cn) >= ContainmentMinShingles &&
+          col("common") * 100 >= col(cn) * ContainmentPct)
+        .select(col(cid).as("contained_id"), col(kid).as("container_id"),
+          col("common"), col(cn).cast("long").as("n_contained"),
+          (col("common") * 1000).divide(col(cn)).cast("long").as("containment_per_mille"))
+    directed("doc_id_a", "na", "doc_id_b")
+      .unionByName(directed("doc_id_b", "nb", "doc_id_a"))
+  }
+
+  val dedup_containment_sql: String =
+    s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
+       |post0 AS (SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s
+       |          FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh)),
+       |keep AS (SELECT s FROM post0 GROUP BY s HAVING count(*) <= $MaxDf),
+       |post AS (SELECT doc_id, post0.s FROM post0 JOIN keep ON post0.s = keep.s),
+       |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
+       |          FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |v AS (SELECT ia, ib, common, x.n AS na, y.n AS nb
+       |      FROM pairs
+       |      JOIN (SELECT doc_id, len(sh) n FROM sh) x ON x.doc_id = ia
+       |      JOIN (SELECT doc_id, len(sh) n FROM sh) y ON y.doc_id = ib)
+       |SELECT ia AS contained_id, ib AS container_id, common,
+       |       CAST(na AS BIGINT) AS n_contained,
+       |       CAST((common * 1000) // na AS BIGINT) AS containment_per_mille
+       |FROM v WHERE na >= $ContainmentMinShingles AND common * 100 >= na * $ContainmentPct
+       |UNION ALL
+       |SELECT ib, ia, common, CAST(nb AS BIGINT),
+       |       CAST((common * 1000) // nb AS BIGINT)
+       |FROM v WHERE nb >= $ContainmentMinShingles AND common * 100 >= nb * $ContainmentPct""".stripMargin
+
   // ----------------------------------------------------------- MinHash LSH
 
   private val NumHashes = 32
@@ -462,6 +534,7 @@ object Dedup extends Logging {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedup_exact _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
+    "dedup_containment" -> dedup_containment _,
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_embedding" -> dedup_embedding _,
@@ -473,6 +546,7 @@ object Dedup extends Logging {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedup_exact_sql,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard_sql,
+    "dedup_containment" -> dedup_containment_sql,
     "dedup_minhash_lsh" -> dedup_minhash_lsh_sql,
     "dedup_simhash" -> dedup_simhash_sql,
     "dedup_embedding" -> dedup_embedding_sql,
