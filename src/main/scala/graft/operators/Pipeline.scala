@@ -303,6 +303,23 @@ object Pipeline {
       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
       |      FROM documents)""".stripMargin
 
+  /** Materialize the NEAR-dup-deduped corpus: keep each MinHash-LSH
+    * cluster's representative (the component's minimum doc id — singletons
+    * keep themselves), with the columns a downstream run needs. This is the
+    * step that actually DROPS near-duplicates; [[Dedup.dedup_clusters_lsh]]
+    * only labels them. Representative selection is a filter on the cluster
+    * table (`doc_id == cluster_rep`), then one join back to `documents` —
+    * no new shuffle shape beyond the clustering itself, and the kept set
+    * is corpus-sized so the join shuffles on doc_id like every corpus leg. */
+  def pipe_dedup_keep(s: SparkSession, dir: String): DataFrame = {
+    val reps = graft.operators.Dedup.dedup_clusters_lsh(s, dir)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select(col("doc_id"), col("cluster_size"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(reps, "doc_id")
+  }
+
   // declared after pipe_split_sql/pipe_corpus_sql/pipe_decontaminate_sql —
   // a forward val reference would embed null into the composed SQL
   val pipe_e2e_sql: String =
@@ -316,6 +333,12 @@ object Pipeline {
        |WHERE c.doc_id % 20 <> 0
        |  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
        |GROUP BY 1, 2""".stripMargin
+
+  val pipe_dedup_keep_sql: String =
+    s"""WITH clusters AS (${graft.operators.Dedup.dedup_clusters_lsh_sql})
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars, c.cluster_size
+       |FROM documents d
+       |JOIN clusters c ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_rep""".stripMargin
 
   /** Corpus mix balancing: per-language keep rates (per-mille) that flatten
     * the token mix to the smallest language's total — the data-mixture step
@@ -432,6 +455,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_e2e" -> (pipe_e2e(_, _)),
+    "pipe_dedup_keep" -> (pipe_dedup_keep(_, _)),
     "pipe_split" -> (pipe_split(_, _)),
     "pipe_interleave" -> (pipe_interleave(_, _)),
     "pipe_domain_cap" -> (pipe_domain_cap(_, _)),
@@ -444,6 +468,7 @@ object Pipeline {
 
   def oracles: Map[String, String] = Map(
     "pipe_e2e" -> pipe_e2e_sql,
+    "pipe_dedup_keep" -> pipe_dedup_keep_sql,
     "pipe_split" -> pipe_split_sql,
     "pipe_interleave" -> pipe_interleave_sql,
     "pipe_domain_cap" -> pipe_domain_cap_sql,
