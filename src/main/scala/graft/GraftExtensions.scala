@@ -51,7 +51,11 @@ object GraftExtensions {
       name: String, usage: String)(builder: FunctionBuilder):
       (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      // the 11-arg constructor is the only non-deprecated one; the empty
+      // fields (arguments/examples/note/group/since/deprecated) render as
+      // absent in DESCRIBE FUNCTION
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder)
 
   /** The registered function set (shared by tests). */

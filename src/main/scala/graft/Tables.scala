@@ -73,5 +73,5 @@ object Tables {
       embeddings(s, dir)
         .select(org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.col("embedding")))
-        .head.getInt(0))
+        .head().getInt(0))
 }

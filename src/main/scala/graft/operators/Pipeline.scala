@@ -188,7 +188,7 @@ object Pipeline {
       Literal(BloomItems), Literal(BloomBits)).toAggregateExpression()
     val bloom = evalHashes
       .agg(ColumnBridge.column(bloomAgg).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     val train = posts.filter(col("doc_id") % 20 =!= 0)
       .toDF("train_doc_id", "s")
       .filter(ColumnBridge.column(BloomFilterMightContain(

@@ -4,7 +4,7 @@ import java.io.{File, FileInputStream, FileOutputStream}
 import java.util.Properties
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 import scala.collection.mutable
 import scala.util.Try
 import scala.util.control.NonFatal
@@ -120,7 +120,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     this.ckptIdsEnabled = storeConfs.enableStateStoreCheckpointIds
     this.schemaProvider = stateSchemaProvider
     this.conf = RocksDbConf(storeConfs, stateStoreId.checkpointRootLocation)
-    this.snapshots = new SnapshotManager(stateStoreId.storeCheckpointLocation, hadoopConf)
+    this.snapshots = new SnapshotManager(stateStoreId.storeCheckpointLocation(), hadoopConf)
     this.tempRoot = java.nio.file.Files.createTempDirectory(
       s"graft-state-${stateStoreId.operatorId}-${stateStoreId.partitionId}-").toFile
     snapshots.ensureBaseDir()

@@ -220,7 +220,7 @@ final class ValueSchemaEvolution(
           if (oldSchema(i).dataType == f.dataType) ref else Cast(ref, f.dataType)
         } else Literal(null, f.dataType)
       }
-      (UnsafeProjection.create(exprs), oldSchema.length)
+      (UnsafeProjection.create(exprs.toIndexedSeq), oldSchema.length)
     })
   }
 }
