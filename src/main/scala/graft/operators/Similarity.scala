@@ -160,6 +160,32 @@ object Similarity {
        |SELECT src, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
        |FROM s WHERE rank <= $KnnGraphK""".stripMargin
 
+  /** MUTUAL k-NN edges: the undirected subgraph of [[sim_knn_graph]] where
+    * each endpoint ranks the other in its own top-k — the standard
+    * robustification for density/cluster work (a hub node's one-way edges
+    * into sparse regions disappear; only mutually-close pairs survive).
+    * One self-join of the directed graph on the reversed pair; the graph is
+    * k·N rows of three integers, so the join is trivially shuffle-sized at
+    * any corpus scale, and emitting `vec_id_a < vec_id_b` keeps each
+    * undirected edge exactly once. */
+  def sim_mutual_knn(s: SparkSession, dir: String): DataFrame = {
+    val g = sim_knn_graph(s, dir)
+    val rev = g.select(col("src").as("neighbor_id"), col("neighbor_id").as("src"),
+      col("rank").as("rank_back"))
+    g.join(rev, Seq("src", "neighbor_id"))
+      .filter(col("src") < col("neighbor_id"))
+      .select(col("src").as("vec_id_a"), col("neighbor_id").as("vec_id_b"),
+        col("rank").as("rank_ab"), col("rank_back").as("rank_ba"))
+  }
+
+  val sim_mutual_knn_sql: String =
+    s"""WITH g AS ($sim_knn_graph_sql)
+       |SELECT a.src AS vec_id_a, a.neighbor_id AS vec_id_b,
+       |       a.rank AS rank_ab, b.rank AS rank_ba
+       |FROM g a JOIN g b
+       |  ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+       |WHERE a.src < a.neighbor_id""".stripMargin
+
   /** Coarse-quantizer size K ≈ √N (clamped), so cells hold ~√N vectors at
     * any corpus size — at 10^9 vectors, K = 4096 cells of ~250k rather than
     * a fixed literal leaving N/16 per cell. Both engines derive K from the
@@ -770,6 +796,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_graph" -> sim_knn_graph _,
+    "sim_mutual_knn" -> sim_mutual_knn _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -783,6 +810,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> sim_knn_graph_sql,
+    "sim_mutual_knn" -> sim_mutual_knn_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,
