@@ -303,6 +303,41 @@ object Pipeline {
       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
       |      FROM documents)""".stripMargin
 
+  /** Overlapping token-window chunking — the step that precedes embedding
+    * or context-window ingestion of long documents: windows of
+    * [[ChunkTokens]] whitespace tokens (sized to the fixture's 20-100-token
+    * docs; production would use the model context fraction) at stride [[ChunkStride]] (so
+    * consecutive chunks overlap by ChunkTokens − ChunkStride tokens), the
+    * last window shortened to the document tail. Chunk count is
+    * `1 + max(0, ceil((n − W) / S))`, so a short doc is exactly one chunk
+    * and no chunk starts past the text. Pure map + bounded explode (a doc
+    * contributes ~n/S rows), all integer — no shuffle at any corpus size. */
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  def pipe_chunk(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens).as("n"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        explode(expr(
+          s"sequence(0, greatest(0, CAST(ceil((n - $ChunkTokens) / $ChunkStride.0) AS INT)))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("start_tok"),
+        least(lit(ChunkTokens), col("n") - col("chunk_idx") * ChunkStride)
+          .as("n_toks"))
+  }
+
+  val pipe_chunk_sql: String =
+    s"""SELECT doc_id, lang, CAST(chunk_idx AS INT) AS chunk_idx,
+       |       CAST(chunk_idx * $ChunkStride AS INT) AS start_tok,
+       |       CAST(least($ChunkTokens, n - chunk_idx * $ChunkStride) AS INT) AS n_toks
+       |FROM (SELECT doc_id, lang,
+       |        len(string_split_regex(trim(text), '\\s+')) AS n,
+       |        unnest(range(0, 1 + greatest(0, CAST(ceil((len(string_split_regex(trim(text), '\\s+')) - $ChunkTokens) / $ChunkStride.0) AS INT)))) AS chunk_idx
+       |      FROM documents)""".stripMargin
+
   /** Materialize the NEAR-dup-deduped corpus: keep each MinHash-LSH
     * cluster's representative (the component's minimum doc id — singletons
     * keep themselves), with the columns a downstream run needs. This is the
@@ -456,6 +491,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_e2e" -> (pipe_e2e(_, _)),
     "pipe_dedup_keep" -> (pipe_dedup_keep(_, _)),
+    "pipe_chunk" -> (pipe_chunk(_, _)),
     "pipe_split" -> (pipe_split(_, _)),
     "pipe_interleave" -> (pipe_interleave(_, _)),
     "pipe_domain_cap" -> (pipe_domain_cap(_, _)),
@@ -469,6 +505,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "pipe_e2e" -> pipe_e2e_sql,
     "pipe_dedup_keep" -> pipe_dedup_keep_sql,
+    "pipe_chunk" -> pipe_chunk_sql,
     "pipe_split" -> pipe_split_sql,
     "pipe_interleave" -> pipe_interleave_sql,
     "pipe_domain_cap" -> pipe_domain_cap_sql,
