@@ -90,6 +90,31 @@ class PipelineSuite extends AnyFunSuite with BeforeAndAfterAll
     assert(e2e.forall(_.getLong(3) > 0), "token totals must be positive")
   }
 
+  test("pipe_chunk: full coverage, exact stride, tail-shortened last window") {
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    val tokenCounts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Pipeline.pipe_chunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet === tokenCounts.keySet, "every doc chunked")
+    chunks.foreach { case (id, rows) =>
+      val n = tokenCounts(id)
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx === i, s"doc $id chunk indices must be dense from 0")
+        assert(start === i * 24, s"doc $id chunk $i stride")
+        assert(len === math.min(32, n - start), s"doc $id chunk $i length")
+        assert(len > 0, s"doc $id chunk $i must be non-empty")
+      }
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen === n, s"doc $id last chunk must end at the tail")
+      assert(sorted.length === 1 + math.max(0, math.ceil((n - 32) / 24.0).toInt),
+        s"doc $id chunk count")
+    }
+  }
+
   test("pipe_split: total, determinism, and hash-faithful assignment") {
     val a = Pipeline.pipe_split(spark, sfDir).collect()
     val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
