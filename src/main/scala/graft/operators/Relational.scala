@@ -697,7 +697,100 @@ object Relational {
       |GROUP BY n_name""".stripMargin
 
   /** Registry consumed by SparkEntry. */
+  /** Gap-based SESSIONIZATION of the event stream — the batch twin of the
+    * `stream_session` gate: events closer than [[SessionGapUs]] belong to
+    * one session; output one row per session with start, duration, and
+    * event count (all integer micros).
+    *
+    * The naive formulation — one window per user over the user's whole
+    * history — is what the oracle states, but at 100 TB a power user's
+    * history is an unbounded single-task sort. The plan here is SHARDED
+    * (the q18/pipe_pack de-skew recipe, adapted to a stateful chain):
+    *
+    *  1. sessionize locally within (user, day-bucket) — every sort is
+    *     bounded by one user-day;
+    *  2. merge sessions across bucket boundaries. Only each bucket's FIRST
+    *     and LAST local session can participate in a cross-boundary merge
+    *     (any interior session is separated from its bucket's edges by
+    *     gaps > G on both sides), so the merge input is ≤ 2 rows per
+    *     (user, active bucket) — bounded regardless of event volume. A
+    *     continuous multi-day session is a whole-bucket session in every
+    *     intermediate bucket (head = tail = one row) and the lag-chain
+    *     grouping merges straight through it.
+    *
+    * A green hash against the naive-formulation oracle proves the sharded
+    * plan exact, not approximately right. */
+  private val SessionGapUs = 30L * 60 * 1000000 // 30-minute inactivity gap
+  private val SessBucketUs = 86400L * 1000000   // 1-day shards
+
+  def q23_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("bucket", expr(s"us DIV $SessBucketUs"))
+
+    // phase 1: local sessions inside each (user, day) shard
+    val wL = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("us"), col("event_id"))
+    val local = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(wL))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sidx",
+        sum(col("new_sess")).over(wL.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("bucket"), col("sidx"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("skey", struct(col("bucket"), col("sidx")))
+
+    // phase 2: cross-boundary merge over each bucket's head/tail sessions
+    val wB = Window.partitionBy(col("user_id"), col("bucket"))
+    val boundary = local
+      .withColumn("minS", min(col("sidx")).over(wB))
+      .withColumn("maxS", max(col("sidx")).over(wB))
+      .filter(col("sidx") === col("minS") || col("sidx") === col("maxS"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_start"), col("bucket"), col("sidx"))
+    val grouped = boundary
+      .withColumn("prev_end", lag(col("s_end"), 1).over(wU))
+      .withColumn("new_grp",
+        when(col("prev_end").isNull || col("s_start") - col("prev_end") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("gidx",
+        sum(col("new_grp")).over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+    val rep = grouped.groupBy(col("user_id"), col("gidx"))
+      .agg(min(col("skey")).as("rep")) // lexicographic struct min = earliest local session
+    val mapped = grouped.join(rep, Seq("user_id", "gidx"))
+      .select(col("user_id"), col("skey"), col("rep"))
+
+    local.join(mapped, Seq("user_id", "skey"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("skey")))
+      .groupBy(col("user_id"), col("rep"))
+      .agg(min(col("s_start")).as("session_start_us"),
+        (max(col("s_end")) - min(col("s_start"))).as("duration_us"),
+        sum(col("n_ev")).as("n_events"))
+      .select(col("user_id"), col("session_start_us"), col("duration_us"),
+        col("n_events"))
+  }
+
+  val q23_sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |f AS (SELECT user_id, event_id, us,
+       |        CASE WHEN lag(us) OVER w IS NULL
+       |               OR us - lag(us) OVER w > ${30L * 60 * 1000000}
+       |             THEN 1 ELSE 0 END AS new_sess
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT user_id, us,
+       |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS sidx
+       |      FROM f)
+       |SELECT user_id, min(us) AS session_start_us,
+       |       max(us) - min(us) AS duration_us,
+       |       count(*) AS n_events
+       |FROM s GROUP BY user_id, sidx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_sessionize" -> q23_sessionize _,
     "q20_excess_supply" -> q20_excess_supply _,
     "q21_lone_return_supplier" -> q21_lone_return_supplier _,
     "q22_dormant_value" -> q22_dormant_value _,
@@ -724,6 +817,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_sessionize" -> q23_sql,
     "q20_excess_supply" -> q20_sql,
     "q21_lone_return_supplier" -> q21_sql,
     "q22_dormant_value" -> q22_sql,
