@@ -61,6 +61,31 @@ object Dedup extends Logging {
       |  min(doc_id) AS rep_doc_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ bag-of-words
+
+  /** Word-order-insensitive dedup: fingerprint = md5 of the SORTED DISTINCT
+    * token multiset-as-set. Catches shuffled/reordered copies that
+    * [[dedup_exact]] misses (template text with moved paragraphs, scrambled
+    * scraped duplicates) while staying a pure map + one hash aggregate — the
+    * same single-shuffle cost class as exact dedup at any corpus size. The
+    * per-doc sort is over one document's distinct tokens (bounded by doc
+    * length), never a shuffle sort; both engines order tokens by raw byte
+    * comparison so the fingerprints agree bit-for-bit. */
+  def dedup_bow(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(toks)))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val dedup_bow_sql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(text), '\s+')), 'ASC'), ' ')) AS fp,
+      |  min(doc_id) AS rep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- exact n-gram Jaccard
 
   /** All near-dup pairs with word-3-shingle Jaccard >= 0.6, via the shingle
@@ -533,6 +558,7 @@ object Dedup extends Logging {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedup_exact _,
+    "dedup_bow" -> dedup_bow _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
@@ -545,6 +571,7 @@ object Dedup extends Logging {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedup_exact_sql,
+    "dedup_bow" -> dedup_bow_sql,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard_sql,
     "dedup_containment" -> dedup_containment_sql,
     "dedup_minhash_lsh" -> dedup_minhash_lsh_sql,

@@ -789,7 +789,50 @@ object Relational {
        |       count(*) AS n_events
        |FROM s GROUP BY user_id, sidx""".stripMargin
 
+  /** CUBE grouping sets over orders: every (status × priority) margin in one
+    * pass. Spark plans a single Expand + hash aggregate — the 4 grouping
+    * sets cost one shuffle whose width is rows × sets, with map-side partial
+    * aggregation collapsing each set's groups before the exchange; at 100 TB
+    * the shuffle carries only (set × group) partials, never raw rows. */
+  def q24_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+  }
+
+  val q24_sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** PIVOT: per-priority row, order-status columns. The pivot values are
+    * pinned (`O`/`F`/`P`) so the plan is a plain hash aggregate with three
+    * conditional sums — no value-discovery job, no second pass — and the
+    * output schema is static, which is what a production pipeline wants
+    * (runtime-discovered pivot columns break downstream schemas). */
+  def q25_pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("O", "F", "P"))
+      .select($"o_orderpriority", $"O".as("n_open"), $"F".as("n_filled"),
+        $"P".as("n_partial"))
+  }
+
+  val q25_sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_grouping_sets" -> q24_grouping_sets _,
+    "q25_pivot" -> q25_pivot _,
     "q23_sessionize" -> q23_sessionize _,
     "q20_excess_supply" -> q20_excess_supply _,
     "q21_lone_return_supplier" -> q21_lone_return_supplier _,
@@ -817,6 +860,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_grouping_sets" -> q24_sql,
+    "q25_pivot" -> q25_sql,
     "q23_sessionize" -> q23_sql,
     "q20_excess_supply" -> q20_sql,
     "q21_lone_return_supplier" -> q21_sql,

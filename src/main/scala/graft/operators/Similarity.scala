@@ -186,6 +186,61 @@ object Similarity {
        |  ON a.src = b.neighbor_id AND a.neighbor_id = b.src
        |WHERE a.src < a.neighbor_id""".stripMargin
 
+  /** RECALL@k evaluation of the LSH ANN path against the exact scan — the
+    * measurement every production ANN deployment runs before trusting an
+    * approximate index. For each query (vec_id < 50): how many of the exact
+    * top-3 does [[sim_topk_lsh]] return? Emitted as integer per-mille so the
+    * gate hashes it exactly.
+    *
+    * The exact side is the [[sim_topk_bruteforce]] plan over the SAME query
+    * set (broadcast queries, one corpus pass, per-partition top-k); the
+    * approx side is the production plan under test. At 10^9+ vectors this is
+    * exactly how recall is measured there too: a sampled query set, one
+    * linear scan for ground truth, set-intersect per query — the eval cost
+    * is one brute-force pass over a sample, never N². */
+  def sim_recall_eval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    val approx = sim_topk_lsh(s, dir)
+      .select(col("qid"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall_per_mille", expr("n_hits * 1000 div n_exact"))
+  }
+
+  val sim_recall_eval_sql: String =
+    s"""WITH approx AS ($sim_topk_lsh_sql),
+       |e2 AS (SELECT vec_id, embedding,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings),
+       |q2 AS (SELECT vec_id qid, embedding qe, n2 qn2 FROM e2 WHERE vec_id < 50),
+       |exact AS (SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        list_sum(list_transform(range(1, len(qe)+1), i ->
+       |          CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+       |        vec_id ASC) AS rank
+       |    FROM q2 JOIN e2 ON vec_id != qid)
+       |  WHERE rank <= 3)
+       |SELECT x.qid, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+       |    // count(*) AS recall_per_mille
+       |FROM exact x LEFT JOIN approx a
+       |  ON x.qid = a.qid AND x.neighbor_id = a.neighbor_id
+       |GROUP BY x.qid""".stripMargin
+
   /** Coarse-quantizer size K ≈ √N (clamped), so cells hold ~√N vectors at
     * any corpus size — at 10^9 vectors, K = 4096 cells of ~250k rather than
     * a fixed literal leaving N/16 per cell. Both engines derive K from the
@@ -797,6 +852,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_graph" -> sim_knn_graph _,
     "sim_mutual_knn" -> sim_mutual_knn _,
+    "sim_recall_eval" -> sim_recall_eval _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -811,6 +867,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> sim_knn_graph_sql,
     "sim_mutual_knn" -> sim_mutual_knn_sql,
+    "sim_recall_eval" -> sim_recall_eval_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

@@ -387,7 +387,46 @@ object TextAnalysis {
        |SELECT * FROM (
        |  SELECT 2 AS round, pair, n FROM round2 ORDER BY n DESC, pair ASC LIMIT $BpeTopK)""".stripMargin
 
+  /** Per-document top-3 TF-IDF-style terms: term frequency weighted by
+    * inverse document frequency, with INTEGER arithmetic (score =
+    * tf·10^6 div df) instead of a float log — exact, order-independent, and
+    * bit-identical in any engine, while ranking monotonically in tf/df just
+    * like the classic score for fixed N.
+    *
+    * Plan: explode → (doc,term) map-side-combined count → df aggregate over
+    * the tf table (vocabulary-sized — AQE broadcasts it at runtime since the
+    * aggregate output is tiny relative to the postings side) → per-doc
+    * row_number window. The window partitions on doc_id, a
+    * maximal-cardinality key bounded by one document's distinct terms, and
+    * WindowGroupLimit keeps only the running top-3 per partition — no skew
+    * surface, no global sort, work linear in total tokens at 100 TB. */
+  def text_tfidf_top(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir).select(col("doc_id"), explode(tokens).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  val text_tfidf_top_sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY (tf * 1000000) // df DESC, term ASC) AS rank
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+      |FROM sc WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_top" -> text_tfidf_top _,
     "text_bpe_pairs" -> text_bpe_pairs _,
     "text_ngram_top" -> text_ngram_top _,
     "text_pii_scrub" -> text_pii_scrub _,
@@ -401,6 +440,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_top" -> text_tfidf_top_sql,
     "text_bpe_pairs" -> text_bpe_pairs_sql,
     "text_ngram_top" -> text_ngram_top_sql,
     "text_pii_scrub" -> text_pii_scrub_sql,
