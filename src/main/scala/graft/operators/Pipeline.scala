@@ -488,7 +488,105 @@ object Pipeline {
       |       CAST((r - 1) * ns + sidx AS BIGINT) AS ord
       |FROM r JOIN si USING (source), n""".stripMargin
 
+  /** Incremental-ingest dedup — the daily-batch pattern: new documents
+    * (source index >= [[IncrCorpusSources]]) are deduplicated against the
+    * EXISTING corpus (source index below it) and against each other, each
+    * new doc labeled `dup_of_corpus` / `dup_in_batch` / `new` with the
+    * representative it collided with. At production scale the corpus side
+    * is the accumulated fingerprint table (one 16-byte fp + one id per
+    * unique doc, NOT the corpus text) — the join ships fingerprints only,
+    * and everything keys on `fp`, so the corpus aggregate, the batch
+    * window, and the join share one shuffle family. */
+  private val IncrCorpusSources = 10
+
+  def pipe_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+    val isCorpus = expr(s"CAST(substring(source, 4) AS INT) < $IncrCorpusSources")
+    val corpus = docs.filter(isCorpus)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_rep"))
+    docs.filter(!isCorpus)
+      .withColumn("batch_rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(corpus, Seq("fp"), "left")
+      .withColumn("status",
+        when(col("corpus_rep").isNotNull, "dup_of_corpus")
+          .when(col("batch_rep") < col("doc_id"), "dup_in_batch")
+          .otherwise("new"))
+      .select(col("doc_id"), col("fp"), col("status"),
+        coalesce(col("corpus_rep"), col("batch_rep")).as("rep_doc_id"))
+  }
+
+  val pipe_dedup_incremental_sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+       |    CAST(substr(source, 4) AS INT) < $IncrCorpusSources AS is_corpus
+       |  FROM documents),
+       |corpus AS (SELECT fp, min(doc_id) AS corpus_rep FROM d WHERE is_corpus GROUP BY fp),
+       |batch AS (SELECT doc_id, fp,
+       |    min(doc_id) OVER (PARTITION BY fp) AS batch_rep
+       |  FROM d WHERE NOT is_corpus)
+       |SELECT b.doc_id, b.fp,
+       |  CASE WHEN c.corpus_rep IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN b.batch_rep < b.doc_id THEN 'dup_in_batch'
+       |       ELSE 'new' END AS status,
+       |  COALESCE(c.corpus_rep, b.batch_rep) AS rep_doc_id
+       |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp""".stripMargin
+
+  /** Token-budget data selection: per language, keep the highest-quality
+    * documents (uniq-token ratio, doc_id tiebreak) until the cumulative
+    * token count reaches [[TokenBudget]] — "give me the best B tokens per
+    * language", the budgeted-selection step of every curriculum/data-mix
+    * recipe.
+    *
+    * The running total is a DISTRIBUTED PREFIX SUM, not one window: a naive
+    * `Window.partitionBy(lang)` would sort a whole language (most of a
+    * 100 TB corpus) in one task. The quality score is already quantized
+    * (integer per-mille, 0..1000), so the score value itself is the ordered
+    * shard key: token sums accumulate within (lang, score) ordered by
+    * doc_id [bounded partitions], and each bucket's starting offset is the
+    * total of strictly-better buckets [a window over ≤1001 per-(lang,score)
+    * total rows]. The oracle states the single-window formulation — a green
+    * hash proves the decomposition exact. */
+  private val TokenBudget = 4000L
+
+  def pipe_token_budget(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("uniq"))
+      .withColumn("score", expr("uniq * 1000 div n_tokens"))
+    val wLocal = Window.partitionBy(col("lang"), col("score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = base.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("score"))
+      .agg(sum(col("n_tokens")).as("bucket_toks"))
+      .withColumn("off", coalesce(sum(col("bucket_toks")).over(wOff), lit(0L)))
+      .select(col("lang"), col("score"), col("off"))
+    local.join(offsets, Seq("lang", "score"))
+      .withColumn("cum_tokens", col("off") + col("lcum"))
+      .filter(col("cum_tokens") - col("n_tokens") < TokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+        col("cum_tokens"))
+  }
+
+  val pipe_token_budget_sql: String =
+    s"""WITH b AS (SELECT doc_id, lang,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS uniq
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang, n_tokens, (uniq * 1000) // n_tokens AS score FROM b),
+       |c AS (SELECT doc_id, lang, n_tokens, score,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM sc)
+       |SELECT doc_id, lang, n_tokens, score, cum_tokens
+       |FROM c WHERE cum_tokens - n_tokens < $TokenBudget""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dedup_incremental" -> (pipe_dedup_incremental(_, _)),
+    "pipe_token_budget" -> (pipe_token_budget(_, _)),
     "pipe_e2e" -> (pipe_e2e(_, _)),
     "pipe_dedup_keep" -> (pipe_dedup_keep(_, _)),
     "pipe_chunk" -> (pipe_chunk(_, _)),
@@ -503,6 +601,8 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_dedup_incremental" -> pipe_dedup_incremental_sql,
+    "pipe_token_budget" -> pipe_token_budget_sql,
     "pipe_e2e" -> pipe_e2e_sql,
     "pipe_dedup_keep" -> pipe_dedup_keep_sql,
     "pipe_chunk" -> pipe_chunk_sql,
