@@ -682,7 +682,101 @@ object Multimodal {
       |       afp, afp >> 44 AS band16
       |FROM p""".stripMargin
 
+  /** Silence-span detection — the audio-pipeline step that trims dead air /
+    * segments voice activity before transcription. A window of
+    * [[AudioWin]] samples is "silent" when its mean energy falls below 98%
+    * of the whole clip's mean (integer cross-multiplication — no division,
+    * no floats: `winSum·len·1000 < docSum·winLen·980`); maximal silent runs
+    * are folded into per-clip span statistics inside the same one-pass
+    * RIFF parser as [[mm_audio_fp]] (two passes over the data chunk: clip
+    * sum, then window fold — still O(bytes), still a pure map with zero
+    * shuffle at any corpus size). The oracle rebuilds the identical spans
+    * relationally: unnest windows → gaps-and-islands over the silent flag —
+    * so the imperative codec fold is verified against a declarative
+    * formulation bit-for-bit. */
+  def mm_silence_detect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
+        val wav = synthesizeWav(sampleRateFor(id), textBytes)
+        parseWavSilence(id, wav)
+      }
+    }.toDF("doc_id", "n_windows", "n_silent", "n_spans", "longest_run")
+  }
+
+  /** Walk to the data chunk, then fold window energies into silent-run
+    * statistics (count, spans, longest). */
+  private[operators] def parseWavSilence(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def magic(expect: String): Unit = {
+      val got = new Array[Byte](4); buf.get(got)
+      require(new String(got, "US-ASCII") == expect, s"bad magic in doc $id: expected $expect")
+    }
+    magic("RIFF"); buf.getInt; magic("WAVE")
+    var dataStart = -1; var dataLen = 0
+    while (buf.remaining() >= 8 && dataStart < 0) {
+      val tag = new Array[Byte](4); buf.get(tag)
+      val size = buf.getInt
+      if (new String(tag, "US-ASCII") == "data") { dataStart = buf.position(); dataLen = size }
+      else buf.position(buf.position() + size)
+    }
+    require(dataStart >= 0, s"no data chunk in doc $id")
+    var docSum = 0L
+    var i = 0
+    while (i < dataLen) { docSum += bytes(dataStart + i) & 0xff; i += 1 }
+    val nWindows = math.max(1L, (dataLen + AudioWin - 1L) / AudioWin)
+    var nSilent = 0L; var nSpans = 0L; var longest = 0L; var run = 0L
+    var w = 0L
+    while (w < nWindows) {
+      val start = w * AudioWin
+      val end = math.min(start + AudioWin, dataLen.toLong)
+      var winSum = 0L
+      var j = start
+      while (j < end) { winSum += bytes(dataStart + j.toInt) & 0xff; j += 1 }
+      val winLen = end - start
+      val silent = winSum * dataLen * 1000L < docSum * winLen * 980L
+      if (silent) {
+        nSilent += 1; run += 1
+        if (run == 1) nSpans += 1
+        if (run > longest) longest = run
+      } else run = 0
+      w += 1
+    }
+    (id, nWindows, nSilent, nSpans, longest)
+  }
+
+  val mm_silence_detect_sql: String =
+    s"""WITH g AS (SELECT doc_id, text, length(text) AS len,
+       |        greatest(1, (length(text) + ${AudioWin - 1}) // $AudioWin) AS nw,
+       |        COALESCE(list_sum(list_transform(range(1, length(text) + 1), i ->
+       |          ord(substr(text, CAST(i AS INT), 1)))), 0) AS docsum
+       |      FROM documents),
+       |wrows AS (SELECT doc_id, text, len, nw, docsum, unnest(range(0, nw)) AS w FROM g),
+       |e AS (SELECT doc_id, w,
+       |        COALESCE(list_sum(list_transform(
+       |          range(w * $AudioWin + 1, least((w + 1) * $AudioWin, len) + 1), i ->
+       |          ord(substr(text, CAST(i AS INT), 1)))), 0) * len * 1000
+       |          < docsum * (least((w + 1) * $AudioWin, len) - w * $AudioWin) * 980 AS silent
+       |      FROM wrows),
+       |s AS (SELECT doc_id, w, silent,
+       |        w - row_number() OVER (PARTITION BY doc_id, silent ORDER BY w) AS grp
+       |      FROM e),
+       |spans AS (SELECT doc_id, count(*) AS run FROM s WHERE silent GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_silent,
+       |          CAST(count(*) AS BIGINT) AS n_spans, CAST(max(run) AS BIGINT) AS longest_run
+       |        FROM spans GROUP BY doc_id)
+       |SELECT g.doc_id, CAST(g.nw AS BIGINT) AS n_windows,
+       |  COALESCE(a.n_silent, 0) AS n_silent,
+       |  COALESCE(a.n_spans, 0) AS n_spans,
+       |  COALESCE(a.longest_run, 0) AS longest_run
+       |FROM g LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_silence_detect" -> mm_silence_detect _,
     "mm_scene_cut" -> mm_scene_cut _,
     "mm_metadata" -> mm_metadata _,
     "mm_features" -> mm_features _,
@@ -694,6 +788,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_silence_detect" -> mm_silence_detect_sql,
     "mm_scene_cut" -> mm_scene_cut_sql,
     "mm_metadata" -> mm_metadata_sql,
     "mm_features" -> mm_features_sql,
