@@ -555,13 +555,23 @@ object Pipeline {
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("uniq"))
       .withColumn("score", expr("uniq * 1000 div n_tokens"))
+      // score is never null (n_tokens >= 1), but the inner join below pushes
+      // an IsNotNull(score) into ONE branch's scan — stated here instead so
+      // both branches' exchange subtrees stay identical and reuse fires
+      .where(col("score").isNotNull)
     val wLocal = Window.partitionBy(col("lang"), col("score")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = base.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
     val wOff = Window.partitionBy(col("lang")).orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("lang"), col("score"))
-      .agg(sum(col("n_tokens")).as("bucket_toks"))
+    // bucket total = the LAST running value (max of a nonneg-increment
+    // cumsum), aggregated from `local` rather than `base`: the offsets
+    // branch then shares the windowed stage's exchange subtree verbatim, so
+    // the corpus is scanned and tokenized ONCE (exchange reuse), and the
+    // aggregate runs on data already partitioned by (lang, score) — the
+    // only new exchange is over the ≤1001-buckets-per-lang totals.
+    val offsets = local.groupBy(col("lang"), col("score"))
+      .agg(max(col("lcum")).as("bucket_toks"))
       .withColumn("off", coalesce(sum(col("bucket_toks")).over(wOff), lit(0L)))
       .select(col("lang"), col("score"), col("off"))
     local.join(offsets, Seq("lang", "score"))

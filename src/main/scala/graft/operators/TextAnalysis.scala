@@ -404,7 +404,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, dir).select(col("doc_id"), explode(tokens).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // count(tf), not count(*): counting the (non-null) tf column keeps the
+    // df branch's child subtree IDENTICAL to the join's probe side — column
+    // pruning would otherwise specialize it to a distinct-aggregate, and the
+    // exchange reuse that makes this a ONE-scan plan (the corpus is exploded
+    // once, not twice) only fires on identical subtrees.
+    val df = tf.groupBy(col("term")).agg(count(col("tf")).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
     tf.join(df, "term")
       .withColumn("score", expr("tf * 1000000 div df"))
