@@ -830,7 +830,76 @@ object Relational {
       |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Sliding TIME-RANGE window frame (not a rows frame): every order joined
+    * with its customer's trailing-30-day order count and exact decimal
+    * spend. RANGE frames include same-day peers regardless of intra-day
+    * order, so the result is deterministic without a unique tiebreak; the
+    * frame bound is integer epoch-days on both engines. One shuffle on
+    * o_custkey (maximal-cardinality key, no skew surface); within a
+    * partition the frame is a sliding two-pointer pass over the sorted
+    * customer history, never a re-scan per row. */
+  def q26_range_frame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // o_orderdate arrives as TIMESTAMP_NTZ from parquet; sessions run UTC,
+    // so the cast is the identity on the wall-clock and unix_micros applies
+    val day = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+      .as("day_num")
+    val w = Window.partitionBy($"o_custkey").orderBy($"day_num")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", day, dec($"o_totalprice").as("p"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d", sum($"p").over(w).cast("double"))
+      .select($"o_orderkey", $"o_custkey", $"day_num", $"n_30d", $"spend_30d")
+  }
+
+  val q26_sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  epoch_us(o_orderdate) // 86400000000 AS day_num,
+      |  count(*) OVER win AS n_30d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DOUBLE) AS spend_30d
+      |FROM orders
+      |WINDOW win AS (PARTITION BY o_custkey
+      |  ORDER BY epoch_us(o_orderdate) // 86400000000
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Approximate-quantile SCALE PATH with a quantitative gate (the
+    * [[q9_distinct_approx]] recipe applied to [[q16_median]]): the exact
+    * per-group percentiles anchor the oracle, and the single-pass
+    * `approx_percentile` sketch — the variant that survives 100 TB, where
+    * the exact percentile's per-group value sort does not — is asserted
+    * within ±1 of the exact answer (quantities are small dense integers, so
+    * the sketch's rank error collapses to ≤1 in value space). Sketch and
+    * exact run as separate aggregations joined on the tiny group key, so
+    * the sketch path shuffles one digest per (partition × group). */
+  def q27_quantile_sketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val exact = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("n_lines"))
+    val approx = li.groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"))
+    exact.join(broadcast(approx), "l_returnflag")
+      .select($"l_returnflag", $"p50", $"p90", $"n_lines",
+        (abs($"a50" - $"p50") <= 1.0).as("p50_ok"),
+        (abs($"a90" - $"p90") <= 1.0).as("p90_ok"))
+  }
+
+  val q27_sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  count(*) AS n_lines,
+      |  true AS p50_ok,
+      |  true AS p90_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_range_frame" -> q26_range_frame _,
+    "q27_quantile_sketch" -> q27_quantile_sketch _,
     "q24_grouping_sets" -> q24_grouping_sets _,
     "q25_pivot" -> q25_pivot _,
     "q23_sessionize" -> q23_sessionize _,
@@ -860,6 +929,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_range_frame" -> q26_sql,
+    "q27_quantile_sketch" -> q27_sql,
     "q24_grouping_sets" -> q24_sql,
     "q25_pivot" -> q25_sql,
     "q23_sessionize" -> q23_sql,
