@@ -241,6 +241,66 @@ object Similarity {
        |  ON x.qid = a.qid AND x.neighbor_id = a.neighbor_id
        |GROUP BY x.qid""".stripMargin
 
+  /** PageRank over the mutual-kNN graph — embedding-space centrality, the
+    * signal behind representativeness sampling and hub detection in
+    * semantic dedup. [[PrIters]] power iterations with INTEGER rank mass
+    * (start 1000 per node; next = 150 + 850·Σ(r div deg) div 1000 — the
+    * 0.15 damping in per-mille arithmetic): floor divisions are
+    * deterministic in any engine, so the oracle unrolls the identical
+    * three rounds as CTEs and the gate hashes exact integers. The mutual
+    * graph is symmetric, so every node has in-edges and no dangling-mass
+    * correction exists.
+    *
+    * Scale: the edge table (k·N rows of integers) is materialized ONCE
+    * with `localCheckpoint` (at production scale: a persisted table) and
+    * each round is one join + one aggregation shuffled on the node id —
+    * cost is O(|E|) per round, rounds fixed at 3. Rank lineage is
+    * truncated per round (the Pregel pattern shared with
+    * [[graft.operators.Dedup.dedup_clusters]]). */
+  private val PrIters = 3
+
+  def sim_pagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val g = sim_mutual_knn(s, dir).select(col("vec_id_a"), col("vec_id_b"))
+    val edges = g.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"))
+      .unionByName(g.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e2 = edges.join(deg, "src").localCheckpoint(true)
+    var ranks = deg.select(col("src").as("vec_id"), lit(1000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val prev = ranks
+      ranks = e2.join(prev.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("m"))
+        .select(col("dst").as("vec_id"), expr("150 + (850 * m) div 1000").as("r"))
+        .localCheckpoint(true)
+      CheckpointBridge.unpersistLocalCheckpoint(prev)
+    }
+    e2.select(col("src").as("vec_id"), col("deg")).distinct()
+      .join(ranks, "vec_id")
+      .select(col("vec_id"), col("deg"), col("r").as("rank_milli"))
+  }
+
+  val sim_pagerank_sql: String =
+    s"""WITH g AS ($sim_mutual_knn_sql),
+       |e AS (SELECT vec_id_a AS src, vec_id_b AS dst FROM g
+       |      UNION ALL SELECT vec_id_b AS src, vec_id_a AS dst FROM g),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS vec_id, CAST(1000 AS BIGINT) AS r FROM deg),
+       |r1 AS (SELECT e.dst AS vec_id,
+       |         CAST(150 + (850 * sum(r0.r // deg.deg)) // 1000 AS BIGINT) AS r
+       |       FROM e JOIN deg USING (src) JOIN r0 ON r0.vec_id = e.src GROUP BY e.dst),
+       |r2 AS (SELECT e.dst AS vec_id,
+       |         CAST(150 + (850 * sum(r1.r // deg.deg)) // 1000 AS BIGINT) AS r
+       |       FROM e JOIN deg USING (src) JOIN r1 ON r1.vec_id = e.src GROUP BY e.dst),
+       |r3 AS (SELECT e.dst AS vec_id,
+       |         CAST(150 + (850 * sum(r2.r // deg.deg)) // 1000 AS BIGINT) AS r
+       |       FROM e JOIN deg USING (src) JOIN r2 ON r2.vec_id = e.src GROUP BY e.dst)
+       |SELECT d.src AS vec_id, CAST(d.deg AS BIGINT) AS deg, r3.r AS rank_milli
+       |FROM deg d JOIN r3 ON r3.vec_id = d.src""".stripMargin
+
   /** Coarse-quantizer size K ≈ √N (clamped), so cells hold ~√N vectors at
     * any corpus size — at 10^9 vectors, K = 4096 cells of ~250k rather than
     * a fixed literal leaving N/16 per cell. Both engines derive K from the
@@ -853,6 +913,7 @@ object Similarity {
     "sim_knn_graph" -> sim_knn_graph _,
     "sim_mutual_knn" -> sim_mutual_knn _,
     "sim_recall_eval" -> sim_recall_eval _,
+    "sim_pagerank" -> sim_pagerank _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -868,6 +929,7 @@ object Similarity {
     "sim_knn_graph" -> sim_knn_graph_sql,
     "sim_mutual_knn" -> sim_mutual_knn_sql,
     "sim_recall_eval" -> sim_recall_eval_sql,
+    "sim_pagerank" -> sim_pagerank_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

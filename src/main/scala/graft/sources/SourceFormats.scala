@@ -215,7 +215,58 @@ object SourceFormats {
       |FROM documents WHERE n_chars >= 200 AND n_chars < 400
       |GROUP BY 1""".stripMargin
 
+  /** PERMISSIVE malformed-record ingestion — the contract real crawl/log
+    * JSONL always exercises: corrupt lines must not kill the job OR
+    * silently vanish. A staged JSONL copy of `documents` has every
+    * doc_id % 17 == 0 line deliberately truncated mid-string; the read uses
+    * PERMISSIVE mode with `_corrupt_record`, so bad lines surface as rows
+    * with null data columns and the raw line captured. The aggregation
+    * groups good rows per language (content-pinned with md5 fingerprints —
+    * proving no good line was lost or altered) and corrupt rows under the
+    * null language with their count. The oracle recomputes both sides from
+    * the parquet original and the same doc_id rule. Scale: the permissive
+    * parse is scan-shaped — per-line error containment costs nothing
+    * distributable. */
+  private def stageMalformed(s: SparkSession, dir: String): String =
+    stagedMalformed.getOrElseUpdate(dir, {
+      val out = graft.Staging.tempDir("graft-src-badjson-").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .select(when(col("doc_id") % 17 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": \"unterminated")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("text"))))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      out
+    })
+  private val stagedMalformed = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def src_malformed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val schema = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")).schema
+      .add("_corrupt_record", StringType)
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stageMalformed(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        min(md5(col("text"))).as("min_fp"),
+        max(md5(col("text"))).as("max_fp"))
+  }
+
+  val src_malformed_sql: String =
+    """SELECT lang, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_corrupt,
+      |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+      |FROM documents WHERE doc_id % 17 != 0 GROUP BY lang
+      |UNION ALL
+      |SELECT NULL AS lang, count(*) AS n_rows, CAST(count(*) AS BIGINT) AS n_corrupt,
+      |  NULL AS min_fp, NULL AS max_fp
+      |FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_malformed" -> src_malformed _,
     "src_roundtrip" -> src_roundtrip _,
     "src_partitioned" -> src_partitioned _,
     "src_schema_merge" -> src_schema_merge _,
@@ -223,6 +274,7 @@ object SourceFormats {
     "src_sorted_layout" -> src_sorted_layout _)
 
   val oracles: Map[String, String] = Map(
+    "src_malformed" -> src_malformed_sql,
     "src_roundtrip" -> src_roundtrip_sql,
     "src_partitioned" -> src_partitioned_sql,
     "src_schema_merge" -> src_schema_merge_sql,
