@@ -55,4 +55,31 @@ class MultimodalSuite extends AnyFunSuite {
     assert(rate === 11000 && ch === 1 && bits === 8)
     assert(n === 6L && durMs === 6000L / 11000L && amp === 'c'.toInt)
   }
+
+  test("silence detection finds the crafted silent runs") {
+    // 5 windows of 64 bytes: loud, silent, silent, loud, silent —
+    // clip mean sits between the two levels, so the threshold (98% of
+    // mean) separates them exactly: expect 3 silent windows in 2 spans,
+    // longest run 2
+    val loud = Array.fill(64)(120.toByte)
+    val quiet = Array.fill(64)(10.toByte)
+    val samples = loud ++ quiet ++ quiet ++ loud ++ quiet
+    val wav = Multimodal.synthesizeWav(8000, samples)
+    val (_, nWin, nSilent, nSpans, longest) = Multimodal.parseWavSilence(9L, wav)
+    assert(nWin === 5L)
+    assert(nSilent === 3L)
+    assert(nSpans === 2L)
+    assert(longest === 2L)
+  }
+
+  test("silence detection: uniform clip has no silent windows") {
+    // every window's mean equals the clip mean, which is NOT below 98% of
+    // itself — the detector must stay quiet on constant input, including
+    // the shorter final window (length-normalized comparison)
+    val samples = Array.fill(100)(77.toByte) // 1 full window + a 36-byte tail
+    val wav = Multimodal.synthesizeWav(8000, samples)
+    val (_, nWin, nSilent, nSpans, longest) = Multimodal.parseWavSilence(2L, wav)
+    assert(nWin === 2L)
+    assert(nSilent === 0L && nSpans === 0L && longest === 0L)
+  }
 }
