@@ -897,7 +897,59 @@ object Relational {
       |  true AS p90_ok
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Ordered funnel analysis over the events stream: how many users VIEWED,
+    * then CLICKED within [[FunnelWindowUs]], then PURCHASED within another
+    * window — each stage's timestamp must strictly follow the previous
+    * stage's FIRST qualifying event inside the conversion window (the
+    * standard product-analytics funnel, not mere set-intersection). Users
+    * are bucketed by the deepest stage reached (0 = never viewed).
+    *
+    * Each stage is a filtered min-aggregate joined to the previous stage's
+    * result — everything keys on user_id, so the three joins and four
+    * aggregates share one shuffle family (co-partitioned under AQE), and
+    * per-stage state is one timestamp per user, never an event history.
+    * Timestamps compare as unix micros (integer). */
+  private val FunnelWindowUs = 86400000000L // 1-day conversion window
+
+  def q28_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"us" > $"t1" && $"us" - $"t1" <= FunnelWindowUs)
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"us" > $"t2" && $"us" - $"t2" <= FunnelWindowUs)
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    ev.select($"user_id").distinct()
+      .join(v.select($"user_id", lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select($"user_id", lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select($"user_id", lit(1).as("s3")), Seq("user_id"), "left")
+      .select(coalesce($"s3" * 3, $"s2" * 2, $"s1", lit(0)).as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  val q28_sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > t1 AND us - t1 <= 86400000000 GROUP BY 1),
+      |p AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > t2 AND us - t2 <= 86400000000 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+      |            WHEN c.user_id IS NOT NULL THEN 2
+      |            WHEN v.user_id IS NOT NULL THEN 1
+      |            ELSE 0 END AS stage,
+      |       count(*) AS n_users
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_funnel" -> q28_funnel _,
     "q26_range_frame" -> q26_range_frame _,
     "q27_quantile_sketch" -> q27_quantile_sketch _,
     "q24_grouping_sets" -> q24_grouping_sets _,
@@ -929,6 +981,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_funnel" -> q28_sql,
     "q26_range_frame" -> q26_sql,
     "q27_quantile_sketch" -> q27_sql,
     "q24_grouping_sets" -> q24_sql,

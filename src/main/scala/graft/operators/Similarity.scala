@@ -241,6 +241,28 @@ object Similarity {
        |  ON x.qid = a.qid AND x.neighbor_id = a.neighbor_id
        |GROUP BY x.qid""".stripMargin
 
+  /** LSH-stratified DIVERSITY sample: one representative (min vec_id) per
+    * hyperplane bucket, with the bucket's population. Where uniform
+    * sampling over-draws dense regions, one-per-bucket covers the
+    * embedding space — the cheap deterministic stand-in for k-center /
+    * facility-location selection in data-curation pipelines. One pass +
+    * one aggregation on the bucket id; bucket count adapts to corpus
+    * cardinality (the shared [[Lsh]] sizing), so the sample grows as
+    * ~2^bits and the aggregate stays map-side-combinable at any scale. */
+  def sim_bucket_sample(s: SparkSession, dir: String): DataFrame = {
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir), Lsh.maxBits(s))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), Lsh.bucketCol(nb, col("embedding")).as("blk"))
+      .groupBy(col("blk"))
+      .agg(min(col("vec_id")).as("sample_vec_id"), count(lit(1)).as("bucket_size"))
+  }
+
+  val sim_bucket_sample_sql: String =
+    s"""WITH ${Lsh.paramsDuck},
+       |e AS (SELECT vec_id, ${Lsh.bucketDuck} AS blk FROM embeddings, params)
+       |SELECT blk, min(vec_id) AS sample_vec_id, count(*) AS bucket_size
+       |FROM e GROUP BY blk""".stripMargin
+
   /** PageRank over the mutual-kNN graph — embedding-space centrality, the
     * signal behind representativeness sampling and hub detection in
     * semantic dedup. [[PrIters]] power iterations with INTEGER rank mass
@@ -914,6 +936,7 @@ object Similarity {
     "sim_mutual_knn" -> sim_mutual_knn _,
     "sim_recall_eval" -> sim_recall_eval _,
     "sim_pagerank" -> sim_pagerank _,
+    "sim_bucket_sample" -> sim_bucket_sample _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -930,6 +953,7 @@ object Similarity {
     "sim_mutual_knn" -> sim_mutual_knn_sql,
     "sim_recall_eval" -> sim_recall_eval_sql,
     "sim_pagerank" -> sim_pagerank_sql,
+    "sim_bucket_sample" -> sim_bucket_sample_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

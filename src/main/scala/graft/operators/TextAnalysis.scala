@@ -430,7 +430,55 @@ object TextAnalysis {
       |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
       |FROM sc WHERE rank <= 3""".stripMargin
 
+  /** Frequent-bigram coverage — the "LM-lite" fluency filter: what fraction
+    * of a document's bigrams are corpus-frequent? Gibberish and boilerplate
+    * both stand out (high OOV rate vs near-zero), without training a
+    * language model. The vocabulary is the top-[[OovVocabK]] corpus bigrams
+    * (count DESC, bigram ASC — deterministic through ties); rates are
+    * integer per-mille.
+    *
+    * Scale: one bigram explode feeds both the vocabulary aggregate and the
+    * per-doc join; the vocabulary is a bounded top-K
+    * (TakeOrderedAndProject, then broadcast — it is K rows at any corpus
+    * size), so the per-doc side never shuffles on the bigram. */
+  private val OovVocabK = 200
+
+  def text_oov_rate(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+    val vocab = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(OovVocabK)
+      .select(col("bigram"), lit(1).as("hit"))
+    bi.join(broadcast(vocab), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_in_vocab"))
+      .withColumn("oov_per_mille",
+        expr("(n_bigrams - n_in_vocab) * 1000 div n_bigrams"))
+  }
+
+  val text_oov_rate_sql: String =
+    s"""WITH bi AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split_regex(trim(text), '\\s+'))),
+       |    i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+       |         string_split_regex(trim(text), '\\s+')[i + 1])) AS bigram
+       |  FROM documents),
+       |vocab AS (SELECT bigram FROM (
+       |  SELECT bigram, count(*) AS n FROM bi GROUP BY 1
+       |  ORDER BY n DESC, bigram ASC LIMIT $OovVocabK))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       |  CAST(((count(*) - sum(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END)) * 1000)
+       |    // count(*) AS BIGINT) AS oov_per_mille
+       |FROM bi LEFT JOIN vocab v USING (bigram)
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_oov_rate" -> text_oov_rate _,
     "text_tfidf_top" -> text_tfidf_top _,
     "text_bpe_pairs" -> text_bpe_pairs _,
     "text_ngram_top" -> text_ngram_top _,
@@ -445,6 +493,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_oov_rate" -> text_oov_rate_sql,
     "text_tfidf_top" -> text_tfidf_top_sql,
     "text_bpe_pairs" -> text_bpe_pairs_sql,
     "text_ngram_top" -> text_ngram_top_sql,
