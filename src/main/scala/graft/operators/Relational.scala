@@ -909,7 +909,7 @@ object Relational {
     * aggregates share one shuffle family (co-partitioned under AQE), and
     * per-stage state is one timestamp per user, never an event history.
     * Timestamps compare as unix micros (integer). */
-  private val FunnelWindowUs = 86400000000L // 1-day conversion window
+  private[graft] val FunnelWindowUs = 86400000000L // 1-day conversion window
 
   def q28_funnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

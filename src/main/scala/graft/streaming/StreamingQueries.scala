@@ -886,6 +886,61 @@ object StreamingQueries {
   val stream_restart_sql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
 
+  /** STREAMING funnel — the q28 conversion funnel as an online state
+    * machine: per user, a `transformWithState` ValueState carries exactly
+    * three timestamps (first view, first in-window click after it, first
+    * in-window purchase after that) and each batch advances the machine
+    * over its rows in (ts, event_id) order. Arrival order is the staged
+    * stream's global-ts chunk order, under which "first qualifying seen" ==
+    * "min qualifying" — so the final stage distribution equals the batch
+    * funnel and the oracle IS [[graft.operators.Relational.q28_sql]]. Each
+    * batch emits the user's current stage (monotone), and the gate rolls
+    * the Update-mode sink up with max-per-user; state is 24 bytes per user
+    * forever, where a naive streaming join tree would buffer event
+    * histories. */
+  def stream_funnel(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val typed = eventsOrdered(s2, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, Long, String, java.sql.Timestamp)]
+      typed.groupByKey(_._2)
+        .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "stage")
+    }, OutputMode.Update(), "stream_funnel")
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+
+  private class FunnelProcessor
+    extends StatefulProcessor[Long, (Long, Long, String, java.sql.Timestamp), (Long, Int)] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _ // (t1, t2, t3) us; 0 = unset
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "funnel", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Int)] = {
+      val w = graft.operators.Relational.FunnelWindowUs
+      val sorted = rows.toArray.sortBy(r => (micros(r._4), r._1))
+      var (t1, t2, t3) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      sorted.foreach { case (_, _, typ, ts) =>
+        val us = micros(ts)
+        typ match {
+          case "view" if t1 == 0L => t1 = us
+          case "click" if t1 != 0L && t2 == 0L && us > t1 && us - t1 <= w => t2 = us
+          case "purchase" if t2 != 0L && t3 == 0L && us > t2 && us - t2 <= w => t3 = us
+          case _ => ()
+        }
+      }
+      st.update((t1, t2, t3))
+      val stage = if (t3 != 0L) 3 else if (t2 != 0L) 2 else if (t1 != 0L) 1 else 0
+      Iterator.single((user, stage))
+    }
+  }
+
+  val stream_funnel_sql: String = graft.operators.Relational.q28_sql
+
   /** Streaming global limit (append mode); which rows land is
     * non-deterministic, so this entry is rows-only checked. */
   def stream_limit(s: SparkSession, dir: String): DataFrame =
@@ -909,6 +964,7 @@ object StreamingQueries {
     "stream_session_append" -> (stream_session_append(_, _)),
     "stream_tws_timers" -> (stream_tws_timers(_, _)),
     "stream_asof" -> (stream_asof(_, _)),
+    "stream_funnel" -> (stream_funnel(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
@@ -935,6 +991,7 @@ object StreamingQueries {
     "stream_session_append" -> stream_session_append_sql,
     "stream_tws_timers" -> stream_tws_timers_sql,
     "stream_asof" -> stream_asof_sql,
+    "stream_funnel" -> stream_funnel_sql,
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
     "stream_tws_map" -> stream_tws_map_sql,
