@@ -283,13 +283,19 @@ object Similarity {
 
   def sim_pagerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
+    // checkpoint BEFORE the union: both orientations and the degree
+    // aggregate read the materialized undirected edge list, so the kNN
+    // build (the expensive part) runs exactly once
     val g = sim_mutual_knn(s, dir).select(col("vec_id_a"), col("vec_id_b"))
+      .localCheckpoint(true)
     val edges = g.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"))
       .unionByName(g.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e2 = edges.join(deg, "src").localCheckpoint(true)
     var ranks = deg.select(col("src").as("vec_id"), lit(1000L).as("r"))
       .localCheckpoint(true)
+    // both consumers of g (e2 and the seed ranks) are materialized now
+    CheckpointBridge.unpersistLocalCheckpoint(g)
     for (_ <- 1 to PrIters) {
       val prev = ranks
       ranks = e2.join(prev.withColumnRenamed("vec_id", "src"), "src")
