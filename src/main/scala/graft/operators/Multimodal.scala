@@ -775,7 +775,80 @@ object Multimodal {
        |  COALESCE(a.longest_run, 0) AS longest_run
        |FROM g LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Container ROUTING over a mixed binary column — the dispatch step of a
+    * real multimodal lake, where one blob column carries many formats and
+    * per-row work is chosen by sniffing magic bytes, never by trusting a
+    * metadata column. Each doc synthesizes a different container by
+    * doc_id % 3 (WAV / BMP / Y4M); the probe identifies the format from
+    * the magic alone and extracts the payload size with the right parser.
+    * The oracle recomputes both from the text column and the synthesis
+    * arithmetic, so a misrouted or misparsed row hash-fails. Pure map. */
+  def mm_container_probe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        val blob = (id % 3) match {
+          case 0 => synthesizeWav(sampleRateFor(id), textBytes)
+          case 1 => synthesizeBmp(widthFor(id), textBytes)
+          case _ => synthesizeY4m(textBytes)
+        }
+        probeContainer(id, blob)
+      }
+    }.toDF("doc_id", "container", "payload_bytes")
+  }
+
+  /** Magic-byte sniffing + per-format payload sizing. */
+  private[operators] def probeContainer(id: Long, bytes: Array[Byte]): (Long, String, Long) = {
+    def ascii(from: Int, len: Int): String =
+      if (bytes.length >= from + len) new String(bytes, from, len, "US-ASCII") else ""
+    if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.position(12)
+      var dataLen = -1L
+      while (buf.remaining() >= 8 && dataLen < 0) {
+        val tag = new Array[Byte](4); buf.get(tag)
+        val size = buf.getInt
+        if (new String(tag, "US-ASCII") == "data") dataLen = size.toLong
+        else buf.position(buf.position() + size)
+      }
+      require(dataLen >= 0, s"no data chunk in doc $id")
+      (id, "wav", dataLen)
+    } else if (ascii(0, 2) == "BM") {
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.position(18)
+      val width = buf.getInt; val height = buf.getInt
+      val stride = ((width + 3) / 4) * 4
+      (id, "bmp", stride.toLong * height)
+    } else if (ascii(0, 9) == "YUV4MPEG2") {
+      var pos = 0
+      while (bytes(pos) != '\n'.toByte) pos += 1
+      pos += 1
+      var frames = 0L
+      while (pos < bytes.length) {
+        require(ascii(pos, 6) == "FRAME\n", s"bad frame mark in doc $id")
+        pos += 6 + FrameBytes
+        frames += 1
+      }
+      (id, "y4m", frames * FrameBytes)
+    } else (id, "unknown", 0L)
+  }
+
+  val mm_container_probe_sql: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'y4m' END AS container,
+       |  CAST(CASE doc_id % 3
+       |    WHEN 0 THEN length(text)
+       |    WHEN 1 THEN (16 + (doc_id % 16) * 4) *
+       |      greatest(1, (length(text) + (16 + (doc_id % 16) * 4) - 1) // (16 + (doc_id % 16) * 4))
+       |    ELSE $FrameBytes * greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes)
+       |  END AS BIGINT) AS payload_bytes
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_container_probe" -> mm_container_probe _,
     "mm_silence_detect" -> mm_silence_detect _,
     "mm_scene_cut" -> mm_scene_cut _,
     "mm_metadata" -> mm_metadata _,
@@ -788,6 +861,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_container_probe" -> mm_container_probe_sql,
     "mm_silence_detect" -> mm_silence_detect_sql,
     "mm_scene_cut" -> mm_scene_cut_sql,
     "mm_metadata" -> mm_metadata_sql,

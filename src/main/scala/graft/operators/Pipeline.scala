@@ -594,7 +594,31 @@ object Pipeline {
        |SELECT doc_id, lang, n_tokens, score, cum_tokens
        |FROM c WHERE cum_tokens - n_tokens < $TokenBudget""".stripMargin
 
+  /** Per-source duplication report — the corpus-health dashboard row every
+    * ingestion pipeline watches: how much of each source is internal
+    * duplication? Two stacked hash aggregates over the 16-byte exact
+    * fingerprint (per-(source, fp) counts, then per-source rollup), both
+    * map-side combinable — strictly cheaper than the dedup itself at any
+    * corpus size. */
+  def pipe_dup_report(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(trim(col("text")), "\\s+", " "))
+    Tables.documents(s, dir).select(col("source"), fp.as("fp"))
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique"))
+      .withColumn("dup_per_mille", expr("(n_docs - n_unique) * 1000 div n_docs"))
+  }
+
+  val pipe_dup_report_sql: String =
+    """SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_unique,
+      |  CAST(((sum(n) - count(*)) * 1000) // sum(n) AS BIGINT) AS dup_per_mille
+      |FROM (SELECT source, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+      |        count(*) AS n
+      |      FROM documents GROUP BY 1, 2)
+      |GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dup_report" -> (pipe_dup_report(_, _)),
     "pipe_dedup_incremental" -> (pipe_dedup_incremental(_, _)),
     "pipe_token_budget" -> (pipe_token_budget(_, _)),
     "pipe_e2e" -> (pipe_e2e(_, _)),
@@ -611,6 +635,7 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_dup_report" -> pipe_dup_report_sql,
     "pipe_dedup_incremental" -> pipe_dedup_incremental_sql,
     "pipe_token_budget" -> pipe_token_budget_sql,
     "pipe_e2e" -> pipe_e2e_sql,
