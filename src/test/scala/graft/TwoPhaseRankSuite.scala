@@ -116,6 +116,41 @@ class TwoPhaseRankSuite extends AnyFunSuite with BeforeAndAfterAll
     assert(ords.distinct.length === ords.length, "interleave positions must be unique")
   }
 
+  test("pipe_token_budget's sharded prefix sum equals the single-window cumsum") {
+    // tie-dense skewed synthetic: 90% of docs in one language and only ~35
+    // distinct (uniq, n_tokens) combos, so score buckets hold many rows and
+    // both the in-bucket cumsum and the cross-bucket offsets do real work
+    val tmp = Files.createTempDirectory("graft-budget-").toString
+    val s2 = spark
+    import s2.implicits._
+    val rows = (0L until 3000L).map { id =>
+      val lang = if (id % 10 != 0) "en" else s"l${id % 4}"
+      val n = 5 + (id % 7).toInt
+      val u = 1 + (id % 5).toInt
+      val text = (0 until n).map(i => s"w${i % u}").mkString(" ")
+      (id, text, lang, "src0", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val toks = split(trim(col("text")), "\\s+")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val single = Tables.documents(spark, tmp)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("uniq"))
+      .withColumn("score", expr("uniq * 1000 div n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < 4000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"), col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val sharded = Pipeline.pipe_token_budget(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(single.count(_._2 == "en") > 100, "the dominant language must be truncated mid-bucket")
+    assert(sharded === single, "bucket-sharded prefix sum must equal the single-window cumsum")
+  }
+
   test("no event-level rank window partitions on the bare key") {
     for ((name, df) <- Seq(
         "pipe_domain_cap" -> Pipeline.pipe_domain_cap(spark, sfDir),
