@@ -948,7 +948,39 @@ object Relational {
       |       LEFT JOIN p USING (user_id)
       |GROUP BY 1""".stripMargin
 
+  /** MULTISET set operations (`INTERSECT ALL` / `EXCEPT ALL`) — the
+    * duplicate-preserving semantics [[q13_set_ops]]'s distinct variants
+    * cannot express: per-value multiplicities are min'd (intersect) or
+    * subtracted with floor-at-zero (except). Spark plans both as a single
+    * count-comparing aggregate (Expand + hash agg + generate), never a
+    * sort; the multiplicity bookkeeping shuffles one (value, counts) row
+    * per distinct value at P. Operands: per-nation customer market-segment
+    * rows vs supplier-derived rows, where duplicate nation keys are the
+    * point. */
+  def q29_set_ops_all(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // values deliberately repeat: one row per customer/supplier, keyed only
+    // by nation — multiplicities differ between the two sides
+    val cn = Tables.customer(s, dir).select(($"c_nationkey" % 10).as("k"))
+    val sn = Tables.supplier(s, dir).select(($"s_nationkey" % 10).as("k"))
+    cn.intersectAll(sn).groupBy($"k").agg(count(lit(1)).as("n_inter"))
+      .join(cn.exceptAll(sn).groupBy($"k").agg(count(lit(1)).as("n_except")),
+        Seq("k"), "full")
+      .na.fill(0L, Seq("n_inter", "n_except"))
+  }
+
+  val q29_sql: String =
+    """WITH cn AS (SELECT c_nationkey % 10 AS k FROM customer),
+      |sn AS (SELECT s_nationkey % 10 AS k FROM supplier),
+      |i AS (SELECT k, count(*) AS n_inter FROM (SELECT k FROM cn INTERSECT ALL SELECT k FROM sn) GROUP BY k),
+      |e AS (SELECT k, count(*) AS n_except FROM (SELECT k FROM cn EXCEPT ALL SELECT k FROM sn) GROUP BY k)
+      |SELECT COALESCE(i.k, e.k) AS k,
+      |  COALESCE(n_inter, 0) AS n_inter,
+      |  COALESCE(n_except, 0) AS n_except
+      |FROM i FULL OUTER JOIN e ON i.k = e.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_set_ops_all" -> q29_set_ops_all _,
     "q28_funnel" -> q28_funnel _,
     "q26_range_frame" -> q26_range_frame _,
     "q27_quantile_sketch" -> q27_quantile_sketch _,
@@ -981,6 +1013,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_set_ops_all" -> q29_sql,
     "q28_funnel" -> q28_sql,
     "q26_range_frame" -> q26_sql,
     "q27_quantile_sketch" -> q27_sql,

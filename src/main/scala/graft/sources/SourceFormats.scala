@@ -265,7 +265,40 @@ object SourceFormats {
       |  NULL AS min_fp, NULL AS max_fp
       |FROM documents WHERE doc_id % 17 = 0""".stripMargin
 
+  /** ORC round trip — the second columnar format a warehouse engine must
+    * speak. The documents slice is staged as ORC (with struct/column
+    * preservation) and read back; per-language aggregates are
+    * content-pinned with md5 fingerprints against the parquet original, so
+    * any row or value the ORC writer/reader mangles hash-fails. Scan-shaped
+    * at any scale; ORC brings its own predicate pushdown and row-group
+    * statistics, and columns prune exactly as in parquet. */
+  private val stagedOrc = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageOrc(s: SparkSession, dir: String): String =
+    stagedOrc.getOrElseUpdate(dir, {
+      val out = graft.Staging.tempDir("graft-src-orc-").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").orc(out)
+      out
+    })
+
+  def src_orc(s: SparkSession, dir: String): DataFrame = {
+    s.read.orc(stageOrc(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("chars"),
+        min(md5(col("text"))).as("min_fp"),
+        max(md5(col("text"))).as("max_fp"))
+  }
+
+  val src_orc_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars,
+      |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_orc" -> src_orc _,
     "src_malformed" -> src_malformed _,
     "src_roundtrip" -> src_roundtrip _,
     "src_partitioned" -> src_partitioned _,
@@ -274,6 +307,7 @@ object SourceFormats {
     "src_sorted_layout" -> src_sorted_layout _)
 
   val oracles: Map[String, String] = Map(
+    "src_orc" -> src_orc_sql,
     "src_malformed" -> src_malformed_sql,
     "src_roundtrip" -> src_roundtrip_sql,
     "src_partitioned" -> src_partitioned_sql,
