@@ -404,12 +404,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, dir).select(col("doc_id"), explode(tokens).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // count(tf), not count(*): counting the (non-null) tf column keeps the
-    // df branch's child subtree IDENTICAL to the join's probe side — column
-    // pruning would otherwise specialize it to a distinct-aggregate, and the
-    // exchange reuse that makes this a ONE-scan plan (the corpus is exploded
-    // once, not twice) only fires on identical subtrees.
-    val df = tf.groupBy(col("term")).agg(count(col("tf")).as("df"))
+    // count(CASE WHEN tf > 0 THEN 1 END), not count(*): the df branch must
+    // CONSUME the tf column so its child subtree stays IDENTICAL to the
+    // join's probe side — with count(*) (or even count(tf), which the
+    // not-null rewrite turns into count(*) during AQE re-optimization)
+    // column pruning specializes the branch to a distinct-aggregate, and
+    // the exchange reuse that makes this a ONE-scan plan (the corpus is
+    // exploded once, not twice; suite-asserted in PlanShapeSuite) only
+    // fires on identical subtrees. tf >= 1 always, so the count is exact.
+    val df = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") > 0, 1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
     tf.join(df, "term")
       .withColumn("score", expr("tf * 1000000 div df"))

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Pipeline, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the exchange-reuse plan shapes: `text_tfidf_top` and
+  * `pipe_token_budget` were deliberately written so their two aggregate
+  * consumers share one shuffle subtree (one corpus scan instead of two —
+  * the difference between 1x and 2x input I/O at 100 TB). Both shapes are
+  * fragile: a column-pruning or null-filter asymmetry between the branches
+  * silently breaks reuse with no correctness signal, so the scan count is
+  * asserted here on the EXECUTED adaptive plan. */
+class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
+    with AdaptiveSparkPlanHelper {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .appName("planshape")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def executedScans(df: DataFrame): Int = {
+    // collect() (not a noop write — that plans a SEPARATE write query and
+    // leaves this one un-executed) so executedPlan is the adaptive FINAL
+    // plan; AQE only installs stage reuse at runtime
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("isFinalPlan=true"))
+    // a reused stage is the SAME node reached through two references —
+    // dedupe by identity so reuse counts as the one physical scan it is
+    collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }.map(System.identityHashCode).distinct.size
+  }
+
+  test("text_tfidf_top explodes the corpus once (reused exchange)") {
+    assert(executedScans(TextAnalysis.text_tfidf_top(spark, sfDir)) === 1,
+      "tf and df branches must share one scan via exchange reuse")
+  }
+
+  test("pipe_token_budget scans the corpus once (offsets from the windowed stage)") {
+    assert(executedScans(Pipeline.pipe_token_budget(spark, sfDir)) === 1,
+      "the offsets branch must aggregate the windowed output, not re-scan")
+  }
+}
