@@ -387,6 +387,71 @@ object TextAnalysis {
        |SELECT * FROM (
        |  SELECT 2 AS round, pair, n FROM round2 ORDER BY n DESC, pair ASC LIMIT $BpeTopK)""".stripMargin
 
+  /** ENCODE with the trained BPE merges — the apply half of the
+    * [[text_bpe_pairs]] train half: both rounds' winning pairs are derived
+    * in-plan (broadcast single-row joins, never a collect) and applied to
+    * every word of every document (round-1 merge → marker `0`, round-2
+    * merge on the merged text → marker `1`, the exact trainer semantics),
+    * reporting per-document symbol counts before/after. This is the
+    * tokenizer-application pass a training pipeline runs over the full
+    * corpus once the merge table is fixed: the apply step itself is a
+    * narrow map (merge table broadcast; with a production-sized table, a
+    * map over a broadcast array), so it scales as one corpus scan. */
+  def text_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+    def pairsOf(name: String): Column =
+      explode(expr(s"transform(sequence(1, length($name) - 1), i -> substr($name, i, 2))"))
+    val top1 = words.select(pairsOf("w").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("win1"))
+    val top2 = words.crossJoin(broadcast(top1))
+      .select(expr("replace(w, win1, '0')").as("m"))
+      .filter(length(col("m")) >= 2)
+      .select(pairsOf("m").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("win2"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .crossJoin(broadcast(top1)).crossJoin(broadcast(top2))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x)")
+          .as("sym_before"),
+        expr("aggregate(transform(ws, w -> length(replace(replace(w, win1, '0'), win2, '1'))), 0, (a, x) -> a + x)")
+          .as("sym_after"))
+  }
+
+  val text_bpe_encode_sql: String =
+    """WITH words AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+      |w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+      |round1 AS (
+      |  SELECT pair, count(*) AS n FROM (
+      |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+      |    FROM w2)
+      |  GROUP BY 1),
+      |winner1 AS (SELECT pair AS win1 FROM round1 ORDER BY n DESC, pair ASC LIMIT 1),
+      |round2 AS (
+      |  SELECT pair, count(*) AS n FROM (
+      |    SELECT unnest(list_transform(range(1, length(m)), i -> substr(m, i, 2))) AS pair
+      |    FROM (SELECT replace(w, (SELECT win1 FROM winner1), '0') AS m FROM w2)
+      |    WHERE length(m) >= 2)
+      |  GROUP BY 1),
+      |winner2 AS (SELECT pair AS win2 FROM round2 ORDER BY n DESC, pair ASC LIMIT 1),
+      |d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws, win1, win2
+      |      FROM documents, winner1, winner2)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS INT) AS n_words,
+      |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS INT) AS sym_before,
+      |  CAST(COALESCE(list_sum(list_transform(ws, w ->
+      |    length(replace(replace(w, win1, '0'), win2, '1')))), 0) AS INT) AS sym_after
+      |FROM d""".stripMargin
+
   /** Per-document top-3 TF-IDF-style terms: term frequency weighted by
     * inverse document frequency, with INTEGER arithmetic (score =
     * tf·10^6 div df) instead of a float log — exact, order-independent, and
@@ -483,6 +548,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_oov_rate" -> text_oov_rate _,
+    "text_bpe_encode" -> text_bpe_encode _,
     "text_tfidf_top" -> text_tfidf_top _,
     "text_bpe_pairs" -> text_bpe_pairs _,
     "text_ngram_top" -> text_ngram_top _,
@@ -498,6 +564,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> text_oov_rate_sql,
+    "text_bpe_encode" -> text_bpe_encode_sql,
     "text_tfidf_top" -> text_tfidf_top_sql,
     "text_bpe_pairs" -> text_bpe_pairs_sql,
     "text_ngram_top" -> text_ngram_top_sql,
