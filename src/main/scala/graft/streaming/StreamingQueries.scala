@@ -252,6 +252,50 @@ object StreamingQueries {
       |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
       |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
+  /** DYNAMIC-GAP session windows: the gap is an expression of the row —
+    * `error` events hold a session open for only 30 minutes, everything
+    * else for 2 hours — the shape real funnels use (a checkout keeps the
+    * session alive longer than a heartbeat). Spark merges an event into a
+    * session when its start precedes the session's current end, where the
+    * end is the RUNNING MAX of per-event (ts + gap(event)) — a later short
+    * event never shortens a window an earlier long event already opened.
+    * The oracle states exactly that recurrence (running max over the
+    * ordered history, strict half-open boundary), so a green hash pins the
+    * merge semantics, not just the counts. */
+  def stream_session_dynamic(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      events(s2, dir).groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "error", "30 minutes").otherwise("2 hours")),
+        col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Complete(), "stream_session_dynamic")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  val stream_session_dynamic_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    ts + CASE WHEN event_type = 'error' THEN INTERVAL '30 minutes'
+      |              ELSE INTERVAL '2 hours' END AS ev_end
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, ts,
+      |    max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS new_sess
+      |  FROM m),
+      |n AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM n GROUP BY user_id, sid""".stripMargin
+
   /** Streaming deduplication on (user_id, event_type) (append mode, no
     * watermark so dedup is global — exactly DISTINCT).
     *
@@ -953,6 +997,7 @@ object StreamingQueries {
     "stream_window" -> (stream_window(_, _)),
     "stream_sliding" -> (stream_sliding(_, _)),
     "stream_session" -> (stream_session(_, _)),
+    "stream_session_dynamic" -> (stream_session_dynamic(_, _)),
     "stream_dedup" -> (stream_dedup(_, _)),
     "stream_dedup_agg" -> (stream_dedup_agg(_, _)),
     "stream_join" -> (stream_join(_, _)),
@@ -980,6 +1025,7 @@ object StreamingQueries {
     "stream_window" -> stream_window_sql,
     "stream_sliding" -> stream_sliding_sql,
     "stream_session" -> stream_session_sql,
+    "stream_session_dynamic" -> stream_session_dynamic_sql,
     "stream_dedup" -> stream_dedup_sql,
     "stream_dedup_agg" -> stream_dedup_agg_sql,
     "stream_join" -> stream_join_sql,
