@@ -241,6 +241,90 @@ object Similarity {
        |  ON x.qid = a.qid AND x.neighbor_id = a.neighbor_id
        |GROUP BY x.qid""".stripMargin
 
+  /** GRAPH-ANN beam search — the query path of HNSW/NSG-style indexes,
+    * run over the [[sim_knn_graph]] edge table: start every query at a
+    * deterministic entry point (the minimum corpus id), then for
+    * [[BeamHops]] hops expand the beam with its graph neighbors, score
+    * all candidates against the query, and keep the [[BeamWidth]] best
+    * (cosine DESC, vec_id tiebreak). The final beam's top-[[BeamK]]
+    * (query itself excluded) is the answer. Deterministic end-to-end —
+    * the oracle unrolls the identical three hops as CTEs, so the gate
+    * verifies the exact beam TRAJECTORY, not a recall proxy.
+    *
+    * Scale: the graph is built once ([[sim_knn_graph]] is
+    * candidate-proportional) and materialized; each hop is one join of
+    * (queries × beam) against the k-out-degree edge table — per-query
+    * work is O(beam·k) rows a hop, independent of corpus size, which is
+    * exactly why graph ANN wins at 10^9+ vectors. Beam lineage is
+    * truncated per hop (the Pregel pattern). */
+  private val BeamWidth = 8
+  private val BeamHops = 3
+  private val BeamK = 3
+
+  def sim_topk_graph(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val graph = sim_knn_graph(s, dir)
+      .select(col("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val entry = e.agg(min(col("vec_id")).as("vid"))
+    def scoreRank(cand: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+      cand.join(e, col("vid") === col("vec_id"))
+        .join(broadcast(q), "qid")
+        .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+    }
+    var beam = q.select(col("qid")).crossJoin(broadcast(entry))
+      .localCheckpoint(true)
+    for (_ <- 1 to BeamHops) {
+      val prev = beam
+      val expanded = prev.unionByName(
+          prev.join(graph, prev("vid") === graph("src"))
+            .select(prev("qid"), graph("dst").as("vid")))
+        .distinct()
+      beam = scoreRank(expanded, BeamWidth)
+        .select(col("qid"), col("vid"))
+        .localCheckpoint(true)
+      CheckpointBridge.unpersistLocalCheckpoint(prev)
+    }
+    scoreRank(beam.filter(col("vid") =!= col("qid")), BeamK)
+      .select(col("qid"), col("vid").as("neighbor_id"), col("r").as("rank"))
+  }
+
+  val sim_topk_graph_sql: String = {
+    val cos = """list_sum(list_transform(range(1, len(qe)+1), i ->
+                |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2)""".stripMargin
+    def hop(i: Int): String =
+      s"""x$i AS (SELECT qid, vid FROM b${i - 1}
+         |  UNION SELECT qid, g.dst AS vid FROM b${i - 1} b JOIN g ON g.src = b.vid),
+         |s$i AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, vid ASC) AS r
+         |  FROM x$i JOIN e2 ON vec_id = vid JOIN q2 USING (qid)),
+         |b$i AS (SELECT qid, vid FROM s$i WHERE r <= $BeamWidth)""".stripMargin
+    s"""WITH gk AS ($sim_knn_graph_sql),
+       |g AS (SELECT src, neighbor_id AS dst FROM gk),
+       |e2 AS (SELECT vec_id, embedding,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings),
+       |q2 AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM e2 WHERE vec_id < 50),
+       |entry AS (SELECT min(vec_id) AS vid FROM e2),
+       |b0 AS (SELECT qid, vid FROM q2, entry),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT qid, vid AS neighbor_id, CAST(r AS INT) AS rank FROM (
+       |  SELECT qid, vid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, vid ASC) AS r
+       |  FROM b3 JOIN e2 ON vec_id = vid JOIN q2 USING (qid)
+       |  WHERE vid != qid)
+       |WHERE r <= $BeamK""".stripMargin
+  }
+
   /** LSH-stratified DIVERSITY sample: one representative (min vec_id) per
     * hyperplane bucket, with the bucket's population. Where uniform
     * sampling over-draws dense regions, one-per-bucket covers the
@@ -943,6 +1027,7 @@ object Similarity {
     "sim_recall_eval" -> sim_recall_eval _,
     "sim_pagerank" -> sim_pagerank _,
     "sim_bucket_sample" -> sim_bucket_sample _,
+    "sim_topk_graph" -> sim_topk_graph _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -960,6 +1045,7 @@ object Similarity {
     "sim_recall_eval" -> sim_recall_eval_sql,
     "sim_pagerank" -> sim_pagerank_sql,
     "sim_bucket_sample" -> sim_bucket_sample_sql,
+    "sim_topk_graph" -> sim_topk_graph_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,
