@@ -979,7 +979,38 @@ object Relational {
       |  COALESCE(n_except, 0) AS n_except
       |FROM i FULL OUTER JOIN e ON i.k = e.k""".stripMargin
 
+  /** Distribution-rank window functions — `ntile` quartiles,
+    * `percent_rank`, `cume_dist`, `dense_rank` over each customer's order
+    * history. The ratio functions are exact small-integer rationals
+    * ((rank-1)/(n-1), peers/n) — bit-identical IEEE division in any
+    * engine — and ties on o_totalprice exercise the peer-group semantics
+    * that differentiate rank/dense_rank/cume_dist. One shuffle on the
+    * maximal-cardinality customer key. */
+  def q30_rank_metrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val wTies = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(wTies).as("drank"),
+        percent_rank().over(wTies).as("prank"),
+        cume_dist().over(wTies).as("cdist"))
+  }
+
+  val q30_sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS quartile,
+      |  CAST(dense_rank() OVER wt AS INT) AS drank,
+      |  percent_rank() OVER wt AS prank,
+      |  cume_dist() OVER wt AS cdist
+      |FROM orders
+      |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_rank_metrics" -> q30_rank_metrics _,
     "q29_set_ops_all" -> q29_set_ops_all _,
     "q28_funnel" -> q28_funnel _,
     "q26_range_frame" -> q26_range_frame _,
@@ -1013,6 +1044,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q30_rank_metrics" -> q30_sql,
     "q29_set_ops_all" -> q29_sql,
     "q28_funnel" -> q28_sql,
     "q26_range_frame" -> q26_sql,
