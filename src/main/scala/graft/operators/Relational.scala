@@ -1009,7 +1009,35 @@ object Relational {
       |FROM orders
       |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)""".stripMargin
 
+  /** Semi-structured JSON extraction — the events table's `props` column is
+    * a JSON payload (the universal shape of logged event metadata):
+    * extract a typed field per row and aggregate it relationally. The
+    * extraction (`get_json_object`, codegen'd) runs as a narrow map inside
+    * the scan stage — schema-on-read without a preprocessing pass — and
+    * everything after is one hash aggregate. Integer stats only (sum /
+    * min / max / count), so the gate hashes exactly. */
+  def q31_json_extract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"),
+        sum($"k").cast("long").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+  }
+
+  val q31_sql: String =
+    """SELECT event_type,
+      |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_json_extract" -> q31_json_extract _,
     "q30_rank_metrics" -> q30_rank_metrics _,
     "q29_set_ops_all" -> q29_set_ops_all _,
     "q28_funnel" -> q28_funnel _,
@@ -1044,6 +1072,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_json_extract" -> q31_sql,
     "q30_rank_metrics" -> q30_sql,
     "q29_set_ops_all" -> q29_sql,
     "q28_funnel" -> q28_sql,
