@@ -1036,7 +1036,37 @@ object Relational {
       |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Exact grouped percentiles (continuous interpolation) of order quantity
+    * per (returnflag, linestatus). Spark's `percentile` is the exact sorted
+    * interpolation the SQL standard's PERCENTILE_CONT defines; at quarter
+    * points over integer-valued quantities every interpolated value is an
+    * exact binary fraction, so the doubles are bit-identical in any engine.
+    * Execution is one partial+final object-hash aggregate: each group ships
+    * a per-partition count-map (50 distinct quantities), not raw rows — the
+    * distributed percentile pattern that scales to 100 TB groups. Contrast
+    * [[q27_quantile_sketch]], the approximate/mergeable-sketch path for
+    * high-cardinality value domains. */
+  def q32_percentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+  }
+
+  val q32_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.50) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_percentile" -> q32_percentile _,
     "q31_json_extract" -> q31_json_extract _,
     "q30_rank_metrics" -> q30_rank_metrics _,
     "q29_set_ops_all" -> q29_set_ops_all _,
@@ -1072,6 +1102,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q32_percentile" -> q32_sql,
     "q31_json_extract" -> q31_sql,
     "q30_rank_metrics" -> q30_sql,
     "q29_set_ops_all" -> q29_sql,

@@ -61,6 +61,45 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 5""".stripMargin
 
+  /** Filtered (predicate-constrained) exact top-k: each query (vec_id < 10)
+    * retrieves its 5 nearest neighbors among corpus vectors of a DIFFERENT
+    * label — the "filtered vector search" shape (metadata predicate ANDed
+    * into retrieval, e.g. dedup against other sources only, or
+    * cross-language mining). The filter is applied on the corpus side
+    * BEFORE the broadcast join, so at 100 TB the predicate prunes the scan
+    * (and, on a partitioned-by-label layout, prunes whole partitions)
+    * rather than post-filtering candidate lists — the reason filtered
+    * search is a first-class operator and not a wrapper around top-k. */
+  def sim_topk_filtered(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), norm2C.as("n2"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        col("rank"))
+  }
+
+  val sim_topk_filtered_sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |q AS (SELECT vec_id qid, label qlabel, embedding qe, n2 qn2 FROM e WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id, label,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_sum(list_transform(range(1, len(qe)+1), i ->
+      |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+      |      vec_id ASC) AS rank
+      |  FROM q JOIN e ON label != qlabel)
+      |SELECT qid, vec_id AS neighbor_id, label AS neighbor_label, CAST(rank AS INT) AS rank
+      |FROM s WHERE rank <= 5""".stripMargin
+
   /** Bucketed ANN: top-3 among the corpus vectors in any of the query's
     * Hamming<=1 probe buckets (vec_id < 50 queries), under the shared
     * random-hyperplane LSH ([[Lsh]]): adaptive bit width keeps buckets at
@@ -1033,6 +1072,7 @@ object Similarity {
     "sim_quantize_int8" -> sim_quantize_int8 _,
     "sim_centroid_outlier" -> sim_centroid_outlier _,
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
+    "sim_topk_filtered" -> sim_topk_filtered _,
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained _,
@@ -1051,6 +1091,7 @@ object Similarity {
     "sim_quantize_int8" -> sim_quantize_int8_sql,
     "sim_centroid_outlier" -> sim_centroid_outlier_sql,
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
+    "sim_topk_filtered" -> sim_topk_filtered_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained_sql,

@@ -87,6 +87,51 @@ object TextAnalysis {
        |        len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS uniq
        |      FROM documents)""".stripMargin
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling Language
+    * Models", §A1.1): token-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word ratio — the standard rule gate a
+    * pre-training corpus passes before any model-based scoring. Every rule
+    * is evaluated in integer arithmetic (`3·n ≤ chars ≤ 10·n` instead of a
+    * floating mean) so the verdicts are exact and engine-independent.
+    * One narrow codegen'd map over the scan; no shuffle. */
+  def text_gopher(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens)
+    val totChars = aggregate(transform(tokens, t => length(t)), lit(0), (a, x) => a + x)
+    val alphaTok = size(filter(tokens, t => t.rlike("[a-zA-Z]")))
+    val nSym = regexp_count(col("text"), lit("#|\\.\\.\\."))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), nTok.as("n_tokens"), totChars.as("total_chars"),
+        alphaTok.as("n_alpha_tokens"), nSym.as("n_symbols"),
+        (nTok >= 5 && nTok <= 100000).as("ok_count"),
+        (totChars >= nTok * 3 && totChars <= nTok * 10).as("ok_word_len"),
+        (nSym * 10 <= nTok).as("ok_symbols"),
+        (alphaTok * 5 >= nTok * 4).as("ok_alpha"))
+      .withColumn("keep",
+        col("ok_count") && col("ok_word_len") && col("ok_symbols") && col("ok_alpha"))
+  }
+
+  val text_gopher_sql: String =
+    """SELECT doc_id,
+      |  CAST(n_tokens AS INT) AS n_tokens,
+      |  CAST(total_chars AS INT) AS total_chars,
+      |  CAST(n_alpha_tokens AS INT) AS n_alpha_tokens,
+      |  CAST(n_symbols AS INT) AS n_symbols,
+      |  n_tokens BETWEEN 5 AND 100000 AS ok_count,
+      |  total_chars BETWEEN n_tokens * 3 AND n_tokens * 10 AS ok_word_len,
+      |  n_symbols * 10 <= n_tokens AS ok_symbols,
+      |  n_alpha_tokens * 5 >= n_tokens * 4 AS ok_alpha,
+      |  (n_tokens BETWEEN 5 AND 100000)
+      |    AND (total_chars BETWEEN n_tokens * 3 AND n_tokens * 10)
+      |    AND (n_symbols * 10 <= n_tokens)
+      |    AND (n_alpha_tokens * 5 >= n_tokens * 4) AS keep
+      |FROM (SELECT doc_id,
+      |        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |        list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS total_chars,
+      |        len(list_filter(string_split_regex(trim(text), '\s+'), t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha_tokens,
+      |        len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+      |      FROM documents)""".stripMargin
+
   /** Marker-word language ID (n-gram-heuristic family): score each language
     * by counts of its marker words, predict the argmax with a fixed
     * tie-break order. Deterministic and fully SQL-expressible. */
@@ -556,6 +601,7 @@ object TextAnalysis {
     "text_repetition" -> text_repetition _,
     "text_stats" -> text_stats _,
     "text_quality" -> text_quality _,
+    "text_gopher" -> text_gopher _,
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
     "text_winnow" -> text_winnow _,
@@ -572,6 +618,7 @@ object TextAnalysis {
     "text_repetition" -> text_repetition_sql,
     "text_stats" -> text_stats_sql,
     "text_quality" -> text_quality_sql,
+    "text_gopher" -> text_gopher_sql,
     "text_langid" -> text_langid_sql,
     "text_fingerprint" -> text_fingerprint_sql,
     "text_winnow" -> text_winnow_sql,
