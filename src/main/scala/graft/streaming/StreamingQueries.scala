@@ -8,7 +8,7 @@ import graft.Tables
 import graft.state.RocksDbStateStoreProvider
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Stateful streaming operators as driver-gated queries (SURVEY §2C).
   *
@@ -600,6 +600,68 @@ object StreamingQueries {
     """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** transformWithState with ListState: per-user top-3 event values
+    * (per-mille), the bounded-leaderboard shape. Two state variables in one
+    * processor — a ListState holding the current top-3 and a ValueState
+    * event counter — so one query exercises multi-variable column families
+    * AND the ListState changelog path (multi-valued CDC). The list is
+    * rewritten with `put` (not appended) each batch: state per key is 3
+    * longs forever, regardless of stream length — the reason a bounded
+    * leaderboard is safe at 100 TB where "collect all values then sort"
+    * is not. Update mode; the final per-user row is the one with the
+    * highest counter (`max_by`). */
+  def stream_tws_list(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val typed = events(s2, dir)
+        .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"))
+        .as[(Long, Long)]
+      typed.groupByKey(_._1)
+        .transformWithState(new Top3Processor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n", "top1", "top2", "top3")
+    }, OutputMode.Update(), "stream_tws_list")
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        max_by(col("top1"), col("n")).as("t1"),
+        max_by(col("top2"), col("n")).as("t2"),
+        max_by(col("top3"), col("n")).as("t3"))
+      .select(col("user_id"), col("n_events"),
+        when(col("t1") === Long.MinValue, lit(null)).otherwise(col("t1")).as("top1"),
+        when(col("t2") === Long.MinValue, lit(null)).otherwise(col("t2")).as("top2"),
+        when(col("t3") === Long.MinValue, lit(null)).otherwise(col("t3")).as("top3"))
+
+  private class Top3Processor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long, Long)] {
+    @transient private var top: ListState[Long] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[Long]("top", Encoders.scalaLong, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (top.exists()) top.get().foreach(buf += _)
+      var n = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { r => n += 1; buf += r._2 }
+      val best = buf.sorted(Ordering.Long.reverse).take(3).toArray
+      top.put(best)
+      cnt.update(n)
+      val p = best.padTo(3, Long.MinValue)
+      Iterator((user, n, p(0), p(1), p(2)))
+    }
+  }
+
+  val stream_tws_list_sql: String =
+    """WITH m AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS mille FROM events),
+      |r AS (SELECT user_id, mille,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY mille DESC) AS rn FROM m)
+      |SELECT user_id, count(*) AS n_events,
+      |  max(CASE WHEN rn = 1 THEN mille END) AS top1,
+      |  max(CASE WHEN rn = 2 THEN mille END) AS top2,
+      |  max(CASE WHEN rn = 3 THEN mille END) AS top3
+      |FROM r GROUP BY user_id""".stripMargin
+
   /** One staged copy of `documents` per scale-factor dir for the streaming
     * corpus-ingestion entries (same pattern as the events staging). */
   private val stagedDocDirs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1013,6 +1075,7 @@ object StreamingQueries {
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
+    "stream_tws_list" -> (stream_tws_list(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
@@ -1041,6 +1104,7 @@ object StreamingQueries {
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
     "stream_tws_map" -> stream_tws_map_sql,
+    "stream_tws_list" -> stream_tws_list_sql,
     "stream_statestore" -> stream_statestore_sql,
     "stream_watermark" -> stream_watermark_sql,
     "stream_restart" -> stream_restart_sql,
