@@ -594,6 +594,60 @@ object Pipeline {
        |SELECT doc_id, lang, n_tokens, score, cum_tokens
        |FROM c WHERE cum_tokens - n_tokens < $TokenBudget""".stripMargin
 
+  /** Curriculum-epoch assignment: split each language's corpus into 4
+    * training epochs by quality rank (best quarter first) — the standard
+    * curriculum-ordering step before packing. Semantically this is
+    * `ntile(4) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)`, but a
+    * direct window would sort a whole language (most of a 100 TB corpus) in
+    * ONE task. Instead the rank is the same sharded decomposition as
+    * [[pipe_token_budget]]: row_number within the bounded (lang, score)
+    * bucket + the count-offset of strictly-better buckets (a window over
+    * ≤1001 bucket-total rows per lang), and ntile's exact remainder rule
+    * (first `n mod 4` epochs get the extra row) is applied as arithmetic on
+    * (rank, n). The oracle states the single-window ntile — a green hash
+    * proves the decomposition implements SQL ntile bit-for-bit. */
+  def pipe_curriculum(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("uniq"))
+      .withColumn("score", expr("uniq * 1000 div n_tokens"))
+      .where(col("score").isNotNull)
+    val wLocal = Window.partitionBy(col("lang"), col("score")).orderBy(col("doc_id"))
+    val local = base.withColumn("lrn", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = local.groupBy(col("lang"), col("score"))
+      .agg(max(col("lrn")).as("bucket_n"))
+      .withColumn("off", coalesce(sum(col("bucket_n")).over(wOff), lit(0L)))
+    val offsets = buckets.select(col("lang"), col("score"), col("off"))
+    val totals = buckets.groupBy(col("lang")).agg(sum(col("bucket_n")).as("n"))
+    local.join(offsets, Seq("lang", "score"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("rank", col("off") + col("lrn"))
+      // SQL ntile(4): q = n div 4 rows per epoch, the first n mod 4 epochs
+      // take one extra; piecewise inversion of that size sequence
+      .withColumn("epoch", expr(
+        """CASE WHEN n < 4 THEN rank
+          |     WHEN rank <= (n % 4) * (n div 4 + 1)
+          |       THEN (rank - 1) div (n div 4 + 1) + 1
+          |     ELSE n % 4 + (rank - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+          |END""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("score"), col("rank"), col("epoch"))
+  }
+
+  val pipe_curriculum_sql: String =
+    """WITH b AS (SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS uniq
+      |  FROM documents),
+      |sc AS (SELECT doc_id, lang, (uniq * 1000) // n_tokens AS score FROM b)
+      |SELECT doc_id, lang, score,
+      |  CAST(row_number() OVER w AS BIGINT) AS rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS epoch
+      |FROM sc
+      |WINDOW w AS (PARTITION BY lang ORDER BY score DESC, doc_id ASC)""".stripMargin
+
   /** Per-source duplication report — the corpus-health dashboard row every
     * ingestion pipeline watches: how much of each source is internal
     * duplication? Two stacked hash aggregates over the 16-byte exact
@@ -618,6 +672,7 @@ object Pipeline {
       |GROUP BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curriculum" -> (pipe_curriculum(_, _)),
     "pipe_dup_report" -> (pipe_dup_report(_, _)),
     "pipe_dedup_incremental" -> (pipe_dedup_incremental(_, _)),
     "pipe_token_budget" -> (pipe_token_budget(_, _)),
@@ -635,6 +690,7 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_curriculum" -> pipe_curriculum_sql,
     "pipe_dup_report" -> pipe_dup_report_sql,
     "pipe_dedup_incremental" -> pipe_dedup_incremental_sql,
     "pipe_token_budget" -> pipe_token_budget_sql,

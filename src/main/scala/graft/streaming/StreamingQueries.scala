@@ -934,6 +934,32 @@ object StreamingQueries {
   val stream_statestore_sql: String =
     "SELECT event_type, count(*) AS n_events FROM events GROUP BY 1"
 
+  /** State CHANGE FEED at the gate: run the same per-type streaming count,
+    * then read the checkpoint as CDC (`readChangeFeed` from batch 0 — served
+    * from the changelog deltas, not a state rebuild) and reduce the update
+    * stream to its final image (last update per key wins, `max_by` on
+    * batch_id). Equality with the plain batch aggregate proves every
+    * intermediate PUT the provider logged is decodable and the last one per
+    * key equals the final state — the audit-trail path a production
+    * pipeline uses for state debugging and downstream CDC export. */
+  def stream_cdc(s: SparkSession, dir: String): DataFrame = {
+    val (s2, _, ckptDir) = runStream(s, s2 =>
+      events(s2, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Complete(), "stream_cdc")
+    s2.read.format("statestore")
+      .option("readChangeFeed", true)
+      .option("changeStartBatchId", 0)
+      .load(ckptDir)
+      .selectExpr("batch_id", "change_type", "key.event_type AS event_type",
+        "value.count AS n")
+      .groupBy(col("event_type"))
+      .agg(max_by(col("n"), col("batch_id")).as("n_events"))
+  }
+
+  val stream_cdc_sql: String =
+    "SELECT event_type, count(*) AS n_events FROM events GROUP BY 1"
+
   /** Mid-stream KILL + RESTART, gated end-to-end: run two chained stateful
     * operators (dedup → aggregation) over HALF the input chunks, stop the
     * query entirely, then restart from the same checkpoint with the rest of
@@ -1077,6 +1103,7 @@ object StreamingQueries {
     "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_tws_list" -> (stream_tws_list(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
+    "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
@@ -1106,6 +1133,7 @@ object StreamingQueries {
     "stream_tws_map" -> stream_tws_map_sql,
     "stream_tws_list" -> stream_tws_list_sql,
     "stream_statestore" -> stream_statestore_sql,
+    "stream_cdc" -> stream_cdc_sql,
     "stream_watermark" -> stream_watermark_sql,
     "stream_restart" -> stream_restart_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql)
