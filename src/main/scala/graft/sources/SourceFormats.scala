@@ -297,7 +297,56 @@ object SourceFormats {
       |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** `binaryFile` source — the ingestion shape of a MULTIMODAL lake: one
+    * opaque blob per object (image/audio/doc) in a Hive-partitioned
+    * directory tree, read as (path, length, content) rows. Stage each
+    * document's UTF-8 bytes as `lang=<v>/<doc_id>.bin` (written from the
+    * executors — one task per lang partition, never through the driver),
+    * then read back with `binaryFile` + `pathGlobFilter` and profile per
+    * directory-derived lang. `sum(length)` uses the FILE-METADATA size and
+    * `md5(content)` the actual bytes, so a truncated, duplicated, or
+    * mis-partitioned blob hash-fails against the oracle computed from the
+    * source table. At 100 TB the same plan holds: listing is
+    * partition-parallel, each blob is read by exactly one task, and the
+    * per-mille profile aggregate is tiny. */
+  private val stagedBinary = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageBinary(s: SparkSession, dir: String): String =
+    stagedBinary.getOrElseUpdate(dir, {
+      val t = graft.Staging.tempDir("graft-src-bin-").toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(col("lang"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            val p = java.nio.file.Paths.get(t, s"lang=${r.getString(1)}", s"${r.getLong(0)}.bin")
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      t
+    })
+
+  def src_binary(s: SparkSession, dir: String): DataFrame = {
+    val t = stageBinary(s, dir)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(t)
+      .select(regexp_extract(col("path"), "lang=([a-z]+)", 1).as("lang"),
+        col("length"), col("content"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("length")).as("bytes"),
+        min(md5(col("content"))).as("min_fp"),
+        max(md5(col("content"))).as("max_fp"))
+  }
+
+  val src_binary_sql: String =
+    """SELECT lang, count(*) AS n_blobs,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
+      |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_binary" -> src_binary _,
     "src_orc" -> src_orc _,
     "src_malformed" -> src_malformed _,
     "src_roundtrip" -> src_roundtrip _,
@@ -307,6 +356,7 @@ object SourceFormats {
     "src_sorted_layout" -> src_sorted_layout _)
 
   val oracles: Map[String, String] = Map(
+    "src_binary" -> src_binary_sql,
     "src_orc" -> src_orc_sql,
     "src_malformed" -> src_malformed_sql,
     "src_roundtrip" -> src_roundtrip_sql,
