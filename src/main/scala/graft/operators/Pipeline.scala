@@ -606,6 +606,18 @@ object Pipeline {
     * (first `n mod 4` epochs get the extra row) is applied as arithmetic on
     * (rank, n). The oracle states the single-window ntile — a green hash
     * proves the decomposition implements SQL ntile bit-for-bit. */
+  /** SQL ntile(4) as arithmetic on (`rank`, `n`): q = n div 4 rows per
+    * epoch, the first n mod 4 epochs take one extra — piecewise inversion
+    * of that size sequence (for n < 4, q+1 = 1 and the first branch yields
+    * epoch = rank, matching ntile's one-row groups). Equivalence to the
+    * window ntile for every (rank, n) shape is pinned in
+    * `TwoPhaseRankSuite`. */
+  private[graft] val ntile4OfRank =
+    expr("""CASE WHEN rank <= (n % 4) * (n div 4 + 1)
+           |     THEN (rank - 1) div (n div 4 + 1) + 1
+           |     ELSE n % 4 + (rank - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+           |END""".stripMargin)
+
   def pipe_curriculum(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
@@ -625,14 +637,7 @@ object Pipeline {
     local.join(offsets, Seq("lang", "score"))
       .join(broadcast(totals), Seq("lang"))
       .withColumn("rank", col("off") + col("lrn"))
-      // SQL ntile(4): q = n div 4 rows per epoch, the first n mod 4 epochs
-      // take one extra; piecewise inversion of that size sequence
-      .withColumn("epoch", expr(
-        """CASE WHEN n < 4 THEN rank
-          |     WHEN rank <= (n % 4) * (n div 4 + 1)
-          |       THEN (rank - 1) div (n div 4 + 1) + 1
-          |     ELSE n % 4 + (rank - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
-          |END""".stripMargin))
+      .withColumn("epoch", ntile4OfRank)
       .select(col("doc_id"), col("lang"), col("score"), col("rank"), col("epoch"))
   }
 

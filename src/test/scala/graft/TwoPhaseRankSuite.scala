@@ -151,6 +151,38 @@ class TwoPhaseRankSuite extends AnyFunSuite with BeforeAndAfterAll
     assert(sharded === single, "bucket-sharded prefix sum must equal the single-window cumsum")
   }
 
+  test("ntile4OfRank equals window ntile(4) for every n in 1..40") {
+    // every (rank, n) pair with n covering all remainder classes AND n < 4
+    val pairs = (for (n <- 1L to 40L; r <- 1L to n) yield (r, n)).toSeq
+    val pairsDf = spark.createDataFrame(pairs).toDF("rank", "n")
+    val viaArith = pairsDf
+      .withColumn("epoch", Pipeline.ntile4OfRank)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val viaWindow = pairsDf
+      .withColumn("epoch", ntile(4).over(
+        Window.partitionBy(col("n")).orderBy(col("rank"))).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(viaArith === viaWindow)
+  }
+
+  test("pipe_curriculum equals the single-window ntile on the fixture") {
+    val toks = split(trim(col("text")), "\\s+")
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id").asc)
+    val single = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("uniq"))
+      .withColumn("score", expr("uniq * 1000 div n_tokens"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("epoch", ntile(4).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("score"), col("rank"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val sharded = Pipeline.pipe_curriculum(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(sharded.nonEmpty)
+    assert(sharded === single, "sharded rank + arithmetic ntile must equal the window ntile")
+  }
+
   test("no event-level rank window partitions on the bare key") {
     for ((name, df) <- Seq(
         "pipe_domain_cap" -> Pipeline.pipe_domain_cap(spark, sfDir),
