@@ -1065,7 +1065,45 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** RANGE (band) JOIN without an equi key — for each purchase, count the
+    * clicks from ANY user in the preceding hour. A naive inequality join is
+    * a cartesian product (Spark plans BroadcastNestedLoopJoin — N·M
+    * predicate evaluations); here the band is turned into an equi key by
+    * BUCKETING: clicks land in hour buckets, each purchase probes exactly
+    * the two buckets its one-hour window can overlap (explode of 2 ids),
+    * and the exact band predicate filters after a plain shuffled hash join
+    * on bucket. Work is candidate-proportional — each pair considered
+    * shares an hour bucket — and both sides partition by bucket, so the
+    * plan survives any scale where one hour of events fits a partition
+    * (salt the bucket if not). Timestamp math in epoch-µs longs: exact.
+    * The oracle states the declarative inequality join. */
+  def q33_range_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val HourUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(unix_micros($"ts").as("us"), $"event_id", $"event_type")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"us".as("cus"), expr(s"us div $HourUs").as("bucket"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"us",
+        explode(array(expr(s"us div $HourUs"), expr(s"us div $HourUs - 1"))).as("bucket"))
+    purchases.join(clicks, Seq("bucket"), "left")
+      .groupBy($"event_id", $"us")
+      .agg(sum(when($"cus" >= $"us" - HourUs && $"cus" < $"us", 1L).otherwise(0L))
+        .as("n_clicks_1h"))
+      .select($"event_id", $"n_clicks_1h")
+  }
+
+  val q33_sql: String =
+    """SELECT p.event_id,
+      |  CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+      |FROM (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click') c
+      |  ON c.us >= p.us - 3600000000 AND c.us < p.us
+      |GROUP BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_range_join" -> q33_range_join _,
     "q32_percentile" -> q32_percentile _,
     "q31_json_extract" -> q31_json_extract _,
     "q30_rank_metrics" -> q30_rank_metrics _,
@@ -1102,6 +1140,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_range_join" -> q33_sql,
     "q32_percentile" -> q32_sql,
     "q31_json_extract" -> q31_sql,
     "q30_rank_metrics" -> q30_sql,
