@@ -847,7 +847,50 @@ object Multimodal {
        |  END AS BIGINT) AS payload_bytes
        |FROM documents""".stripMargin
 
+  /** IMAGE NEAR-DUP pairs — the multimodal twin of [[Dedup.dedup_simhash]]:
+    * same-dimension images whose [[mm_phash]] difference hashes are within
+    * Hamming distance 3, found by LSH banding FOR HAMMING SPACE: the 60-bit
+    * hash splits into 4 bands of 15 bits, and by pigeonhole any pair with
+    * d ≤ 3 agrees exactly on ≥ 1 band — so joining on
+    * (width, height, band_idx, band_value) is EXACT for the threshold while
+    * only comparing candidates that share a bucket (680 candidates vs 125k
+    * all-pairs at sf0.01). The dims in the key reflect the semantics (a
+    * near-dup image has the same shape) and keep degenerate bands — short
+    * images zero out high bands — from collapsing into one bucket. Scale:
+    * bucket sizes are data-bounded like the text-side LSH joins; distance
+    * evaluation is one codegen'd `bit_count(xor)` per candidate. */
+  def mm_phash_dedup(s: SparkSession, dir: String): DataFrame = {
+    val p = mm_phash(s, dir).select(col("doc_id"), col("width"), col("height"), col("phash"))
+    val b = p.withColumn("bi", explode(array((0 to 3).map(lit(_)): _*)))
+      .withColumn("bv", expr("(phash >> (bi * 15)) & 32767"))
+    val left = b.select(col("doc_id").as("doc_id_a"), col("width"), col("height"),
+      col("bi"), col("bv"), col("phash").as("ph_a"))
+    val right = b.select(col("doc_id").as("doc_id_b"), col("width"), col("height"),
+      col("bi"), col("bv"), col("phash").as("ph_b"))
+    left.join(right, Seq("width", "height", "bi", "bv"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  val mm_phash_dedup_sql: String = {
+    // the mm_phash oracle CTE, reused verbatim as the hash definition
+    val phashCte = mm_phash_sql.substring(0, mm_phash_sql.indexOf("SELECT doc_id, CAST(w AS INT)"))
+    phashCte +
+      """, b AS (SELECT doc_id, w, h, phash, unnest([0,1,2,3]) AS bi FROM p),
+        |bb AS (SELECT doc_id, w, h, phash, bi, (phash >> (bi*15)) & 32767 AS bv FROM b),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+        |    CAST(bit_count(xor(a.phash::BITSTRING, c.phash::BITSTRING)) AS INT) AS hamming
+        |  FROM bb a JOIN bb c
+        |    ON a.w = c.w AND a.h = c.h AND a.bi = c.bi AND a.bv = c.bv
+        |   AND a.doc_id < c.doc_id)
+        |SELECT doc_id_a, doc_id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> mm_phash_dedup _,
     "mm_container_probe" -> mm_container_probe _,
     "mm_silence_detect" -> mm_silence_detect _,
     "mm_scene_cut" -> mm_scene_cut _,
@@ -861,6 +904,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> mm_phash_dedup_sql,
     "mm_container_probe" -> mm_container_probe_sql,
     "mm_silence_detect" -> mm_silence_detect_sql,
     "mm_scene_cut" -> mm_scene_cut_sql,
