@@ -629,13 +629,16 @@ object Pipeline {
     val local = base.withColumn("lrn", row_number().over(wLocal).cast("long"))
     val wOff = Window.partitionBy(col("lang")).orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = local.groupBy(col("lang"), col("score"))
+    // per-lang total rides the SAME per-lang exchange as the offsets (a
+    // second unordered full-frame window, no extra shuffle or scan branch)
+    val wAll = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = local.groupBy(col("lang"), col("score"))
       .agg(max(col("lrn")).as("bucket_n"))
       .withColumn("off", coalesce(sum(col("bucket_n")).over(wOff), lit(0L)))
-    val offsets = buckets.select(col("lang"), col("score"), col("off"))
-    val totals = buckets.groupBy(col("lang")).agg(sum(col("bucket_n")).as("n"))
+      .withColumn("n", sum(col("bucket_n")).over(wAll))
+      .select(col("lang"), col("score"), col("off"), col("n"))
     local.join(offsets, Seq("lang", "score"))
-      .join(broadcast(totals), Seq("lang"))
       .withColumn("rank", col("off") + col("lrn"))
       .withColumn("epoch", ntile4OfRank)
       .select(col("doc_id"), col("lang"), col("score"), col("rank"), col("epoch"))

@@ -65,11 +65,13 @@ object Similarity {
     * retrieves its 5 nearest neighbors among corpus vectors of a DIFFERENT
     * label — the "filtered vector search" shape (metadata predicate ANDed
     * into retrieval, e.g. dedup against other sources only, or
-    * cross-language mining). The filter is applied on the corpus side
-    * BEFORE the broadcast join, so at 100 TB the predicate prunes the scan
-    * (and, on a partitioned-by-label layout, prunes whole partitions)
-    * rather than post-filtering candidate lists — the reason filtered
-    * search is a first-class operator and not a wrapper around top-k. */
+    * cross-language mining). Catalyst folds the predicate into the join
+    * CONDITION, so it is evaluated per candidate pair BEFORE the cosine —
+    * non-qualifying candidates are never scored or ranked — rather than
+    * post-filtering a fixed-k list (which under-fills k and forces
+    * re-retrieval); a static predicate (one label, a source, a date range)
+    * would additionally push to the corpus scan and prune partitions. The
+    * reason filtered search is a first-class operator, not a wrapper. */
   def sim_topk_filtered(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"), norm2C.as("n2"))
