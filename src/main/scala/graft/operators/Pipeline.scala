@@ -656,6 +656,48 @@ object Pipeline {
       |FROM sc
       |WINDOW w AS (PARTITION BY lang ORDER BY score DESC, doc_id ASC)""".stripMargin
 
+  /** MODEL-BASED quality filtering, stubbed the honest way: inference of a
+    * fixed linear classifier (integer weights over integer token features —
+    * the fasttext-classifier shape every corpus pipeline runs after the
+    * rule gates). The model is a compile-time constant here because no ML
+    * runtime ships in this container; the SPARK-SIDE SHAPE is the real
+    * thing — features and scores are one codegen'd narrow map over the
+    * scan, weights would broadcast, and a heavier model (fasttext, a small
+    * transformer) slots into the same position as a `mapInPandas` batch UDF
+    * without changing the plan around it. Integer logits, so the gate
+    * hashes exactly. */
+  def pipe_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("uniq"),
+        size(filter(toks, t => t.isin(stopwordList: _*))).cast("long").as("stop_hits"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"))
+      .withColumn("logit_milli",
+        lit(2L) * col("n_tokens") + lit(5L) * col("uniq")
+          - lit(30L) * col("stop_hits") - lit(10L) * col("n_punct"))
+      .withColumn("keep", col("logit_milli") >= 300L)
+  }
+
+  private val stopwordList = Seq("the", "a", "of", "and", "to")
+
+  val pipe_quality_classifier_sql: String =
+    """SELECT doc_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(uniq AS BIGINT) AS uniq,
+      |  CAST(stop_hits AS BIGINT) AS stop_hits,
+      |  CAST(n_punct AS BIGINT) AS n_punct,
+      |  CAST(2 * n_tokens + 5 * uniq - 30 * stop_hits - 10 * n_punct AS BIGINT) AS logit_milli,
+      |  2 * n_tokens + 5 * uniq - 30 * stop_hits - 10 * n_punct >= 300 AS keep
+      |FROM (SELECT doc_id,
+      |        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |        len(list_distinct(string_split_regex(trim(text), '\s+'))) AS uniq,
+      |        len(list_filter(string_split_regex(trim(text), '\s+'),
+      |            t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
+      |        len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+      |      FROM documents)""".stripMargin
+
   /** Per-source duplication report — the corpus-health dashboard row every
     * ingestion pipeline watches: how much of each source is internal
     * duplication? Two stacked hash aggregates over the 16-byte exact
@@ -681,6 +723,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curriculum" -> (pipe_curriculum(_, _)),
+    "pipe_quality_classifier" -> (pipe_quality_classifier(_, _)),
     "pipe_dup_report" -> (pipe_dup_report(_, _)),
     "pipe_dedup_incremental" -> (pipe_dedup_incremental(_, _)),
     "pipe_token_budget" -> (pipe_token_budget(_, _)),
@@ -699,6 +742,7 @@ object Pipeline {
 
   def oracles: Map[String, String] = Map(
     "pipe_curriculum" -> pipe_curriculum_sql,
+    "pipe_quality_classifier" -> pipe_quality_classifier_sql,
     "pipe_dup_report" -> pipe_dup_report_sql,
     "pipe_dedup_incremental" -> pipe_dedup_incremental_sql,
     "pipe_token_budget" -> pipe_token_budget_sql,

@@ -1102,7 +1102,37 @@ object Relational {
       |  ON c.us >= p.us - 3600000000 AND c.us < p.us
       |GROUP BY p.event_id""".stripMargin
 
+  /** Gap-fill / LOCF imputation — carry each user's latest purchase value
+    * forward onto every subsequent event (`last(..., ignoreNulls)` over a
+    * running frame), the standard telemetry forward-fill and the
+    * IGNORE-NULLS member of the window-function family (q15/q26/q30 cover
+    * the rest). Deterministic tie-break on (ts, event_id); value carried as
+    * integer per-mille so the gate hashes exactly. Scale: the window
+    * partitions on user — bounded by one user's history like q15/q30; for
+    * unbounded histories the (user, day-bucket)+carry decomposition of
+    * [[q18_asof_join]] applies verbatim (LOCF IS an as-of join of a stream
+    * to itself). */
+  def q34_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "purchase", floor($"value" * 1000).cast("long")).as("pv"))
+      .withColumn("carried_value", last($"pv", ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"carried_value")
+  }
+
+  val q34_sql: String =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'purchase'
+      |                  THEN CAST(floor(value * 1000) AS BIGINT) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS carried_value
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_gap_fill" -> q34_gap_fill _,
     "q33_range_join" -> q33_range_join _,
     "q32_percentile" -> q32_percentile _,
     "q31_json_extract" -> q31_json_extract _,
@@ -1140,6 +1170,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_gap_fill" -> q34_sql,
     "q33_range_join" -> q33_sql,
     "q32_percentile" -> q32_sql,
     "q31_json_extract" -> q31_sql,

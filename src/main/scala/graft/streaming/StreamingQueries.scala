@@ -718,6 +718,42 @@ object StreamingQueries {
       |HAVING win_start + INTERVAL '1 hour' <=
       |       (SELECT max(ts) - INTERVAL '1 hour' FROM events)""".stripMargin
 
+  /** Exactly-once FILE SINK — the production egress path the memory-sink
+    * gates don't exercise: the same watermarked append-mode windowed
+    * aggregation as [[stream_watermark]], committed to a parquet directory
+    * through the streaming file sink's transaction log (`_spark_metadata`).
+    * The read-back goes through that manifest, so files from failed or
+    * speculative batch attempts are invisible — a duplicated or half-written
+    * window would hash-fail the gate. At scale this is the pattern for
+    * streaming into a lake: per-batch atomic manifest commits, no
+    * rename-based directory races, consumers always see a consistent
+    * prefix of batches. */
+  def stream_file_sink(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val outDir = graft.Staging.tempDir("graft-filesink-out-").toString
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    val q = eventsOrdered(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val stream_file_sink_sql: String = stream_watermark_sql
+
   /** `dropDuplicatesWithinWatermark` — TTL-style dedup state: a key's
     * fingerprint expires once the watermark passes its event time + delay,
     * so the seen-set is bounded by the delay window instead of growing
@@ -1106,6 +1142,7 @@ object StreamingQueries {
     "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
+    "stream_file_sink" -> (stream_file_sink(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
@@ -1135,6 +1172,7 @@ object StreamingQueries {
     "stream_statestore" -> stream_statestore_sql,
     "stream_cdc" -> stream_cdc_sql,
     "stream_watermark" -> stream_watermark_sql,
+    "stream_file_sink" -> stream_file_sink_sql,
     "stream_restart" -> stream_restart_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql)
 }
