@@ -754,6 +754,53 @@ object StreamingQueries {
 
   val stream_file_sink_sql: String = stream_watermark_sql
 
+  /** `foreachBatch` — the swiss-army production sink (merge/upsert into a
+    * warehouse table, one transactional write per micro-batch). Each
+    * update-mode batch of the per-user running aggregate is written to the
+    * same parquet directory stamped with its batch id — the idempotence
+    * key: a re-run batch overwrites its own output instead of duplicating
+    * it, which is exactly how foreachBatch + MERGE achieves exactly-once on
+    * engines without a streaming sink. The final image (last write per key,
+    * `max_by` on batch_id) must equal the plain batch aggregate — a lost,
+    * re-ordered, or double-applied batch hash-fails. */
+  def stream_foreach_batch(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val outDir = graft.Staging.tempDir("graft-feb-out-").toString
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    val q = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite") // idempotent: partition == this batch id
+          .format("parquet")
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .save(outDir)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("sum_value")), col("batch_id")).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"), col("m.sum_value").as("sum_value"))
+  }
+
+  val stream_foreach_batch_sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** `dropDuplicatesWithinWatermark` — TTL-style dedup state: a key's
     * fingerprint expires once the watermark passes its event time + delay,
     * so the seen-set is bounded by the delay window instead of growing
@@ -1143,6 +1190,7 @@ object StreamingQueries {
     "stream_restart" -> (stream_restart(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
     "stream_file_sink" -> (stream_file_sink(_, _)),
+    "stream_foreach_batch" -> (stream_foreach_batch(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
@@ -1173,6 +1221,7 @@ object StreamingQueries {
     "stream_cdc" -> stream_cdc_sql,
     "stream_watermark" -> stream_watermark_sql,
     "stream_file_sink" -> stream_file_sink_sql,
+    "stream_foreach_batch" -> stream_foreach_batch_sql,
     "stream_restart" -> stream_restart_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql)
 }
