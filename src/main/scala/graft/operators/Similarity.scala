@@ -282,6 +282,65 @@ object Similarity {
        |  ON x.qid = a.qid AND x.neighbor_id = a.neighbor_id
        |GROUP BY x.qid""".stripMargin
 
+  /** TWO-STAGE retrieval with a dimension-reduced prefilter — the
+    * Matryoshka-embedding pattern: stage 1 scores every candidate on only
+    * the first [[PrefixDims]] dimensions (a prefix of a Matryoshka-trained
+    * embedding carries most of the signal) and keeps [[CoarseK]] per query;
+    * stage 2 re-scores just those with the FULL vector and keeps
+    * [[RerankK]]. Per-row stage-1 cost drops by dims/PrefixDims — at
+    * production dimensionality (1024+ → 32-dim prefix) that is a 30×
+    * cheaper scan, with exactness restored at the top only where it
+    * matters. Both stages are the same broadcast + WindowGroupLimit shape
+    * as [[sim_topk_bruteforce]]; the oracle unrolls both stages, so the
+    * gate pins the exact two-stage trajectory including prefilter misses. */
+  private val PrefixDims = 8
+  private val CoarseK = 20
+  private val RerankK = 5
+
+  def sim_topk_rerank(s: SparkSession, dir: String): DataFrame = {
+    val peC = slice(col("embedding"), 1, PrefixDims)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"),
+        VecDot.norm2(peC).as("pn2"), peC.as("pe"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"),
+        col("pn2").as("qpn2"), col("pe").as("qpe"))
+    val wPre = Window.partitionBy(col("qid")).orderBy(col("cos_pre").desc, col("vec_id").asc)
+    val coarse = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_pre",
+        VecDot.dot(col("qpe"), col("pe")) / sqrt(col("pn2") * col("qpn2")))
+      .withColumn("crank", row_number().over(wPre))
+      .filter(col("crank") <= CoarseK)
+    val wFull = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    coarse
+      .withColumn("cos", VecDot.dot(col("qe"), col("embedding")) / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= RerankK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  val sim_topk_rerank_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, embedding[1:$PrefixDims] AS pe,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+       |    list_sum(list_transform(embedding[1:$PrefixDims], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS pn2
+       |  FROM embeddings),
+       |q AS (SELECT vec_id qid, embedding qe, pe qpe, n2 qn2, pn2 qpn2 FROM e WHERE vec_id < 10),
+       |coarse AS (SELECT qid, vec_id, embedding, qe, n2, qn2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_sum(list_transform(range(1, $PrefixDims + 1), i ->
+       |        CAST(qpe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) / sqrt(pn2 * qpn2) DESC,
+       |      vec_id ASC) AS crank
+       |  FROM q JOIN e ON vec_id != qid),
+       |rer AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_sum(list_transform(range(1, len(qe)+1), i ->
+       |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+       |      vec_id ASC) AS rank
+       |  FROM coarse WHERE crank <= $CoarseK)
+       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
+       |FROM rer WHERE rank <= $RerankK""".stripMargin
+
   /** GRAPH-ANN beam search — the query path of HNSW/NSG-style indexes,
     * run over the [[sim_knn_graph]] edge table: start every query at a
     * deterministic entry point (the minimum corpus id), then for
@@ -1075,6 +1134,7 @@ object Similarity {
     "sim_centroid_outlier" -> sim_centroid_outlier _,
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
     "sim_topk_filtered" -> sim_topk_filtered _,
+    "sim_topk_rerank" -> sim_topk_rerank _,
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained _,
@@ -1094,6 +1154,7 @@ object Similarity {
     "sim_centroid_outlier" -> sim_centroid_outlier_sql,
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
     "sim_topk_filtered" -> sim_topk_filtered_sql,
+    "sim_topk_rerank" -> sim_topk_rerank_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained_sql,
