@@ -677,7 +677,7 @@ object Pipeline {
       .withColumn("logit_milli",
         lit(2L) * col("n_tokens") + lit(5L) * col("uniq")
           - lit(30L) * col("stop_hits") - lit(10L) * col("n_punct"))
-      .withColumn("keep", col("logit_milli") >= 300L)
+      .withColumn("keep", col("logit_milli") >= 120L)
   }
 
   private val stopwordList = Seq("the", "a", "of", "and", "to")
@@ -689,13 +689,68 @@ object Pipeline {
       |  CAST(stop_hits AS BIGINT) AS stop_hits,
       |  CAST(n_punct AS BIGINT) AS n_punct,
       |  CAST(2 * n_tokens + 5 * uniq - 30 * stop_hits - 10 * n_punct AS BIGINT) AS logit_milli,
-      |  2 * n_tokens + 5 * uniq - 30 * stop_hits - 10 * n_punct >= 300 AS keep
+      |  2 * n_tokens + 5 * uniq - 30 * stop_hits - 10 * n_punct >= 120 AS keep
       |FROM (SELECT doc_id,
       |        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
       |        len(list_distinct(string_split_regex(trim(text), '\s+'))) AS uniq,
       |        len(list_filter(string_split_regex(trim(text), '\s+'),
       |            t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
       |        len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+      |      FROM documents)""".stripMargin
+
+  /** The DATASET CARD row — the one-line corpus summary published next to
+    * a released training set: volume (docs, tokens, bytes), diversity
+    * (languages, sources), duplication (exact-dup per-mille via the
+    * fingerprint count), and quality (keep-rate per-mille under the
+    * classifier gate). One pass over the corpus: every metric is a
+    * map-side-combinable aggregate over the same scan, so the whole card
+    * is a single narrow map + one global aggregate — at 100 TB this is a
+    * scan-bound job with O(1) output. */
+  def pipe_dataset_card(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val fp = md5(regexp_replace(trim(col("text")), "\\s+", " "))
+    val nTok = size(toks).cast("long")
+    val uniq = size(array_distinct(toks)).cast("long")
+    val stopHits = size(filter(toks, t => t.isin(stopwordList: _*))).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
+    val logit = lit(2L) * nTok + lit(5L) * uniq - lit(30L) * stopHits - lit(10L) * nPunct
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), fp.as("fp"), nTok.as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        (logit >= 120L).cast("long").as("keep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("fp")).as("n_unique_docs"),
+        sum(col("keep")).as("n_keep"))
+      .withColumn("dup_per_mille",
+        expr("(n_docs - n_unique_docs) * 1000 div n_docs"))
+      .withColumn("keep_per_mille", expr("n_keep * 1000 div n_docs"))
+  }
+
+  val pipe_dataset_card_sql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+      |  CAST(sum(keep) AS BIGINT) AS n_keep,
+      |  CAST(((count(*) - count(DISTINCT fp)) * 1000) // count(*) AS BIGINT) AS dup_per_mille,
+      |  CAST((sum(keep) * 1000) // count(*) AS BIGINT) AS keep_per_mille
+      |FROM (SELECT lang, source,
+      |        md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+      |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |        CAST(length(text) AS BIGINT) AS n_chars,
+      |        CASE WHEN 2 * len(string_split_regex(trim(text), '\s+'))
+      |                + 5 * len(list_distinct(string_split_regex(trim(text), '\s+')))
+      |                - 30 * len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                      t -> t IN ('the', 'a', 'of', 'and', 'to')))
+      |                - 10 * len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) >= 120
+      |             THEN 1 ELSE 0 END AS keep
       |      FROM documents)""".stripMargin
 
   /** Per-source duplication report — the corpus-health dashboard row every
@@ -724,6 +779,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curriculum" -> (pipe_curriculum(_, _)),
     "pipe_quality_classifier" -> (pipe_quality_classifier(_, _)),
+    "pipe_dataset_card" -> (pipe_dataset_card(_, _)),
     "pipe_dup_report" -> (pipe_dup_report(_, _)),
     "pipe_dedup_incremental" -> (pipe_dedup_incremental(_, _)),
     "pipe_token_budget" -> (pipe_token_budget(_, _)),
@@ -743,6 +799,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "pipe_curriculum" -> pipe_curriculum_sql,
     "pipe_quality_classifier" -> pipe_quality_classifier_sql,
+    "pipe_dataset_card" -> pipe_dataset_card_sql,
     "pipe_dup_report" -> pipe_dup_report_sql,
     "pipe_dedup_incremental" -> pipe_dedup_incremental_sql,
     "pipe_token_budget" -> pipe_token_budget_sql,
