@@ -847,6 +847,85 @@ object Multimodal {
        |  END AS BIGINT) AS payload_bytes
        |FROM documents""".stripMargin
 
+  /** Audio RESAMPLE — the sample-rate normalization step of an audio
+    * pipeline (every clip to one target rate before featurization), the
+    * audio twin of [[mm_resize]]: parse the RIFF container, then map the
+    * u8 PCM data chunk to [[TargetRate]] Hz with the standard
+    * nearest-neighbor grid `src = (dst · srcN) / dstN` in integer
+    * arithmetic. Emitted features — resampled length, sample sum, and a
+    * position-weighted checksum (Σ (i+1)·sample_i) — pin every sampled
+    * byte's VALUE and POSITION, so the oracle (recomputing the grid from
+    * the text column) catches any off-by-one in the chunk walk or the
+    * sampling map. Pure map over the binary column, no shuffle. */
+  private val TargetRate = 4000
+
+  def mm_audio_resample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
+        val wav = synthesizeWav(sampleRateFor(id), textBytes)
+        parseWavResample(id, wav)
+      }
+    }.toDF("doc_id", "out_samples", "sample_sum", "pos_checksum")
+  }
+
+  /** Walk the RIFF chunks to the data payload, then fold the resampled
+    * grid; the source rate comes from the fmt chunk, not the synthesizer. */
+  private[operators] def parseWavResample(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def magic(expect: String): Unit = {
+      val got = new Array[Byte](4); buf.get(got)
+      require(new String(got, "US-ASCII") == expect, s"bad magic in doc $id: expected $expect")
+    }
+    magic("RIFF"); buf.getInt; magic("WAVE")
+    var sampleRate = 0
+    var dataOff = -1; var nSamples = 0
+    while (buf.remaining() >= 8) {
+      val tag = new Array[Byte](4); buf.get(tag)
+      val size = buf.getInt
+      new String(tag, "US-ASCII") match {
+        case "fmt " =>
+          val fmtEnd = buf.position() + size
+          require(buf.getShort == 1, s"not PCM in doc $id")
+          buf.getShort // mono
+          sampleRate = buf.getInt
+          buf.position(fmtEnd)
+        case "data" =>
+          dataOff = buf.position(); nSamples = size
+          buf.position(buf.position() + size)
+        case _ => buf.position(buf.position() + size)
+      }
+    }
+    require(dataOff >= 0 && sampleRate > 0, s"missing fmt/data chunk in doc $id")
+    val outN = math.max(1L, nSamples.toLong * TargetRate / sampleRate)
+    var i = 0L; var sum = 0L; var chk = 0L
+    while (i < outN) {
+      val src = (i * nSamples / outN).toInt
+      val v = bytes(dataOff + src) & 0xff
+      sum += v; chk += (i + 1) * v
+      i += 1
+    }
+    (id, outN, sum, chk)
+  }
+
+  val mm_audio_resample_sql: String =
+    s"""WITH g AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+       |      CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS rate FROM documents),
+       |p AS (SELECT doc_id, text, n, greatest(1, (n * $TargetRate) // rate) AS outn FROM g),
+       |r AS (SELECT doc_id, outn,
+       |    list_transform(range(0, outn), i ->
+       |      ord(substr(text, CAST((i * n) // outn + 1 AS INT), 1))) AS smp
+       |  FROM p)
+       |SELECT doc_id, outn AS out_samples,
+       |  CAST(COALESCE(list_sum(smp), 0) AS BIGINT) AS sample_sum,
+       |  CAST(COALESCE(list_sum(list_transform(range(1, CAST(outn AS INT) + 1),
+       |    i -> i * smp[i])), 0) AS BIGINT) AS pos_checksum
+       |FROM r""".stripMargin
+
   /** IMAGE NEAR-DUP pairs — the multimodal twin of [[Dedup.dedup_simhash]]:
     * same-dimension images whose [[mm_phash]] difference hashes are within
     * Hamming distance 3, found by LSH banding FOR HAMMING SPACE: the 60-bit
@@ -891,6 +970,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_dedup" -> mm_phash_dedup _,
+    "mm_audio_resample" -> mm_audio_resample _,
     "mm_container_probe" -> mm_container_probe _,
     "mm_silence_detect" -> mm_silence_detect _,
     "mm_scene_cut" -> mm_scene_cut _,
@@ -905,6 +985,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_phash_dedup" -> mm_phash_dedup_sql,
+    "mm_audio_resample" -> mm_audio_resample_sql,
     "mm_container_probe" -> mm_container_probe_sql,
     "mm_silence_detect" -> mm_silence_detect_sql,
     "mm_scene_cut" -> mm_scene_cut_sql,
