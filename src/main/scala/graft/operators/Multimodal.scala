@@ -926,6 +926,43 @@ object Multimodal {
        |    i -> i * smp[i])), 0) AS BIGINT) AS pos_checksum
        |FROM r""".stripMargin
 
+  /** CORRUPT-BLOB QUARANTINE — error containment as DATA, not job failure:
+    * at 100 TB some blobs are always truncated or bit-rotted, and one bad
+    * object must never kill the job (PERMISSIVE mode for binary columns,
+    * the blob twin of [[graft.sources.SourceFormats.src_malformed]]). A
+    * deterministic tenth of the corpus (doc_id % 10 == 3) is corrupted at
+    * the container magic before parsing; the parser runs under a catch and
+    * emits a STATUS row either way — parsed sample count for good blobs,
+    * `corrupt_magic` + a -1 sentinel for quarantined ones — so bad objects
+    * flow to a quarantine table for re-fetch instead of throwing. Pure map,
+    * no shuffle; the gate pins that exactly the corrupted set (and nothing
+    * else) is quarantined and every good blob still parses to its exact
+    * sample count. */
+  def mm_quarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        val wav = synthesizeWav(sampleRateFor(id), textBytes)
+        if (id % 10 == 3) wav(0) = 'X'.toByte // simulated bit rot at the magic
+        scala.util.Try(parseWav(id, wav)) match {
+          case scala.util.Success((_, _, _, _, nSamples, _, _)) =>
+            (id, "ok", nSamples)
+          case scala.util.Failure(_) =>
+            (id, "corrupt_magic", -1L)
+        }
+      }
+    }.toDF("doc_id", "status", "n_samples")
+  }
+
+  val mm_quarantine_sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 3 THEN 'corrupt_magic' ELSE 'ok' END AS status,
+      |  CAST(CASE WHEN doc_id % 10 = 3 THEN -1 ELSE length(text) END AS BIGINT) AS n_samples
+      |FROM documents""".stripMargin
+
   /** IMAGE NEAR-DUP pairs — the multimodal twin of [[Dedup.dedup_simhash]]:
     * same-dimension images whose [[mm_phash]] difference hashes are within
     * Hamming distance 3, found by LSH banding FOR HAMMING SPACE: the 60-bit
@@ -971,6 +1008,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_dedup" -> mm_phash_dedup _,
     "mm_audio_resample" -> mm_audio_resample _,
+    "mm_quarantine" -> mm_quarantine _,
     "mm_container_probe" -> mm_container_probe _,
     "mm_silence_detect" -> mm_silence_detect _,
     "mm_scene_cut" -> mm_scene_cut _,
@@ -986,6 +1024,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_phash_dedup" -> mm_phash_dedup_sql,
     "mm_audio_resample" -> mm_audio_resample_sql,
+    "mm_quarantine" -> mm_quarantine_sql,
     "mm_container_probe" -> mm_container_probe_sql,
     "mm_silence_detect" -> mm_silence_detect_sql,
     "mm_scene_cut" -> mm_scene_cut_sql,
