@@ -702,10 +702,13 @@ object Pipeline {
     * a released training set: volume (docs, tokens, bytes), diversity
     * (languages, sources), duplication (exact-dup per-mille via the
     * fingerprint count), and quality (keep-rate per-mille under the
-    * classifier gate). One pass over the corpus: every metric is a
-    * map-side-combinable aggregate over the same scan, so the whole card
-    * is a single narrow map + one global aggregate — at 100 TB this is a
-    * scan-bound job with O(1) output. */
+    * classifier gate). ONE scan: the three exact count-distincts plan as
+    * a single Expand (4 branches over the same pass) with map-side
+    * combine, so the shuffle carries one row per distinct value per
+    * branch — O(unique fingerprints), the card's true cost floor for an
+    * EXACT dup rate. At 100 TB swap the distincts for
+    * `approx_count_distinct` and the shuffle drops to one HLL sketch per
+    * partition; every other metric is already a constant-size partial. */
   def pipe_dataset_card(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val fp = md5(regexp_replace(trim(col("text")), "\\s+", " "))
