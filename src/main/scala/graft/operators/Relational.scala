@@ -1131,7 +1131,45 @@ object Relational {
       |          ROWS UNBOUNDED PRECEDING) AS carried_value
       |FROM events""".stripMargin
 
+  /** COHORT RETENTION — the canonical product-analytics matrix: users
+    * cohorted by signup week, activity counted by whole-week offset from
+    * that signup. Two shuffle families on user_id (per-user signup min,
+    * then per-(user, week) distinct activity) feeding one small
+    * (cohort × offset) aggregate; the cohort anchor joins back BROADCAST
+    * because a per-user single-row table is always the small side of a
+    * fact join after aggregation... at fixture scale — at 100 TB the same
+    * join runs shuffled on user_id, already the partitioning both inputs
+    * share, so no extra exchange either way. Week arithmetic is integer
+    * epoch-day division — exact in any engine. */
+  def q36_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"day").as("signup_day"))
+    ev.join(cohort, "user_id")
+      .filter($"day" >= $"signup_day")
+      .select($"user_id", expr("signup_day div 7").as("cohort_week"),
+        expr("(day - signup_day) div 7").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active_users"))
+  }
+
+  val q36_sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS signup_day FROM ev
+      |      WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT cohort_week, week_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+      |FROM (SELECT DISTINCT ev.user_id, c.signup_day // 7 AS cohort_week,
+      |        (ev.day - c.signup_day) // 7 AS week_offset
+      |      FROM ev JOIN c USING (user_id)
+      |      WHERE ev.day >= c.signup_day)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_cohort_retention" -> q36_cohort_retention _,
     "q34_gap_fill" -> q34_gap_fill _,
     "q33_range_join" -> q33_range_join _,
     "q32_percentile" -> q32_percentile _,
@@ -1170,6 +1208,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_cohort_retention" -> q36_sql,
     "q34_gap_fill" -> q34_sql,
     "q33_range_join" -> q33_sql,
     "q32_percentile" -> q32_sql,

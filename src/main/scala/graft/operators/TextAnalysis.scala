@@ -132,6 +132,44 @@ object TextAnalysis {
       |        len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
       |      FROM documents)""".stripMargin
 
+  /** Readability scoring, Flesch-Kincaid family, in exact integer proxies:
+    * syllables ≈ vowel groups (`[aeiouAEIOU]+` runs), sentences ≈
+    * terminator runs (`[.!?]+`, min 1), and the grade formula's float
+    * coefficients scaled to integer milli-points —
+    * `grade_milli = 390·(words·1000 div sentences) div 1000 +
+    * 118·(syllables·1000 div words) div 1000 - 15590` — so the score is
+    * bit-identical in any engine while ranking documents the same way the
+    * float formula does. One codegen'd narrow map; no shuffle. */
+  def text_readability(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(tokens)
+    val nSyll = regexp_count(col("text"), lit("[aeiouAEIOU]+"))
+    val nSent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        nSyll.cast("long").as("n_syllables"),
+        nSent.cast("long").as("n_sentences"))
+      .withColumn("wps_milli", expr("n_words * 1000 div n_sentences"))
+      .withColumn("spw_milli", expr("n_syllables * 1000 div n_words"))
+      .withColumn("grade_milli",
+        expr("390 * wps_milli div 1000 + 118 * spw_milli div 1000 - 15590"))
+  }
+
+  val text_readability_sql: String =
+    """SELECT doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_syllables AS BIGINT) AS n_syllables,
+      |  CAST(n_sentences AS BIGINT) AS n_sentences,
+      |  CAST((n_words * 1000) // n_sentences AS BIGINT) AS wps_milli,
+      |  CAST((n_syllables * 1000) // n_words AS BIGINT) AS spw_milli,
+      |  CAST((390 * ((n_words * 1000) // n_sentences)) // 1000
+      |     + (118 * ((n_syllables * 1000) // n_words)) // 1000 - 15590 AS BIGINT) AS grade_milli
+      |FROM (SELECT doc_id,
+      |        len(string_split_regex(trim(text), '\s+')) AS n_words,
+      |        len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_syllables,
+      |        greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+      |      FROM documents)""".stripMargin
+
   /** Marker-word language ID (n-gram-heuristic family): score each language
     * by counts of its marker words, predict the argmax with a fixed
     * tie-break order. Deterministic and fully SQL-expressible. */
@@ -602,6 +640,7 @@ object TextAnalysis {
     "text_stats" -> text_stats _,
     "text_quality" -> text_quality _,
     "text_gopher" -> text_gopher _,
+    "text_readability" -> text_readability _,
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
     "text_winnow" -> text_winnow _,
@@ -619,6 +658,7 @@ object TextAnalysis {
     "text_stats" -> text_stats_sql,
     "text_quality" -> text_quality_sql,
     "text_gopher" -> text_gopher_sql,
+    "text_readability" -> text_readability_sql,
     "text_langid" -> text_langid_sql,
     "text_fingerprint" -> text_fingerprint_sql,
     "text_winnow" -> text_winnow_sql,
