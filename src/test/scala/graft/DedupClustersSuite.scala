@@ -117,4 +117,24 @@ class DedupClustersSuite extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](run(chain, maxRounds = 2))
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("MinHash-LSH recall: every strong exact pair is found, all output verified") {
+    // the dedup quality loop (the text-side sibling of sim_recall_eval):
+    // banding theory says a jaccard>=0.7 pair survives 16 bands x 2 rows
+    // with P ~ 1 - (1 - 0.7^2)^16 ~ 0.9999, so on the fixture every strong
+    // pair from the exact anchor MUST appear among the LSH-verified pairs;
+    // and the LSH output is exactly-verified, so nothing below the 0.6
+    // gate may leak through.
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => ((r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b")),
+        r.getAs[Long]("jaccard_per_mille"))).toMap
+    val exact = pairs(Dedup.dedup_ngram_jaccard(spark, dir))
+    val lsh = pairs(Dedup.dedup_minhash_lsh(spark, dir))
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    val strong = exact.filter(_._2 >= 700).keySet
+    assert(strong.nonEmpty && strong.subsetOf(lsh.keySet),
+      s"LSH missed strong pairs: ${(strong -- lsh.keySet).take(5)}")
+    assert(lsh.values.forall(_ >= 600), "unverified pair leaked through the LSH gate")
+  }
 }
