@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All character k-shingles of a text (duplicates kept, document order), as
+  * a native Catalyst expression — the char-n-gram sibling of
+  * [[WordShingles]], used by the trigram language-ID profiles where
+  * MULTIPLICITY matters (profile training counts every occurrence).
+  *
+  * Exactly mirrors the SQL pipeline the DuckDB oracle runs:
+  * {{{
+  *   CASE WHEN length(text) < k THEN array(text)
+  *   ELSE transform(sequence(1, length(text) - k + 1),
+  *          i -> substring(text, i, k)) END
+  * }}}
+  * `substring` semantics are by codepoint (`UTF8String.substringSQL`),
+  * identical to Spark's builtin. The interpreted sequence+transform chain
+  * allocated a boxed lambda frame per character; this compiled pass stays
+  * inside whole-stage codegen.
+  */
+case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "char_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.catalogString}")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val n = input.numChars()
+    if (n < k) return new GenericArrayData(Array[Any](input))
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = input.substringSQL(i + 1, k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cshingles", this, classOf[CharShingles].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  def of(text: Column, k: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(text), k))
+}

