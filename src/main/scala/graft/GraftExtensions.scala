@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, VecDot, Winnow, WordShingles}
+import graft.functions.{CharShingles, MinHashSig, VecDot, Winnow, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -69,6 +69,11 @@ object GraftExtensions {
       "word_shingles(text, k) - distinct word k-shingles (first-occurrence order)") { args =>
       arity("word_shingles", args, 2)
       WordShingles(args(0), intLit(args(1), "word_shingles", "k"))
+    },
+    fn("char_shingles",
+      "char_shingles(text, k) - all character k-shingles (duplicates kept, document order)") { args =>
+      arity("char_shingles", args, 2)
+      CharShingles(args(0), intLit(args(1), "char_shingles", "k"))
     },
     fn("winnow_fp",
       "winnow_fp(text, k, w, mod) - winnowing fingerprint (comma-joined window minima)") { args =>

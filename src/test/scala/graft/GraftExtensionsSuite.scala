@@ -32,6 +32,15 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(r === Seq("a b c", "b c d", "c d c", "d c d", "c d e"))
   }
 
+  test("char_shingles from SQL") {
+    val r = spark.sql("SELECT char_shingles('abcdab', 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(r === Seq("abc", "bcd", "cda", "dab"))
+    val short = spark.sql("SELECT char_shingles('ab', 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(short === Seq("ab"))
+  }
+
   test("winnow_fp from SQL matches the DataFrame helper") {
     import org.apache.spark.sql.functions._
     val txt = "the quick brown fox jumps over the lazy dog"
