@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must not depend on HOW the data is partitioned — the property
+  * that separates "works on local[32]" from "works on 1000 executors",
+  * where partition counts, input splits, and reduction order all differ
+  * from the dev box. Any order-dependent float reduction, partition-local
+  * tie-break, or accidental reliance on row order breaks it.
+  *
+  * One representative per cost family runs under two cloned sessions with
+  * coprime shuffle widths (3 vs 7) and different max split sizes, and the
+  * collected result MULTISETS must be identical. (The DuckDB gate already
+  * pins Spark-vs-oracle; this pins Spark-vs-itself across cluster shapes.)
+  */
+class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-partition-invariance")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val representatives = Seq(
+    "q1_pricing_summary",     // decimal aggregation
+    "q15_window_funcs",       // analytic windows
+    "q32_percentile",         // exact percentile interpolation
+    "dedup_minhash_lsh",      // banded LSH + verification joins
+    "dedup_clusters",         // iterative connected components
+    "sim_topk_bruteforce",    // float cosine ranking
+    "sim_topk_ivf_trained",   // k-means training loop
+    "text_tfidf_top",         // reused-exchange two-phase aggregate
+    "pipe_token_budget",      // sharded distributed prefix sum
+    "pipe_curriculum",        // sharded exact ntile
+    "pipe_split",             // hash-boundary assignment
+    "mm_phash_dedup")         // binary codec + Hamming band join
+
+  private def runWith(parts: Int, splitMb: Int, name: String): Seq[String] = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s.conf.set("spark.sql.files.maxPartitionBytes", (splitMb * 1024L * 1024L).toString)
+    SparkEntry.queries(name)(s, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  representatives.foreach { name =>
+    test(s"$name is invariant to shuffle width and split size") {
+      val narrow = runWith(parts = 3, splitMb = 1, name)
+      val wide = runWith(parts = 7, splitMb = 128, name)
+      assert(narrow.nonEmpty, s"$name returned no rows at sf0.001")
+      assert(narrow === wide,
+        s"$name result depends on partitioning: ${narrow.size} vs ${wide.size} rows; " +
+          s"first diff: ${narrow.zip(wide).find(p => p._1 != p._2)}")
+    }
+  }
+}
