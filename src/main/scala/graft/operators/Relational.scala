@@ -1168,7 +1168,36 @@ object Relational {
       |      WHERE ev.day >= c.signup_day)
       |GROUP BY 1, 2""".stripMargin
 
+  /** `grouping()` / `grouping_id()` over a rollup — the functions that make
+    * grouping-sets output machine-consumable: a downstream consumer needs
+    * to distinguish "NULL because subtotal row" from "NULL because the
+    * data was NULL", and `grouping_id` is the standard discriminator
+    * column. Same single Expand + hash aggregate plan as q12/q24 (the
+    * shuffle carries per-set partials, never raw rows). */
+  def q37_grouping_id(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast("int").as("g_flag"),
+        grouping($"l_linestatus").cast("int").as("g_status"),
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+  }
+
+  val q37_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_grouping_id" -> q37_grouping_id _,
     "q36_cohort_retention" -> q36_cohort_retention _,
     "q34_gap_fill" -> q34_gap_fill _,
     "q33_range_join" -> q33_range_join _,
@@ -1208,6 +1237,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_grouping_id" -> q37_sql,
     "q36_cohort_retention" -> q36_sql,
     "q34_gap_fill" -> q34_sql,
     "q33_range_join" -> q33_sql,
