@@ -186,7 +186,7 @@ object Similarity {
 
   val sim_knn_graph_sql: String =
     s"""WITH ${Lsh.paramsDuck},
-       |e AS (SELECT vec_id, embedding,
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
        |    ${Lsh.bucketDuck} AS blk,
        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
        |  FROM embeddings, params),
@@ -220,7 +220,7 @@ object Similarity {
   }
 
   val sim_mutual_knn_sql: String =
-    s"""WITH g AS ($sim_knn_graph_sql)
+    s"""WITH g AS MATERIALIZED ($sim_knn_graph_sql)
        |SELECT a.src AS vec_id_a, a.neighbor_id AS vec_id_b,
        |       a.rank AS rank_ab, b.rank AS rank_ba
        |FROM g a JOIN g b
@@ -262,7 +262,7 @@ object Similarity {
 
   val sim_recall_eval_sql: String =
     s"""WITH approx AS ($sim_topk_lsh_sql),
-       |e2 AS (SELECT vec_id, embedding,
+       |e2 AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
        |  FROM embeddings),
        |q2 AS (SELECT vec_id qid, embedding qe, n2 qn2 FROM e2 WHERE vec_id < 50),
@@ -406,9 +406,9 @@ object Similarity {
          |    row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, vid ASC) AS r
          |  FROM x$i JOIN e2 ON vec_id = vid JOIN q2 USING (qid)),
          |b$i AS (SELECT qid, vid FROM s$i WHERE r <= $BeamWidth)""".stripMargin
-    s"""WITH gk AS ($sim_knn_graph_sql),
+    s"""WITH gk AS MATERIALIZED ($sim_knn_graph_sql),
        |g AS (SELECT src, neighbor_id AS dst FROM gk),
-       |e2 AS (SELECT vec_id, embedding,
+       |e2 AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
        |  FROM embeddings),
        |q2 AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM e2 WHERE vec_id < 50),
@@ -496,7 +496,7 @@ object Similarity {
   }
 
   val sim_pagerank_sql: String =
-    s"""WITH g AS ($sim_mutual_knn_sql),
+    s"""WITH g AS MATERIALIZED ($sim_mutual_knn_sql),
        |e AS (SELECT vec_id_a AS src, vec_id_b AS dst FROM g
        |      UNION ALL SELECT vec_id_b AS src, vec_id_a AS dst FROM g),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
