@@ -205,6 +205,44 @@ object TextAnalysis {
        |        (PARTITION BY doc_id ORDER BY n_shared DESC, plang ASC) AS rk FROM sc)
        |WHERE rk = 1""".stripMargin
 
+  /** NOVELTY scoring — what does each document add that no earlier document
+    * (by doc_id, the ingestion order) already contributed? A doc's novelty
+    * is the share of its distinct word-3-shingles whose FIRST corpus
+    * occurrence is this doc — the contribution metric dataset curation
+    * uses to rank sources and prune late near-copies (a late duplicate
+    * scores ~0 even when pairwise dedup misses it). Two aggregations on
+    * the shingle hash: per-shingle min(doc_id) (the first-seen table),
+    * then a per-doc count of first-seen hits joined back — one shuffle
+    * family keyed by the 60-bit shingle, map-side combined, never an
+    * all-pairs comparison. Integer per-mille output. */
+  def text_novelty(s: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), expr(Dedup.h60S("s0", "")).as("s"))
+      .repartition(col("s"))
+    val firstSeen = posts.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    posts.join(firstSeen, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_per_mille", expr("n_novel * 1000 div n_shingles"))
+  }
+
+  val text_novelty_sql: String =
+    s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks
+       |            FROM documents),
+       |sh AS (SELECT doc_id, ${Dedup.shinglesD} AS sh FROM tok),
+       |post AS (SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s
+       |         FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh)),
+       |fs AS (SELECT s, min(doc_id) AS first_doc FROM post GROUP BY s)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
+       |    AS novelty_per_mille
+       |FROM post JOIN fs USING (s)
+       |GROUP BY doc_id""".stripMargin
+
   /** Readability scoring, Flesch-Kincaid family, in exact integer proxies:
     * syllables ≈ vowel groups (`[aeiouAEIOU]+` runs), sentences ≈
     * terminator runs (`[.!?]+`, min 1), and the grade formula's float
@@ -715,6 +753,7 @@ object TextAnalysis {
     "text_gopher" -> text_gopher _,
     "text_readability" -> text_readability _,
     "text_langid_ngram" -> text_langid_ngram _,
+    "text_novelty" -> text_novelty _,
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
     "text_winnow" -> text_winnow _,
@@ -734,6 +773,7 @@ object TextAnalysis {
     "text_gopher" -> text_gopher_sql,
     "text_readability" -> text_readability_sql,
     "text_langid_ngram" -> text_langid_ngram_sql,
+    "text_novelty" -> text_novelty_sql,
     "text_langid" -> text_langid_sql,
     "text_fingerprint" -> text_fingerprint_sql,
     "text_winnow" -> text_winnow_sql,
