@@ -44,6 +44,9 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_token_budget",      // sharded distributed prefix sum
     "pipe_curriculum",        // sharded exact ntile
     "pipe_split",             // hash-boundary assignment
+    "q33_range_join",         // bucketed band join
+    "q36_cohort_retention",   // two-level week cohorts
+    "text_novelty",           // first-seen attribution via min-aggregate
     "mm_phash_dedup")         // binary codec + Hamming band join
 
   private def runWith(parts: Int, splitMb: Int, name: String): Seq[String] = {
