@@ -92,7 +92,25 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     println(json)
     System.out.flush()
+    // The driver records only a ~2,000-char stdout TAIL. The full JSON above
+    // is ~9 KB at 150 queries, and in rounds 5-9 a post-stop() maintenance
+    // WARN stack trace landed after it — so the tail never contained a
+    // parseable object (`"parsed": null` every round). Therefore: silence
+    // all logging, stop Spark (so nothing can log after us), and only THEN
+    // print a compact (<1 KB) summary as the true last stdout line. The
+    // summary carries the headline metric plus the slowest queries; the
+    // complete per-query map lives in the artifact file and the line above.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    val slowest = results.collect { case (k, ts) if ts.nonEmpty => k -> median(ts) }
+      .sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val nOk = results.count(_._2.nonEmpty)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,""" +
+      s""""queries":$slowest,"failed":$failed,"partial":$partial,""" +
+      s""""repeats":$repeats,"full":"$out","sf":"$sfDir"}"""
+    println(summary)
+    System.out.flush()
     // Abandoned daemon threads wedged in native code must not keep the JVM
     // (and the driver's clock) running after the artifact is written.
     sys.exit(0)

@@ -449,8 +449,8 @@ object Dedup extends Logging {
   private def clustersSqlOver(
       pairsSql: String, table: String = "documents", id: String = "doc_id"): String =
     s"""WITH RECURSIVE
-       |pairs AS (SELECT ${id}_a, ${id}_b FROM ($pairsSql) t),
-       |edges AS (SELECT ${id}_a s, ${id}_b d FROM pairs
+       |pairs AS MATERIALIZED (SELECT ${id}_a, ${id}_b FROM ($pairsSql) t),
+       |edges AS MATERIALIZED (SELECT ${id}_a s, ${id}_b d FROM pairs
        |          UNION SELECT ${id}_b, ${id}_a FROM pairs),
        |reach AS (
        |  SELECT $id AS src, $id AS dst FROM $table
@@ -537,11 +537,11 @@ object Dedup extends Logging {
 
   val dedup_embedding_sql: String =
     s"""WITH ${Lsh.paramsDuck},
-      |e AS (SELECT vec_id, embedding,
+      |e AS MATERIALIZED (SELECT vec_id, embedding,
       |    ${Lsh.bucketDuck} AS blk,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
       |  FROM embeddings, params),
-      |bp AS (SELECT vec_id, embedding, n2, unnest(${Lsh.probesDuck}) AS blk
+      |bp AS MATERIALIZED (SELECT vec_id, embedding, n2, unnest(${Lsh.probesDuck}) AS blk
       |  FROM e, params),
       |p AS (SELECT a.vec_id ia, b.vec_id ib, a.blk,
       |    list_sum(list_transform(range(1, len(a.embedding)+1), i ->

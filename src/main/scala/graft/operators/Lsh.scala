@@ -96,15 +96,22 @@ object Lsh {
     s"array_union(array(blk), transform(sequence(0, ${nb - 1}), k -> blk ^ shiftleft(CAST(1 AS BIGINT), k)))"
 
   /** DuckDB CTE computing `nb` from the corpus size (same clamp formula,
-    * default ceiling). */
+    * default ceiling) plus the weight matrix as a single-row column `w`.
+    * MATERIALIZED + hoisting `w` out of [[bucketDuck]] matters enormously:
+    * with the 20x64 literal inlined inside the per-dimension lambda, DuckDB
+    * re-constructed the 1280-element nested list for every (row, bit, dim)
+    * evaluation — the whole embedding-oracle tier ran 70–150 s each at a
+    * mere 500 fixture vectors and starved the driver's sequential gate
+    * (rounds 7–9). As a cross-joined column it is built once. */
   val paramsDuck: String =
-    s"params AS (SELECT GREATEST(4, LEAST($DefaultMaxBits, length(bin(CAST(count(*) // $TargetBucket AS BIGINT))) - 1)) AS nb FROM embeddings)"
+    s"params AS MATERIALIZED (SELECT GREATEST(4, LEAST($DefaultMaxBits, length(bin(CAST(count(*) // $TargetBucket AS BIGINT))) - 1)) AS nb, $weightsDuck AS w FROM embeddings)"
 
-  /** DuckDB: bucket id (requires `params` in scope via cross join). */
+  /** DuckDB: bucket id (requires `params` in scope via cross join; reads
+    * the weight rows from the `w` column, never a re-built literal). */
   val bucketDuck: String =
     s"""list_sum(list_transform(range(0, nb), k ->
        |      CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
-       |          ($weightsDuck)[k+1][i] * CAST(embedding[i] AS DOUBLE))) >= 0.0
+       |          w[k+1][i] * CAST(embedding[i] AS DOUBLE))) >= 0.0
        |        THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))""".stripMargin
 
   /** DuckDB: probe set of column `blk`. */

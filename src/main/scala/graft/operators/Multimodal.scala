@@ -945,6 +945,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions { batch =>
       batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
         val wav = synthesizeWav(sampleRateFor(id), textBytes)
         if (id % 10 == 3) wav(0) = 'X'.toByte // simulated bit rot at the magic
         scala.util.Try(parseWav(id, wav)) match {

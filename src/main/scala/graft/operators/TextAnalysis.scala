@@ -248,9 +248,11 @@ object TextAnalysis {
     * terminator runs (`[.!?]+`, min 1), and the grade formula's float
     * coefficients scaled to integer milli-points —
     * `grade_milli = 390·(words·1000 div sentences) div 1000 +
-    * 118·(syllables·1000 div words) div 1000 - 15590` — so the score is
-    * bit-identical in any engine while ranking documents the same way the
-    * float formula does. One codegen'd narrow map; no shuffle. */
+    * 11800·(syllables·1000 div words) div 1000 - 15590` — i.e. the FK
+    * coefficients (0.39, 11.8, 15.59) each ×1000 against the milli-scaled
+    * ratios — so the score is bit-identical in any engine while ranking
+    * documents the same way the float formula does. One codegen'd narrow
+    * map; no shuffle. */
   def text_readability(s: SparkSession, dir: String): DataFrame = {
     val nWords = size(tokens)
     val nSyll = regexp_count(col("text"), lit("[aeiouAEIOU]+"))
@@ -263,7 +265,7 @@ object TextAnalysis {
       .withColumn("wps_milli", expr("n_words * 1000 div n_sentences"))
       .withColumn("spw_milli", expr("n_syllables * 1000 div n_words"))
       .withColumn("grade_milli",
-        expr("390 * wps_milli div 1000 + 118 * spw_milli div 1000 - 15590"))
+        expr("390 * wps_milli div 1000 + 11800 * spw_milli div 1000 - 15590"))
   }
 
   val text_readability_sql: String =
@@ -274,7 +276,7 @@ object TextAnalysis {
       |  CAST((n_words * 1000) // n_sentences AS BIGINT) AS wps_milli,
       |  CAST((n_syllables * 1000) // n_words AS BIGINT) AS spw_milli,
       |  CAST((390 * ((n_words * 1000) // n_sentences)) // 1000
-      |     + (118 * ((n_syllables * 1000) // n_words)) // 1000 - 15590 AS BIGINT) AS grade_milli
+      |     + (11800 * ((n_syllables * 1000) // n_words)) // 1000 - 15590 AS BIGINT) AS grade_milli
       |FROM (SELECT doc_id,
       |        len(string_split_regex(trim(text), '\s+')) AS n_words,
       |        len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_syllables,

@@ -306,9 +306,14 @@ object SourceFormats {
     * directory-derived lang. `sum(length)` uses the FILE-METADATA size and
     * `md5(content)` the actual bytes, so a truncated, duplicated, or
     * mis-partitioned blob hash-fails against the oracle computed from the
-    * source table. At 100 TB the same plan holds: listing is
+    * source table. The READ path is the part that scales: listing is
     * partition-parallel, each blob is read by exactly one task, and the
-    * per-mille profile aggregate is tiny. */
+    * per-mille profile aggregate is tiny. The STAGING path, by contrast,
+    * is a local-mode fixture: `foreachPartition` writes into a
+    * driver-created local temp dir, which is only shared between "driver"
+    * and "executors" because local mode runs them in one JVM — on a real
+    * cluster the blobs would already live in (or be staged to) a shared
+    * filesystem/object store and this synthesis step would not exist. */
   private val stagedBinary = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def stageBinary(s: SparkSession, dir: String): String =

@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 
 Reads each <verifyOutDir>/<name>/ parquet result (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB over the sfDir tables,
 and compares as sorted multisets (columns sorted by name, values normalized).
-This is a development tool only — the engine itself never depends on it.
+With [jsonOut], also writes a {name: {"status": ..., "rows": N}} artifact —
+committed at round close so the gate record is reproducible in-history even
+when the driver's own CORRECTNESS artifact starves (see SCALE.md "Gate
+economics"). This is a development tool only — the engine itself never
+depends on it.
 """
 import json
 import math
@@ -41,6 +45,8 @@ def canon(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -50,6 +56,7 @@ def main():
         res_dir = Path(out_dir, name)
         if not res_dir.exists():
             print(f"FAIL {name}: no result parquet")
+            record[name] = {"status": "FAIL", "reason": "no result parquet"}
             failures += 1
             continue
         got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
@@ -58,9 +65,11 @@ def main():
             exp = con.sql(oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record[name] = {"status": "FAIL", "reason": f"oracle SQL error: {e}"}
             failures += 1
             continue
         ecols, erows = canon(exp.columns, exp.fetchall())
+        record[name] = {"status": "FAIL", "rows": len(grows)}
         if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             failures += 1
@@ -81,11 +90,15 @@ def main():
             failures += 1
         else:
             print(f"PASS {name} ({len(grows)} rows)")
+            record[name] = {"status": "PASS", "rows": len(grows)}
     # queries with no oracle: rows-only check
     for d in sorted(Path(out_dir).iterdir()):
         if d.is_dir() and d.name not in oracle:
             n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
             print(f"ROWS {d.name}: {n} rows {'(OK)' if n > 0 else '(EMPTY!)'}")
+            record[d.name] = {"status": "ROWS" if n > 0 else "EMPTY", "rows": n}
+    if json_out:
+        Path(json_out).write_text(json.dumps(record, indent=1, sort_keys=True))
     sys.exit(1 if failures else 0)
 
 
