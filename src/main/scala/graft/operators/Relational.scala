@@ -1131,6 +1131,38 @@ object Relational {
       |          ROWS UNBOUNDED PRECEDING) AS carried_value
       |FROM events""".stripMargin
 
+  /** LATERAL explode + ordered list aggregation — the two relational shapes
+    * the q-series had not yet exercised (generator/`LATERAL VIEW` row
+    * expansion, and `LISTAGG`-style ordered string aggregation). Each
+    * document's text explodes into words (a codegen'd Generate — Spark's
+    * LATERAL), the long all-lowercase words are kept, and the distinct
+    * survivors re-aggregate per document as a comma-joined SORTED list.
+    * `collect_set` is order-nondeterministic by itself — `array_sort`
+    * before the join is what makes the result partition-invariant (and the
+    * `[a-z]`-only filter keeps Spark's UTF-16 and DuckDB's binary string
+    * orders trivially identical). Scale: Generate is a narrow per-row map
+    * (no shuffle); the one shuffle is the per-doc aggregate, and a
+    * collected set is bounded by the document's own vocabulary — the same
+    * per-group bound every listagg carries. */
+  def q35_explode_listagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("word"))
+      .filter($"word".rlike("^[a-z]{5,}$"))
+      .groupBy($"doc_id")
+      .agg(array_join(array_sort(collect_set($"word")), ",").as("long_words"),
+        countDistinct($"word").as("n_long_words"))
+  }
+
+  val q35_sql: String =
+    """SELECT doc_id,
+      |  string_agg(DISTINCT word, ',' ORDER BY word) AS long_words,
+      |  count(DISTINCT word) AS n_long_words
+      |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+      |      FROM documents)
+      |WHERE regexp_full_match(word, '[a-z]{5,}')
+      |GROUP BY doc_id""".stripMargin
+
   /** COHORT RETENTION — the canonical product-analytics matrix: users
     * cohorted by signup week, activity counted by whole-week offset from
     * that signup. Two shuffle families on user_id (per-user signup min,
@@ -1199,6 +1231,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_grouping_id" -> q37_grouping_id _,
     "q36_cohort_retention" -> q36_cohort_retention _,
+    "q35_explode_listagg" -> q35_explode_listagg _,
     "q34_gap_fill" -> q34_gap_fill _,
     "q33_range_join" -> q33_range_join _,
     "q32_percentile" -> q32_percentile _,
@@ -1239,6 +1272,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q37_grouping_id" -> q37_sql,
     "q36_cohort_retention" -> q36_sql,
+    "q35_explode_listagg" -> q35_sql,
     "q34_gap_fill" -> q34_sql,
     "q33_range_join" -> q33_sql,
     "q32_percentile" -> q32_sql,

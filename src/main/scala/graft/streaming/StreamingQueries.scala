@@ -8,7 +8,7 @@ import graft.Tables
 import graft.state.RocksDbStateStoreProvider
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Stateful streaming operators as driver-gated queries (SURVEY §2C).
   *
@@ -559,6 +559,57 @@ object StreamingQueries {
   val stream_tws_sql: String =
     """SELECT user_id, count(*) AS n_events,
       |       max(CAST(floor(value * 1000) AS BIGINT)) AS max_mille
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** transformWithState with a batch-bootstrapped initial state
+    * (`StatefulProcessorWithInitialState`) — the migration path for a user
+    * moving a batch job into streaming: per-user signup counts computed IN
+    * BATCH seed a ValueState via `handleInitialState` (which runs before
+    * any input batch), then the stream replays every event on top of the
+    * seed. Every seeded user also appears in the stream (its signup events
+    * are in it), so the final per-user counter is exactly
+    * `n_all_events + n_signup_events` — a plain batch oracle. Update mode;
+    * the counter grows monotonically, so `max` recovers the final value.
+    * Scale: the seed is a per-key single row co-partitioned with the state
+    * (it IS the state), so bootstrapping shuffles each key once — no
+    * broadcast, no driver materialization. */
+  def stream_tws_init(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      val seed = Tables.events(s2, dir)
+        .filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n0"))
+        .as[(Long, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+      val typed = events(s2, dir)
+        .select(col("user_id"), col("event_id")).as[(Long, Long)]
+      typed.groupByKey(_._1)
+        .transformWithState(new SeededCountProcessor, TimeMode.None(),
+          OutputMode.Update(), seed)
+        .toDF("user_id", "n")
+    }, OutputMode.Update(), "stream_tws_init")
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_total"))
+
+  private class SeededCountProcessor
+    extends StatefulProcessorWithInitialState[Long, (Long, Long), (Long, Long), Long] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInitialState(user: Long, seed: Long,
+        timerValues: TimerValues): Unit =
+      n.update(seed)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val t = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(t)
+      Iterator.single((user, t))
+    }
+  }
+
+  val stream_tws_init_sql: String =
+    """SELECT user_id,
+      |  CAST(count(*) + count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_total
       |FROM events GROUP BY 1""".stripMargin
 
   /** transformWithState with MapState: per-user sub-map keyed by event type
@@ -1183,6 +1234,7 @@ object StreamingQueries {
     "stream_funnel" -> (stream_funnel(_, _)),
     "stream_fmgws" -> (stream_fmgws(_, _)),
     "stream_tws" -> (stream_tws(_, _)),
+    "stream_tws_init" -> (stream_tws_init(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_tws_list" -> (stream_tws_list(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
@@ -1215,6 +1267,7 @@ object StreamingQueries {
     "stream_funnel" -> stream_funnel_sql,
     "stream_fmgws" -> stream_fmgws_sql,
     "stream_tws" -> stream_tws_sql,
+    "stream_tws_init" -> stream_tws_init_sql,
     "stream_tws_map" -> stream_tws_map_sql,
     "stream_tws_list" -> stream_tws_list_sql,
     "stream_statestore" -> stream_statestore_sql,

@@ -47,7 +47,12 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
     "q33_range_join",         // bucketed band join
     "q36_cohort_retention",   // two-level week cohorts
     "text_novelty",           // first-seen attribution via min-aggregate
-    "mm_phash_dedup")         // binary codec + Hamming band join
+    "mm_phash_dedup",         // binary codec + Hamming band join
+    "stream_join_inner_wm")   // stream-stream join: state-store partitioning
+                              // (cluster-shape invariance for the streaming
+                              // family — state keying, watermark eviction and
+                              // append emission must not depend on how many
+                              // state-store partitions the cluster runs)
 
   private def runWith(parts: Int, splitMb: Int, name: String): Seq[String] = {
     val s = spark.newSession()

@@ -995,4 +995,82 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(evictions().toSet === Set(("a", 2)),
       "expected 'a' evicted by processing-time timeout after its 500ms deadline")
   }
+
+  test("flatMapGroupsWithState seeds state from a batch initialState dataset") {
+    // Batch-bootstrapped arbitrary state: a user migrating a batch job
+    // seeds the streaming state from a Dataset snapshot. Keys in the seed
+    // but absent from the first batches ("c") must keep their seeded value
+    // until data arrives; seeded keys that do receive data ("a") must
+    // accumulate ON TOP of the seed, not from zero.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = Seq(("a", 100), ("c", 7)).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+    val input = MemoryStream[(String, Int)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), initial) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          val total = state.getOption.getOrElse(0) + rows.map(_._2).sum
+          state.update(total)
+          Iterator.single((key, total))
+      }
+    val q = counted.toDF().toDF("k", "total").writeStream.format("memory")
+      .queryName("fmgws_init_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      input.addData(("c", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("fmgws_init_sink").as[(String, Int)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+    assert(last === Map("a" -> 101, "b" -> 2, "c" -> 10),
+      "seeded state must survive until first data and compose with new rows")
+  }
+
+  test("transformWithState with StatefulProcessorWithInitialState seeds ValueState") {
+    import org.apache.spark.sql.streaming.{StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    class SeededCount extends StatefulProcessorWithInitialState[
+        String, (String, Int), (String, Long), Long] {
+      @transient private var total: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInitialState(key: String, initialState: Long,
+          timerValues: TimerValues): Unit =
+        total.update(initialState)
+      override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+          timerValues: TimerValues): Iterator[(String, Long)] = {
+        val t = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+        total.update(t)
+        Iterator.single((key, t))
+      }
+    }
+
+    val initial = Seq(("a", 100L), ("c", 7L)).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+    val input = MemoryStream[(String, Int)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new SeededCount, TimeMode.None(), OutputMode.Update(), initial)
+    val q = out.toDF().toDF("k", "total").writeStream.format("memory")
+      .queryName("tws_init_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      input.addData(("c", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("tws_init_sink").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+    assert(last === Map("a" -> 101L, "b" -> 2L, "c" -> 10L),
+      "handleInitialState seed must compose with subsequent input rows")
+  }
 }
