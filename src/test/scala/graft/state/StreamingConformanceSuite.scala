@@ -1031,6 +1031,37 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
       "seeded state must survive until first data and compose with new rows")
   }
 
+  test("mapGroupsWithState seeds state from a batch initialState dataset") {
+    // Third member of the initial-state API triple (map / flatMap /
+    // transformWithState): the non-flat variant with a batch seed.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = Seq(("a", 100), ("c", 7)).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+    val input = MemoryStream[(String, Int)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Int, (String, Int)](
+        GroupStateTimeout.NoTimeout(), initial) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          val total = state.getOption.getOrElse(0) + rows.map(_._2).sum
+          state.update(total)
+          (key, total)
+      }
+    val q = counted.toDF().toDF("k", "total").writeStream.format("memory")
+      .queryName("mgws_init_sink").outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      input.addData(("c", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("mgws_init_sink").as[(String, Int)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+    assert(last === Map("a" -> 101, "b" -> 2, "c" -> 10))
+  }
+
   test("transformWithState with StatefulProcessorWithInitialState seeds ValueState") {
     import org.apache.spark.sql.streaming.{StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
