@@ -55,4 +55,19 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
     assert(executedScans(Pipeline.pipe_token_budget(spark, sfDir)) === 1,
       "the offsets branch must aggregate the windowed output, not re-scan")
   }
+
+  test("q35_explode_listagg: one pruned scan, Generate, map-side partial agg") {
+    val df = operators.Relational.q35_explode_listagg(spark, sfDir)
+    assert(executedScans(df) === 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"),
+      "explode must plan as a Generate inside the scan's codegen stage, not a UDF")
+    assert(plan.toLowerCase.contains("partial_"),
+      "the per-doc set aggregate must combine map-side before the doc_id shuffle")
+    val scan = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"scan must prune to the two used columns, read ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
 }
