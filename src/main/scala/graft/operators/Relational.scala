@@ -1228,7 +1228,95 @@ object Relational {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE`) — dense day-series generation
+    * + gap-exposing outer join, the canonical calendar fill: the recursion
+    * generates EVERY epoch-day between the corpus min and max event day
+    * (whether or not events exist on it), then a left join counts purchases
+    * per generated day, so empty days surface as explicit zero rows — the
+    * shape a plain GROUP BY can never produce. Scale: the recursive part
+    * iterates over the DATE RANGE (30 rows here; bounded by calendar span,
+    * never data volume — each level is a one-row local union), and the one
+    * data-sized operation is the day aggregate, shuffled once; the
+    * generated spine is broadcast to the join. Day arithmetic is integer
+    * epoch-day division — exact in any engine. */
+  def q38_recursive_days(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_q38_events")
+    s.sql("""
+      WITH RECURSIVE
+      bounds AS (
+        SELECT CAST(min(unix_micros(ts) div 86400000000) AS BIGINT) AS lo,
+               CAST(max(unix_micros(ts) div 86400000000) AS BIGINT) AS hi
+        FROM graft_q38_events),
+      days(day) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT day + 1 FROM days, bounds WHERE day < hi),
+      per_day AS (
+        SELECT unix_micros(ts) div 86400000000 AS day,
+               count(*) AS n,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+        FROM graft_q38_events GROUP BY 1)
+      SELECT d.day,
+             CAST(coalesce(p.n, 0) AS BIGINT) AS n_events,
+             CAST(coalesce(p.n_purchase, 0) AS BIGINT) AS n_purchases
+      FROM days d LEFT JOIN per_day p ON d.day = p.day""")
+  }
+
+  val q38_sql: String =
+    """WITH RECURSIVE
+      |bounds AS (
+      |  SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS lo,
+      |         CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS hi
+      |  FROM events),
+      |days(day) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT day + 1 FROM days, bounds WHERE day < hi),
+      |per_day AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |         count(*) AS n,
+      |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+      |  FROM events GROUP BY 1)
+      |SELECT d.day,
+      |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_events,
+      |       CAST(coalesce(p.n_purchase, 0) AS BIGINT) AS n_purchases
+      |FROM days d LEFT JOIN per_day p ON d.day = p.day""".stripMargin
+
+  /** Correlated LATERAL subquery with per-group ORDER BY + LIMIT — the
+    * SQL-standard "top-N per group" surface (every other top-N in the
+    * series uses window rank; this is the LATERAL spelling, decorrelated
+    * by Catalyst). Top-2 customers by account balance per nation,
+    * tie-broken on custkey so float-equal balances order identically in
+    * any engine; balance emitted as exact per-mille. Scale: the outer side
+    * is the 25-row nation dim — the lateral probe is dim-bounded; for a
+    * fact-sized outer, the window-rank twin (q7) is the scale path. */
+  def q39_lateral_topk(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("graft_q39_nation")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q39_customer")
+    s.sql("""
+      SELECT n.n_name, l.c_custkey, l.bal_milli
+      FROM graft_q39_nation n,
+      LATERAL (
+        SELECT c_custkey, CAST(floor(c_acctbal * 1000) AS BIGINT) AS bal_milli
+        FROM graft_q39_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2) l""")
+  }
+
+  val q39_sql: String =
+    """SELECT n.n_name, l.c_custkey, l.bal_milli
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_custkey, CAST(floor(c_acctbal * 1000) AS BIGINT) AS bal_milli
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  LIMIT 2) l""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_recursive_days" -> q38_recursive_days _,
+    "q39_lateral_topk" -> q39_lateral_topk _,
     "q37_grouping_id" -> q37_grouping_id _,
     "q36_cohort_retention" -> q36_cohort_retention _,
     "q35_explode_listagg" -> q35_explode_listagg _,
@@ -1270,6 +1358,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_recursive_days" -> q38_sql,
+    "q39_lateral_topk" -> q39_sql,
     "q37_grouping_id" -> q37_sql,
     "q36_cohort_retention" -> q36_sql,
     "q35_explode_listagg" -> q35_sql,
