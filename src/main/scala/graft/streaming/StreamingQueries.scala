@@ -49,6 +49,44 @@ object StreamingQueries {
     s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
+  /** CHAINED stateful operators — two event-time window aggregations in one
+    * query (10-minute counts re-windowed into hourly sum/max), the
+    * multi-stateful-operator pipeline Spark 3.5 unlocked (watermark
+    * propagates through the first aggregation to drive the second's
+    * eviction; `window(col("window"), ...)` re-windows on the struct).
+    * Append mode over the in-order staged stream: a level-1 window closes
+    * and flows downstream when the watermark passes its end, and the hour
+    * window emits once the SAME global watermark passes the hour end — so
+    * the emitted set is exactly "hours closed under the final watermark",
+    * which the oracle states directly (empty 10-minute buckets produce no
+    * level-1 row, matching batch GROUP BY). Scale: each level is an
+    * ordinary windowed aggregate — partial combine, shuffle on its own
+    * window key, state = one row per open window per key; chaining adds no
+    * new shuffle class, and the level-2 input is already aggregate-sized
+    * (one row per closed 10-min window, not raw events). */
+  def stream_chained_agg(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val l1 = eventsOrdered(s2, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n10"))
+      l1.groupBy(window(col("window"), "1 hour"))
+        .agg(sum(col("n10")).as("n_hour"), max(col("n10")).as("max10"))
+    }, OutputMode.Append(), "stream_chained_agg")
+      .select(col("window.start").as("win_start"), col("n_hour"), col("max10"))
+
+  val stream_chained_agg_sql: String =
+    """WITH w10 AS (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS b, count(*) AS n10
+      |  FROM events GROUP BY 1)
+      |SELECT date_trunc('hour', b) AS win_start,
+      |       CAST(sum(n10) AS BIGINT) AS n_hour,
+      |       CAST(max(n10) AS BIGINT) AS max10
+      |FROM w10
+      |GROUP BY 1
+      |HAVING win_start + INTERVAL '1 hour' <=
+      |       (SELECT max(ts) - INTERVAL '1 hour' FROM events)""".stripMargin
+
   /** Time-ordered staging for the watermark entry: the fixture is split
     * into [[Chunks]] ts-range chunks WRITTEN SEQUENTIALLY (one file per
     * chunk, strictly increasing mtime), because FileStreamSource consumes
@@ -1241,6 +1279,7 @@ object StreamingQueries {
     "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
+    "stream_chained_agg" -> (stream_chained_agg(_, _)),
     "stream_file_sink" -> (stream_file_sink(_, _)),
     "stream_foreach_batch" -> (stream_foreach_batch(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
@@ -1273,6 +1312,7 @@ object StreamingQueries {
     "stream_statestore" -> stream_statestore_sql,
     "stream_cdc" -> stream_cdc_sql,
     "stream_watermark" -> stream_watermark_sql,
+    "stream_chained_agg" -> stream_chained_agg_sql,
     "stream_file_sink" -> stream_file_sink_sql,
     "stream_foreach_batch" -> stream_foreach_batch_sql,
     "stream_restart" -> stream_restart_sql,
