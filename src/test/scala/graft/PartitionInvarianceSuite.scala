@@ -48,6 +48,11 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
     "q36_cohort_retention",   // two-level week cohorts
     "text_novelty",           // first-seen attribution via min-aggregate
     "mm_phash_dedup",         // binary codec + Hamming band join
+    "q39_lateral_topk",       // LATERAL top-N: float-equal ties must break
+                              // on the key, not partition arrival order
+    "stream_chained_agg",     // chained stateful ops: watermark propagation
+                              // through two agg levels must not depend on
+                              // state-store partition count
     "stream_join_inner_wm")   // stream-stream join: state-store partitioning
                               // (cluster-shape invariance for the streaming
                               // family — state keying, watermark eviction and
