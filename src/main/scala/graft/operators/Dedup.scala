@@ -61,6 +61,58 @@ object Dedup extends Logging {
       |  min(doc_id) AS rep_doc_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- spans
+
+  /** SPAN-level exact dedup — the paragraph-dedup stage of CCNet/Dolma-style
+    * curation pipelines, with deterministic fixed-width segmentation (10
+    * consecutive words) since the fixture text carries no paragraph marks:
+    * every segment occurrence after the corpus-wide FIRST (ordered by
+    * (doc_id, seg_no)) is dropped, and the surviving segments re-assemble
+    * per document in original order. This removes boilerplate spans shared
+    * ACROSS documents while keeping each document's unique content — the
+    * operation document-level dedup cannot express. Scale: segmentation is
+    * a narrow map; first-occurrence is one hash aggregate shuffled on the
+    * segment text (high-cardinality key; a pathological mega-duplicate
+    * span is still safe because min combines map-side); reassembly
+    * shuffles each doc's surviving segments once on doc_id, bounded by one
+    * document's own length. The first-occurrence key is
+    * doc_id·10^6+seg_no — exact at fixture id ranges and hash-identical in
+    * both engines; at production widths use the (doc_id, seg_no) struct
+    * min (same plan, no other change). */
+  def dedup_segments(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) > 0)
+      .withColumn("nseg", expr("(size(words) + 9) div 10"))
+      .withColumn("segs", expr(
+        "transform(sequence(0, nseg - 1), i -> array_join(slice(words, i * 10 + 1, 10), ' '))"))
+    val segs = base.select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_no", "seg")))
+    val first = segs.groupBy(col("seg"))
+      .agg(min(expr("doc_id * 1000000 + seg_no")).as("k"))
+    segs.join(first, "seg")
+      .filter(expr("doc_id * 1000000 + seg_no = k"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(seg_no, seg))), x -> x.seg), ' ')")
+          .as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  val dedup_segments_sql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |           FROM documents),
+      |segs AS MATERIALIZED (
+      |  SELECT doc_id, CAST(t.i AS BIGINT) AS seg_no,
+      |         array_to_string(words[(t.i*10+1):(t.i*10+10)], ' ') AS seg
+      |  FROM w, LATERAL (SELECT unnest(range(0, (len(words) + 9) // 10)) AS i) t
+      |  WHERE len(words) > 0),
+      |f AS (SELECT seg, min(doc_id * 1000000 + seg_no) AS k FROM segs GROUP BY 1)
+      |SELECT s.doc_id,
+      |       string_agg(s.seg, ' ' ORDER BY s.seg_no) AS text_dedup,
+      |       count(*) AS n_kept
+      |FROM segs s JOIN f ON s.seg = f.seg AND s.doc_id * 1000000 + s.seg_no = f.k
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ bag-of-words
 
   /** Word-order-insensitive dedup: fingerprint = md5 of the SORTED DISTINCT
@@ -558,6 +610,7 @@ object Dedup extends Logging {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedup_exact _,
+    "dedup_segments" -> dedup_segments _,
     "dedup_bow" -> dedup_bow _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
@@ -571,6 +624,7 @@ object Dedup extends Logging {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedup_exact_sql,
+    "dedup_segments" -> dedup_segments_sql,
     "dedup_bow" -> dedup_bow_sql,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard_sql,
     "dedup_containment" -> dedup_containment_sql,
