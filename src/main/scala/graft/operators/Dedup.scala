@@ -608,7 +608,64 @@ object Dedup extends Logging {
   val dedup_clusters_embedding_sql: String =
     clustersSqlOver(dedup_embedding_sql, table = "embeddings", id = "vec_id")
 
+  // ------------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster the corpus
+    * embeddings with k-means, then drop within-cluster semantic duplicates —
+    * clustering makes the near-dup search local (pairs are only sought
+    * INSIDE a cluster), which is what lets embedding dedup scale past the
+    * all-pairs wall. The quantizer is the shared integer-exact trained
+    * k-means of [[Similarity.trainedCells]] (bit-reproducible under any
+    * partitioning — see the determinism note there); within a cluster a
+    * vector is DROPPED when any lower-vec_id cluster-mate sits at cosine
+    * >= 0.4 (same sqrt-free `dot² >= t²·|a|²·|b|²` test as
+    * [[dedup_embedding]]) — the deterministic dominated-pair rule standing
+    * in for SemDeDup's "keep one per ε-ball" greedy, with min-id as the
+    * kept representative.
+    *
+    * Scale: the Lloyd training is the documented TrainIters+1 linear
+    * passes; the pair search shuffles the corpus ONCE on cid and does
+    * per-cluster pairing — Σ cluster² with cluster ≈ √N held by the
+    * √N-cells formula (SemDeDup's own k scaling); the final keep-mark is a
+    * distinct + left join on vec_id. Nothing is all-pairs, nothing sorts
+    * globally. */
+  def dedup_semantic(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot
+    val cells = Similarity.trainedCells(s, dir)
+      .repartition(col("cid")) // one exchange both pair sides + sizes reuse
+    val a = cells.select(col("cid"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"), col("n2").as("n2a"))
+    val b = cells.select(col("cid"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"), col("n2").as("n2b"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("dot", VecDot.dot(col("ea"), col("eb")))
+      .filter(col("dot") > 0 && col("dot") * col("dot") >= lit(0.16) * col("n2a") * col("n2b"))
+      .select(col("vec_id_b").as("vec_id")).distinct()
+      .withColumn("dropFlag", lit(1))
+    val sizes = cells.groupBy(col("cid")).agg(count(lit(1)).as("cluster_size"))
+    cells.join(sizes, "cid")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("cluster_size"),
+        col("dropFlag").isNull.as("kept"))
+  }
+
+  val dedup_semantic_sql: String =
+    s"""WITH ${Similarity.trainedCellsDuck},
+      |p0 AS (SELECT a.vec_id ia, b.vec_id ib,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      |      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+      |    a.n2 n2a, b.n2 n2b
+      |  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      |d AS (SELECT DISTINCT ib FROM p0
+      |  WHERE dot > 0 AND dot * dot >= 0.16 * n2a * n2b),
+      |sz AS (SELECT cid, count(*) AS cluster_size FROM cells GROUP BY 1)
+      |SELECT c.vec_id, c.cid, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+      |  (d.ib IS NULL) AS kept
+      |FROM cells c JOIN sz USING (cid) LEFT JOIN d ON c.vec_id = d.ib""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> dedup_semantic _,
     "dedup_exact" -> dedup_exact _,
     "dedup_segments" -> dedup_segments _,
     "dedup_bow" -> dedup_bow _,
@@ -623,6 +680,7 @@ object Dedup extends Logging {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" -> dedup_semantic_sql,
     "dedup_exact" -> dedup_exact_sql,
     "dedup_segments" -> dedup_segments_sql,
     "dedup_bow" -> dedup_bow_sql,

@@ -650,7 +650,11 @@ object Similarity {
   private val QScale = 1048576L // 2^20: quantization keeps 20 fractional bits
   private val TrainIters = 2
 
-  def sim_topk_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+  /** Shared k-means machinery: `(e, scored)` where `e` is the quantized
+    * corpus (vec_id, embedding, n2, qv) and `scored` is every vector scored
+    * against every TRAINED centroid (columns + cid, cscore) — the common
+    * prefix of [[sim_topk_ivf_trained]] and [[Dedup.dedup_semantic]]. */
+  private[operators] def trainedScored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = numCells(Tables.embeddingsCount(s, dir))
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), norm2C.as("n2"),
@@ -670,8 +674,20 @@ object Similarity {
         .groupBy(col("m.cid").as("cid"))
         .agg(graft.functions.VecSumLong.of(col("m.qv")).as("cv"))
     }
+    (e, assign(cent))
+  }
 
-    val scored = assign(cent)
+  /** Trained-cell assignment (vec_id, embedding, n2, cid): each corpus
+    * vector filed to its max-cosine trained centroid, ties to low cid. */
+  private[operators] def trainedCells(s: SparkSession, dir: String): DataFrame =
+    trainedScored(s, dir)._2
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("n2"), col("cid")),
+        struct(col("cscore"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.embedding"), col("m.n2"), col("m.cid"))
+
+  def sim_topk_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    val (e, scored) = trainedScored(s, dir)
     val cells = scored
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("embedding"), col("n2"), col("cid")),
@@ -710,8 +726,12 @@ object Similarity {
       |    FROM s_$aTbl CROSS JOIN idx WHERE r = 1
       |    GROUP BY cid, idx.i) GROUP BY cid)""".stripMargin
 
-  val sim_topk_ivf_trained_sql: String =
-    s"""WITH $cellsDuck,
+  /** DuckDB twin of [[trainedScored]]/[[trainedCells]]: the CTE chain from
+    * the cell-count constant through `sf` (every vector × trained centroid,
+    * rank r by cosine) and `cells` (r = 1). Shared by the trained-IVF and
+    * semantic-dedup oracles; spliced after a `WITH`. */
+  private[operators] val trainedCellsDuck: String =
+    s"""$cellsDuck,
       |dim AS (SELECT max(len(embedding)) AS d FROM embeddings),
       |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dim),
       |e AS (SELECT vec_id, embedding,
@@ -727,7 +747,10 @@ object Similarity {
       |    / sqrt(e.n2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
       |    cid ASC) AS r
       |  FROM e CROSS JOIN c2),
-      |cells AS (SELECT vec_id, embedding, n2, cid FROM sf WHERE r = 1),
+      |cells AS (SELECT vec_id, embedding, n2, cid FROM sf WHERE r = 1)""".stripMargin
+
+  val sim_topk_ivf_trained_sql: String =
+    s"""WITH $trainedCellsDuck,
       |probes AS (SELECT vec_id qid, embedding qe, n2 qn2, cid
       |  FROM sf WHERE vec_id < 50 AND r <= $NumProbes),
       |s AS (SELECT qid, vec_id,

@@ -742,7 +742,67 @@ object TextAnalysis {
        |FROM bi LEFT JOIN vocab v USING (bigram)
        |GROUP BY doc_id""".stripMargin
 
+  /** Bigram language-model fluency score — the CCNet/KenLM-style "does this
+    * read like the corpus?" filter, as a self-trained bigram MLE instead of
+    * an external LM (no model files exist in a hermetic build; the plan
+    * shape is identical to scoring against a pre-trained table). Each
+    * document's score is the average conditional bigram probability
+    * `p(w2|w1) = c(w1 w2) / c(w1 ·)` over its adjacent token pairs, in
+    * integer per-mille (`pm = c2·1000 div c1` per bigram TYPE, then the
+    * occurrence-weighted mean `Σ m·pm div Σ m`) — no floats, no logs, so
+    * both engines agree bit-for-bit. Documents at or above the corpus-median
+    * constant [[LmFluentPm]] class as `fluent`, below as `unusual` — the
+    * low tail is exactly what a perplexity filter drops.
+    *
+    * Scale: one bigram explode → per-doc (w1,w2) counts (map-side combined,
+    * key = (doc_id, bigram) so no skew); bigram-type counts and context
+    * counts are two further map-side-combined aggregates over successively
+    * SMALLER relations (types ≤ vocab², contexts ≤ vocab); the type-score
+    * join shuffles on (w1, w2) — uniform by construction (Catalyst
+    * broadcasts the type table while it fits, degrades to a shuffle join
+    * past that); the final per-doc mean shuffles on doc_id once. Every
+    * relation is bounded by corpus tokens — nothing is all-pairs. */
+  private[operators] val LmFluentPm = 34L
+
+  def text_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val dm = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+    val c2 = dm.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val ty = c2.join(c1, "w1").withColumn("pm", expr("c2 * 1000 div c1"))
+    dm.join(ty, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        expr("sum(m * pm) div sum(m)").as("lm_milli"))
+      .withColumn("lm_class",
+        when(col("lm_milli") >= LmFluentPm, "fluent").otherwise("unusual"))
+  }
+
+  val text_lm_score_sql: String =
+    s"""WITH bi AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+')[i] AS w1,
+       |    string_split_regex(trim(text), '\\s+')[i + 1] AS w2
+       |  FROM documents, LATERAL (SELECT unnest(range(1,
+       |    len(string_split_regex(trim(text), '\\s+')))) AS i) u
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+       |dm AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY 1, 2, 3),
+       |c2 AS (SELECT w1, w2, sum(m) AS c2 FROM dm GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+       |ty AS (SELECT w1, w2, (c2 * 1000) // c1 AS pm FROM c2 JOIN c1 USING (w1))
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(m * pm) // sum(m) AS BIGINT) AS lm_milli,
+       |  CASE WHEN sum(m * pm) // sum(m) >= $LmFluentPm THEN 'fluent'
+       |       ELSE 'unusual' END AS lm_class
+       |FROM dm JOIN ty USING (w1, w2) GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> text_lm_score _,
     "text_oov_rate" -> text_oov_rate _,
     "text_bpe_encode" -> text_bpe_encode _,
     "text_tfidf_top" -> text_tfidf_top _,
@@ -763,6 +823,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> text_lm_score_sql,
     "text_oov_rate" -> text_oov_rate_sql,
     "text_bpe_encode" -> text_bpe_encode_sql,
     "text_tfidf_top" -> text_tfidf_top_sql,
