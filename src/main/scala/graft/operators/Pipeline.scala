@@ -779,7 +779,82 @@ object Pipeline {
       |      FROM documents GROUP BY 1, 2)
       |GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- DSIR
+
+  /** Data Selection via Importance Resampling (Xie et al., 2023,
+    * arXiv:2302.03169): score every raw document by how much its hashed
+    * n-gram feature profile resembles a TARGET distribution vs the raw
+    * corpus, then select the target-leaning slice. Features are word
+    * unigrams + bigrams hashed into [[DsirBuckets]] buckets (DSIR's
+    * hashed-ngram generative model); the target here is the `lang = 'en'`
+    * slice (in production: the high-quality corpus, e.g. encyclopedic
+    * text). The paper ranks by the log-likelihood ratio
+    * `Σ_f c_f(x)·log(p_t(f)/p_r(f))`; to stay bit-exact across engines we
+    * rank by its first-order linear surrogate — the difference of the
+    * occurrence-weighted mean target and raw feature probabilities in ppm,
+    * each floored separately so every integer division has a NON-NEGATIVE
+    * numerator (Spark `div` truncates toward zero, DuckDB `//` floors;
+    * they only agree on non-negatives). `selected` = above-raw-average
+    * target affinity (dsir_milli > 0) — a fixed, data-independent cut.
+    *
+    * Scale: feature stats live in a [[DsirBuckets]]-row table regardless
+    * of corpus size (that is the POINT of hashing) — it broadcasts; the
+    * corpus makes one explode → (doc_id, f) count pass (map-side
+    * combined) and one per-doc aggregate. The two scalar totals ride the
+    * same bounded table. Nothing shuffles on raw n-grams. */
+  private val DsirBuckets = 1024L
+
+  def pipe_dsir(s: SparkSession, dir: String): DataFrame = {
+    val fe = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN concat(
+          |  transform(toks, t -> concat('u:', t)),
+          |  transform(sequence(0, size(toks) - 2), i -> concat('b:', toks[i], ' ', toks[i + 1])))
+          |ELSE transform(toks, t -> concat('u:', t)) END""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets").as("f"))
+    val dm = fe.groupBy(col("doc_id"), col("lang"), col("f")).agg(count(lit(1)).as("m"))
+    val rawF = dm.groupBy(col("f")).agg(sum(col("m")).as("rn"))
+    val tgtF = dm.filter(col("lang") === "en").groupBy(col("f")).agg(sum(col("m")).as("tn"))
+    val ft = rawF.join(tgtF, Seq("f"), "left")
+      .crossJoin(broadcast(rawF.agg(sum(col("rn")).as("rtot"))))
+      .crossJoin(broadcast(tgtF.agg(sum(col("tn")).as("ttot"))))
+      .select(col("f"),
+        expr("coalesce(tn, 0L) * 1000000 div ttot").as("tppm"),
+        expr("rn * 1000000 div rtot").as("rppm"))
+    dm.join(broadcast(ft), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("m")).as("n_feats"),
+        expr("sum(m * tppm) div sum(m) - sum(m * rppm) div sum(m)").as("dsir_milli"))
+      .withColumn("selected", col("dsir_milli") > 0)
+  }
+
+  val pipe_dsir_sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      |fe AS (SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $DsirBuckets AS f
+      |  FROM (SELECT doc_id, lang, unnest(
+      |      CASE WHEN len(toks) >= 2 THEN list_concat(
+      |        list_transform(toks, t -> 'u:' || t),
+      |        list_transform(range(1, len(toks)), i -> 'b:' || toks[i] || ' ' || toks[i + 1]))
+      |      ELSE list_transform(toks, t -> 'u:' || t) END) AS g
+      |    FROM tk)),
+      |dm AS (SELECT doc_id, lang, f, count(*) AS m FROM fe GROUP BY 1, 2, 3),
+      |rawf AS (SELECT f, sum(m) AS rn FROM dm GROUP BY 1),
+      |tgtf AS (SELECT f, sum(m) AS tn FROM dm WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(rn) FROM rawf) AS rtot, (SELECT sum(tn) FROM tgtf) AS ttot),
+      |ft AS (SELECT f, (COALESCE(tn, 0) * 1000000) // ttot AS tppm,
+      |    (rn * 1000000) // rtot AS rppm
+      |  FROM rawf LEFT JOIN tgtf USING (f), tot)
+      |SELECT doc_id, lang, CAST(sum(m) AS BIGINT) AS n_feats,
+      |  CAST(sum(m * tppm) // sum(m) - sum(m * rppm) // sum(m) AS BIGINT) AS dsir_milli,
+      |  (sum(m * tppm) // sum(m) - sum(m * rppm) // sum(m)) > 0 AS selected
+      |FROM dm JOIN ft USING (f) GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dsir" -> (pipe_dsir(_, _)),
     "pipe_curriculum" -> (pipe_curriculum(_, _)),
     "pipe_quality_classifier" -> (pipe_quality_classifier(_, _)),
     "pipe_dataset_card" -> (pipe_dataset_card(_, _)),
@@ -800,6 +875,7 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_dsir" -> pipe_dsir_sql,
     "pipe_curriculum" -> pipe_curriculum_sql,
     "pipe_quality_classifier" -> pipe_quality_classifier_sql,
     "pipe_dataset_card" -> pipe_dataset_card_sql,

@@ -801,7 +801,83 @@ object TextAnalysis {
        |       ELSE 'unusual' END AS lm_class
        |FROM dm JOIN ty USING (w1, w2) GROUP BY doc_id""".stripMargin
 
+  /** Count-Min Sketch term counting (Cormode & Muthukrishnan, 2005): the
+    * bounded-memory streaming-sketch answer to "how often does each term
+    * occur?" when the vocabulary is too large to count exactly. The sketch
+    * is [[CmsDepth]] hash rows × [[CmsWidth]] counters — CONSTANT size at
+    * any corpus scale (that is the point); estimate = min over rows of the
+    * hashed counter, which can only overestimate (collisions add, never
+    * subtract). The gate builds the sketch distributed, then audits it
+    * against exact counts on the exact top-20 terms: `overestimate_n =
+    * est_n - exact_n >= 0` always, and is small while the width exceeds
+    * the heavy-hitter count. All md5-derived hashing, mirrored by the
+    * oracle bit-for-bit.
+    *
+    * Scale: the build is one explode → hash agg on (row, bucket) —
+    * [[CmsDepth]]·[[CmsWidth]] result rows regardless of corpus size, with
+    * map-side combine doing almost all the work; the audit side's exact
+    * top-K is a map-side-combined count + bounded TakeOrdered, and the
+    * counter lookup joins K·depth probe rows against the constant-size
+    * sketch (broadcast). Nothing large ever shuffles twice. */
+  // Width 16 is deliberately UNDER the fixture's ~31-term vocabulary so
+  // collisions actually occur and the min-over-rows estimator is exercised
+  // (at width >= vocab the sketch degenerates to exact and the gate would
+  // prove nothing); production sizing is w = e/eps, d = ln(1/delta).
+  private val CmsDepth = 4
+  private val CmsWidth = 16L
+  private val CmsTopK = 20
+
+  /** One row per (occurrence, sketch row): bucket = h60(salted `src`) % W —
+    * an array of [[CmsDepth]] bucket ids, posexploded by callers. Shared
+    * with the streaming sketch build ([[graft.streaming.StreamingQueries]]
+    * `stream_cms`), which must hash identically to land on the same
+    * counters. */
+  private[graft] def cmsBuckets(src: String): String =
+    s"transform(sequence(0, ${CmsDepth - 1}), j -> " +
+    s"CAST(conv(substring(md5(concat('cms', j, ':', $src)), 1, 15), 16, 10) AS BIGINT) % $CmsWidth)"
+
+  /** Audit a built counter table (columns j, b, c) against exact counts of
+    * the exact top-[[CmsTopK]] terms — shared by the batch and streaming
+    * sketch builds, so both gates prove the same estimator contract. */
+  private[graft] def cmsAudit(s: SparkSession, dir: String, cms: DataFrame): DataFrame = {
+    val tok = Tables.documents(s, dir).select(explode(tokens).as("t"))
+    val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("t").asc).limit(CmsTopK)
+    exact.select(col("t"), col("exact_n"), posexplode(expr(cmsBuckets("t"))).as(Seq("j", "b")))
+      .join(broadcast(cms), Seq("j", "b"))
+      .groupBy(col("t"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .withColumn("overestimate_n", col("est_n") - col("exact_n"))
+  }
+
+  def text_cms_counts(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir).select(explode(tokens).as("t"))
+    val cms = tok.select(posexplode(expr(cmsBuckets("t"))).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    cmsAudit(s, dir, cms)
+  }
+
+  val text_cms_counts_sql: String =
+    s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |occ AS (SELECT t, j,
+       |    CAST(('0x' || substr(md5('cms' || j || ':' || t), 1, 15)) AS BIGINT)
+       |      % $CmsWidth AS b
+       |  FROM tok, LATERAL (SELECT unnest(range(0, $CmsDepth)) AS j) u),
+       |cms AS (SELECT j, b, count(*) AS c FROM occ GROUP BY 1, 2),
+       |exact AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY 1
+       |  ORDER BY exact_n DESC, t ASC LIMIT $CmsTopK),
+       |probe AS (SELECT e.t, e.exact_n, j,
+       |    CAST(('0x' || substr(md5('cms' || j || ':' || e.t), 1, 15)) AS BIGINT)
+       |      % $CmsWidth AS b
+       |  FROM exact e, LATERAL (SELECT unnest(range(0, $CmsDepth)) AS j) u)
+       |SELECT t, exact_n, CAST(min(c) AS BIGINT) AS est_n,
+       |  CAST(min(c) - exact_n AS BIGINT) AS overestimate_n
+       |FROM probe JOIN cms USING (j, b)
+       |GROUP BY t, exact_n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_counts" -> text_cms_counts _,
     "text_lm_score" -> text_lm_score _,
     "text_oov_rate" -> text_oov_rate _,
     "text_bpe_encode" -> text_bpe_encode _,
@@ -823,6 +899,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_cms_counts" -> text_cms_counts_sql,
     "text_lm_score" -> text_lm_score_sql,
     "text_oov_rate" -> text_oov_rate_sql,
     "text_bpe_encode" -> text_bpe_encode_sql,

@@ -784,6 +784,33 @@ object StreamingQueries {
     """SELECT DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Count-Min sketch maintained INCREMENTALLY in streaming state: the
+    * document stream's token occurrences hash into the constant
+    * depth×width counter grid, a complete-mode count aggregation whose
+    * state (in the graft RocksDB provider) IS the sketch — bounded at
+    * depth·width counters forever, however long the stream runs. The
+    * final counters then audit against exact top-K term counts exactly
+    * like the batch build ([[graft.operators.TextAnalysis.text_cms_counts]]
+    * — same hashes via the shared [[TextAnalysis.cmsBuckets]], same oracle
+    * SQL), so the gate proves the incremental sketch equals the batch
+    * sketch bit-for-bit: the property that lets a 100 TB ingest keep
+    * per-term stats without ever re-scanning history. */
+  def stream_cms(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val counters = runToTable(s, s2 =>
+      documentsStream(s2, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+        .select(posexplode(expr(TextAnalysis.cmsBuckets("t"))).as(Seq("j", "b")))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c")),
+      OutputMode.Complete(), "stream_cms")
+      // complete mode re-emits the whole grid per batch: final counter =
+      // the last (= max, counts are monotone) emission per cell
+      .groupBy(col("j"), col("b")).agg(max(col("c")).as("c"))
+    TextAnalysis.cmsAudit(s, dir, counters)
+  }
+
+  val stream_cms_sql: String = graft.operators.TextAnalysis.text_cms_counts_sql
+
   /** Watermarked APPEND-mode tumbling-window count — the production
     * streaming shape: the 1-hour watermark closes windows as micro-batches
     * advance, closed windows are emitted exactly once and their state is
@@ -1283,6 +1310,7 @@ object StreamingQueries {
     "stream_file_sink" -> (stream_file_sink(_, _)),
     "stream_foreach_batch" -> (stream_foreach_batch(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
+    "stream_cms" -> (stream_cms(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1316,5 +1344,6 @@ object StreamingQueries {
     "stream_file_sink" -> stream_file_sink_sql,
     "stream_foreach_batch" -> stream_foreach_batch_sql,
     "stream_restart" -> stream_restart_sql,
-    "stream_doc_dedup" -> stream_doc_dedup_sql)
+    "stream_doc_dedup" -> stream_doc_dedup_sql,
+    "stream_cms" -> stream_cms_sql)
 }

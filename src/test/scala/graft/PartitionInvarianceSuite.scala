@@ -53,6 +53,14 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
     "stream_chained_agg",     // chained stateful ops: watermark propagation
                               // through two agg levels must not depend on
                               // state-store partition count
+    "dedup_semantic",         // k-means cells + within-cluster dominated
+                              // pairs: cluster assignment and keep-marks
+                              // must survive any reduction order
+    "pipe_dsir",              // hashed-feature ppm stats + broadcast join:
+                              // scalar totals and per-doc floors must not
+                              // depend on combine order
+    "text_lm_score",          // corpus bigram MLE: three stacked aggregates
+                              // and a type-table join, all integer
     "stream_join_inner_wm")   // stream-stream join: state-store partitioning
                               // (cluster-shape invariance for the streaming
                               // family — state keying, watermark eviction and
