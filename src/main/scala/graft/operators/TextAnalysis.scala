@@ -773,9 +773,28 @@ object TextAnalysis {
         .as("b"))
       .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("m"))
-    val c2 = dm.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val ty = c2.join(c1, "w1").withColumn("pm", expr("c2 * 1000 div c1"))
+      // explicit no-op not-null filter (split yields no nulls): the scoring
+      // join infers isnotnull(w1)/isnotnull(w2) on its probe side, and the
+      // Window below blocks the w2 half from reaching the type branch — the
+      // two dm subtrees then stop canonicalizing equal and the corpus scans
+      // twice. Declaring the filter HERE puts it identically in both.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    // sum(CASE WHEN doc_id IS NOT NULL THEN m END), not sum(m): the type
+    // branch must CONSUME doc_id so its dm subtree stays IDENTICAL to the
+    // scoring join's probe side — otherwise column pruning specializes the
+    // branch and the exchange reuse that makes this a ONE-scan plan
+    // (asserted in PlanShapeSuite) never fires. doc_id is never null, so
+    // the sum is exact. The context total c1 is a WINDOW sum over the c2
+    // type table (vocab²-bounded — the window sort is tiny), not a second
+    // aggregate of dm: a separate c1 branch duplicates the dm subtree and
+    // the duplicate does not reliably re-use the exchange, re-scanning the
+    // corpus.
+    val c2 = dm.groupBy(col("w1"), col("w2"))
+      .agg(sum(when(col("doc_id").isNotNull, col("m"))).as("c2"))
+    val ty = c2
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .withColumn("pm", expr("c2 * 1000 div c1"))
     dm.join(ty, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_bigrams"),
@@ -793,8 +812,8 @@ object TextAnalysis {
        |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
        |dm AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY 1, 2, 3),
        |c2 AS (SELECT w1, w2, sum(m) AS c2 FROM dm GROUP BY 1, 2),
-       |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-       |ty AS (SELECT w1, w2, (c2 * 1000) // c1 AS pm FROM c2 JOIN c1 USING (w1))
+       |ty AS (SELECT w1, w2,
+       |  (c2 * 1000) // sum(c2) OVER (PARTITION BY w1) AS pm FROM c2)
        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
        |  CAST(sum(m * pm) // sum(m) AS BIGINT) AS lm_milli,
        |  CASE WHEN sum(m * pm) // sum(m) >= $LmFluentPm THEN 'fluent'
@@ -851,10 +870,24 @@ object TextAnalysis {
   }
 
   def text_cms_counts(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir).select(explode(tokens).as("t"))
-    val cms = tok.select(posexplode(expr(cmsBuckets("t"))).as(Seq("j", "b")))
-      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
-    cmsAudit(s, dir, cms)
+    // The audit gate needs exact per-term counts anyway, so the sketch is
+    // derived FROM the term-count aggregate (counter = Σ of counts of the
+    // terms hashing there — identical totals to occurrence-level hashing):
+    // both consumers then share the one term-count exchange and the corpus
+    // scans ONCE (asserted in PlanShapeSuite). The pure production sketch
+    // path — when the vocabulary is too big to count exactly, so no audit —
+    // aggregates occurrences straight to (j, b) as [[graft.streaming
+    // .StreamingQueries]] `stream_cms` does.
+    val tc = Tables.documents(s, dir).select(explode(tokens).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    val cms = tc.select(col("exact_n"), posexplode(expr(cmsBuckets("t"))).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(sum(col("exact_n")).as("c"))
+    val exact = tc.orderBy(col("exact_n").desc, col("t").asc).limit(CmsTopK)
+    exact.select(col("t"), col("exact_n"), posexplode(expr(cmsBuckets("t"))).as(Seq("j", "b")))
+      .join(broadcast(cms), Seq("j", "b"))
+      .groupBy(col("t"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .withColumn("overestimate_n", col("est_n") - col("exact_n"))
   }
 
   val text_cms_counts_sql: String =

@@ -56,6 +56,36 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       "the offsets branch must aggregate the windowed output, not re-scan")
   }
 
+  test("text_lm_score: corpus explodes once; type-score join broadcasts") {
+    val df = TextAnalysis.text_lm_score(spark, sfDir)
+    assert(executedScans(df) === 1,
+      "per-doc counts feed both the type aggregates and the scoring join " +
+        "through one reused exchange — two corpus explodes is 2x I/O at 100 TB")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the bounded bigram-type table must broadcast, not shuffle the corpus")
+  }
+
+  test("text_cms_counts: one corpus scan; constant-size sketch broadcasts") {
+    val df = TextAnalysis.text_cms_counts(spark, sfDir)
+    assert(executedScans(df) === 1,
+      "sketch build and exact-count audit must share one token explode")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the depth x width counter table must broadcast to the probe side")
+  }
+
+  test("pipe_dsir: feature-stats model broadcasts; scan prunes to used columns") {
+    val df = Pipeline.pipe_dsir(spark, sfDir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the constant 1024-bucket feature table must broadcast — that is DSIR's " +
+        "hashing rationale; a corpus shuffle on features defeats it")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("doc_id", "lang", "text")),
+      s"scan must prune to doc_id/lang/text, read ${scans.map(_.requiredSchema.fieldNames.mkString(",")).distinct}")
+  }
+
   test("q35_explode_listagg: one pruned scan, Generate, map-side partial agg") {
     val df = operators.Relational.q35_explode_listagg(spark, sfDir)
     assert(executedScans(df) === 1)
