@@ -435,6 +435,111 @@ object Multimodal {
        |       CAST(coalesce(list_min(cuts), -1) AS BIGINT) AS first_cut
        |FROM c""".stripMargin
 
+  /** Video-level dedup on DECODED content, not container bytes: two Y4M
+    * streams whose bytes differ (header extensions, frame padding) but
+    * whose decoded frames match are duplicates — so the fingerprint is
+    * computed over the parsed per-frame luma-sum sequence. Two axes per
+    * video: `vfp` (md5 of the exact sum sequence — the exact-dup group
+    * key; grouped into rep + copy count like [[Dedup.dedup_exact]]) and
+    * `tdhash` (a temporal difference hash — bit f set when frame f+1's
+    * luma exceeds frame f's, capped at 59 transitions — the banding-ready
+    * near-dup axis, same family as [[mm_phash]]). The oracle re-derives
+    * both from the text column alone.
+    *
+    * Scale: decode + fingerprint is a pure map through the partition-
+    * parallel codec path (video bytes never shuffle — only the 16-byte
+    * fingerprint and 8-byte hash leave the decoder); the group stats are
+    * one hash aggregate on `vfp` and a join back that Catalyst broadcasts
+    * while the group table fits. Same cost class as exact text dedup. */
+  def mm_video_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val fps = ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
+        val y4m = synthesizeY4m(textBytes)
+        parseY4mFingerprint(id, y4m)
+      }
+    }.toDF("doc_id", "n_frames", "vfp", "tdhash")
+    val groups = fps.groupBy(col("vfp"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+    fps.join(groups, "vfp")
+      .select(col("doc_id"), col("n_frames"), col("vfp"), col("tdhash"),
+        col("rep_doc_id"), col("n_copies"))
+  }
+
+  /** Parse a mono Y4M stream and fold its frames into the two video
+    * fingerprints: the exact sum-sequence md5 and the temporal dHash. */
+  private[operators] def parseY4mFingerprint(id: Long, bytes: Array[Byte]): (Long, Long, String, Long) = {
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (bytes(pos) != '\n'.toByte) pos += 1
+      pos += 1
+      new String(bytes, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = readLine()
+    require(header.startsWith("YUV4MPEG2 "), s"bad Y4M magic in doc $id")
+    var w = 0; var h = 0
+    header.drop("YUV4MPEG2 ".length).split(' ').foreach { tok =>
+      tok.head match {
+        case 'W' => w = tok.tail.toInt
+        case 'H' => h = tok.tail.toInt
+        case 'C' => require(tok == "Cmono", s"not mono in doc $id")
+        case _ => ()
+      }
+    }
+    val frameSize = w * h
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (pos < bytes.length) {
+      val mark = readLine()
+      require(mark == "FRAME" || mark.startsWith("FRAME "), s"bad frame marker in doc $id")
+      var sum = 0L
+      var i = 0
+      while (i < frameSize) {
+        sum += (bytes(pos + i) & 0xff)
+        i += 1
+      }
+      sums += sum
+      pos += frameSize
+    }
+    val seq = sums.mkString(",")
+    val vfp = java.security.MessageDigest.getInstance("MD5")
+      .digest(seq.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    var tdhash = 0L
+    var f = 0
+    while (f < math.min(59, sums.length - 1)) {
+      if (sums(f + 1) > sums(f)) tdhash |= 1L << f
+      f += 1
+    }
+    (id, sums.length.toLong, vfp, tdhash)
+  }
+
+  // Oracle: the same per-frame luma-sum list as the scene-cut oracle, then
+  // md5 over the comma-joined sequence and the transition bits as a sum of
+  // powers of two.
+  val mm_video_dedup_sql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |    greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes) AS nf,
+       |    list_transform(range(0, greatest(1, (length(text) + ${FrameBytes - 1}) // $FrameBytes)), f ->
+       |      list_sum(list_transform(range(1, ${FrameBytes + 1}), j ->
+       |        CASE WHEN f * $FrameBytes + j <= length(text)
+       |             THEN ord(substr(text, CAST(f * $FrameBytes + j AS INT), 1))
+       |             ELSE 0 END))) AS sums
+       |  FROM documents),
+       |fp AS (SELECT doc_id, nf, md5(array_to_string(sums, ',')) AS vfp,
+       |    coalesce(list_sum(list_transform(range(1, CAST(least(59, nf - 1) AS BIGINT) + 1), i ->
+       |      CASE WHEN sums[i + 1] > sums[i] THEN 1 << (i - 1) ELSE 0 END)), 0) AS tdhash
+       |  FROM f),
+       |g AS (SELECT vfp, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+       |  FROM fp GROUP BY 1)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, vfp,
+       |       CAST(tdhash AS BIGINT) AS tdhash,
+       |       rep_doc_id, CAST(n_copies AS BIGINT) AS n_copies
+       |FROM fp JOIN g USING (vfp)""".stripMargin
+
   /** Image perceptual fingerprint: a difference hash (dHash family) over
     * each synthesized BMP's per-row luma profile — bit r is set when row r's
     * luma sum exceeds row r+1's (rows in logical top-down order, walked
@@ -1007,6 +1112,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_dedup" -> mm_video_dedup _,
     "mm_phash_dedup" -> mm_phash_dedup _,
     "mm_audio_resample" -> mm_audio_resample _,
     "mm_quarantine" -> mm_quarantine _,
@@ -1023,6 +1129,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_video_dedup" -> mm_video_dedup_sql,
     "mm_phash_dedup" -> mm_phash_dedup_sql,
     "mm_audio_resample" -> mm_audio_resample_sql,
     "mm_quarantine" -> mm_quarantine_sql,

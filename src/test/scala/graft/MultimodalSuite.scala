@@ -82,4 +82,34 @@ class MultimodalSuite extends AnyFunSuite {
     assert(nWin === 2L)
     assert(nSilent === 0L && nSpans === 0L && longest === 0L)
   }
+
+  test("video fingerprint: decoded-content identity, not container identity") {
+    // 3 frames (96 luma bytes): ascending, flat, ascending
+    val luma = Array.tabulate(96)(i => (i % 97).toByte)
+    val y4m = Multimodal.synthesizeY4m(luma)
+    val (_, nf, vfp, td) = Multimodal.parseY4mFingerprint(3L, y4m)
+    assert(nf === 3L)
+    // a container-level variation with identical decoded frames: insert an
+    // X-extension token into the header; fingerprints must not change
+    val varied = new String(y4m, "US-ASCII")
+      .replaceFirst("Cmono", "Cmono XCOMMENT=reencode")
+      .getBytes("US-ASCII")
+    val (_, nf2, vfp2, td2) = Multimodal.parseY4mFingerprint(4L, varied)
+    assert(nf2 === nf && vfp2 === vfp && td2 === td,
+      "decoded-equal streams with different container bytes must fingerprint equal")
+    // transition bits: frame sums here are s0 < s1 < s2? compute directly
+    val sums = luma.grouped(32).map(_.map(_ & 0xff).sum.toLong).toSeq
+    val expectTd = sums.sliding(2).zipWithIndex
+      .collect { case (Seq(a, b), i) if b > a => 1L << i }.sum
+    assert(td === expectTd, "temporal dHash bits must mirror the sum transitions")
+  }
+
+  test("video fingerprint: single zero-padded frame and the md5 group key") {
+    val (_, nf, vfp, td) = Multimodal.parseY4mFingerprint(5L,
+      Multimodal.synthesizeY4m(Array[Byte](10, 20)))
+    assert(nf === 1L && td === 0L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("30".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    assert(vfp === expected, "vfp is md5 of the comma-joined frame-sum sequence")
+  }
 }
