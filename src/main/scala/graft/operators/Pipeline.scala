@@ -853,7 +853,41 @@ object Pipeline {
       |  (sum(m * tppm) // sum(m) - sum(m * rppm) // sum(m)) > 0 AS selected
       |FROM dm JOIN ft USING (f) GROUP BY 1, 2""".stripMargin
 
+  /** Corpus materialization after SemDeDup: the step that actually APPLIES
+    * [[Dedup.dedup_semantic]]'s keep-marks to the document corpus — join
+    * the marks back by id and roll up per-language keep/drop totals, the
+    * summary a curation run reports after its semantic-dedup stage. The
+    * contract is the standard production layout where the embedding
+    * table's `vec_id` keys the document it embeds (one embedding per
+    * document, same id space — true of the fixtures and of any
+    * doc-embedding pipeline; a corpus with a separate mapping table adds
+    * one more join, same plan class).
+    *
+    * Scale: the marks table is (id, bool) — tiny next to the corpus — so
+    * the join broadcasts while it fits and degrades to an id-keyed shuffle
+    * join past that; the rollup is one map-side-combined aggregate on
+    * lang. Everything heavy lives inside dedup_semantic itself. */
+  def pipe_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val marks = Dedup.dedup_semantic(s, dir)
+      .select(col("vec_id").as("doc_id"), col("kept"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(marks, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  val pipe_semdedup_sql: String =
+    s"""WITH sem AS MATERIALIZED (${Dedup.dedup_semantic_sql})
+      |SELECT d.lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+      |FROM documents d JOIN sem ON d.doc_id = sem.vec_id
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_semdedup" -> (pipe_semdedup(_, _)),
     "pipe_dsir" -> (pipe_dsir(_, _)),
     "pipe_curriculum" -> (pipe_curriculum(_, _)),
     "pipe_quality_classifier" -> (pipe_quality_classifier(_, _)),
@@ -875,6 +909,7 @@ object Pipeline {
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "pipe_semdedup" -> pipe_semdedup_sql,
     "pipe_dsir" -> pipe_dsir_sql,
     "pipe_curriculum" -> pipe_curriculum_sql,
     "pipe_quality_classifier" -> pipe_quality_classifier_sql,
