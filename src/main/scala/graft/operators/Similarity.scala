@@ -595,6 +595,85 @@ object Similarity {
        |WHERE r <= $BeamK""".stripMargin
   }
 
+  /** Greedy k-center DIVERSITY selection (Gonzalez, 1985 — the 2-approx
+    * farthest-first traversal used for coreset/facility-location selection
+    * in data curation): seed with the minimum vec_id, then [[KCenters]]-1
+    * times add the point FARTHEST from the chosen set — the set distance
+    * is the distance to the NEAREST center, i.e. the point minimizing its
+    * MAXIMUM cosine over chosen centers (ties to low vec_id;
+    * already-chosen points self-score cosine ~1 and are never re-picked) —
+    * finally assign every point to its max-cosine center. [[sim_bucket_sample]] is the cheap
+    * one-pass stand-in; this is the real algorithm, determinized. Every
+    * comparison is over bit-identical doubles (index-ordered dots, min/max
+    * are exact), so the oracle unrolls the same rounds and the gate checks
+    * the exact center sequence and assignment.
+    *
+    * Scale: each round is one broadcast of the ≤k chosen centers against
+    * the corpus (a narrow map + map-side-combined min), then a bounded
+    * global top-1 (TakeOrdered, never a full sort); k rounds total — the
+    * textbook distributed greedy k-center cost. Assignment is one more
+    * broadcast pass. Nothing quadratic, nothing driver-side but the
+    * center-count-bounded loop structure. */
+  private val KCenters = 8
+
+  def sim_kcenter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+    def centers(chosen: DataFrame): DataFrame = {
+      val ec = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+      chosen.join(ec, col("vid") === col("cid")).select(col("cid"), col("ce"), col("cn2"))
+    }
+    def scored(chosen: DataFrame): DataFrame = e
+      .crossJoin(broadcast(centers(chosen)))
+      .withColumn("cos", VecDot.dot(col("ce"), col("embedding")) / sqrt(col("n2") * col("cn2")))
+
+    var chosen = e.agg(min(col("vec_id")).as("vid"))
+    for (_ <- 1 until KCenters) {
+      chosen = chosen.unionByName(
+          scored(chosen)
+            .groupBy(col("vec_id")).agg(max(col("cos")).as("mc"))
+            .orderBy(col("mc").asc, col("vec_id").asc).limit(1)
+            .select(col("vec_id").as("vid")))
+        .localCheckpoint(true)
+    }
+    scored(chosen)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("center_id"))
+      .join(chosen.withColumn("isc", lit(true)),
+        col("vec_id") === col("vid"), "left")
+      .select(col("vec_id"), col("center_id"),
+        coalesce(col("isc"), lit(false)).as("is_center"))
+  }
+
+  val sim_kcenter_sql: String = {
+    val cosPC = """list_sum(list_transform(range(1, len(ce)+1), i ->
+                  |      CAST(ce[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+                  |      / sqrt(p.n2 * cn2)""".stripMargin
+    def round(i: Int): String =
+      s"""mc$i AS (SELECT p.vec_id, max($cosPC) AS mc
+         |  FROM ke p CROSS JOIN (
+         |    SELECT ke.vec_id cid, embedding ce, n2 cn2
+         |    FROM ke JOIN c${i - 1} ON ke.vec_id = c${i - 1}.vid) c
+         |  GROUP BY 1),
+         |pk$i AS (SELECT vec_id AS vid FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY mc ASC, vec_id ASC) AS r
+         |  FROM mc$i) WHERE r = 1),
+         |c$i AS (SELECT vid FROM c${i - 1} UNION ALL SELECT vid FROM pk$i)""".stripMargin
+    s"""WITH ke AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings),
+       |c0 AS (SELECT min(vec_id) AS vid FROM ke),
+       |${(1 until KCenters).map(round).mkString(",\n")},
+       |asn AS (SELECT p.vec_id, cid,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY $cosPC DESC, cid ASC) AS r
+       |  FROM ke p CROSS JOIN (
+       |    SELECT ke.vec_id cid, embedding ce, n2 cn2
+       |    FROM ke JOIN c${KCenters - 1} ON ke.vec_id = c${KCenters - 1}.vid) c)
+       |SELECT a.vec_id, a.cid AS center_id, (ch.vid IS NOT NULL) AS is_center
+       |FROM asn a LEFT JOIN c${KCenters - 1} ch ON a.vec_id = ch.vid
+       |WHERE a.r = 1""".stripMargin
+  }
+
   /** LSH-stratified DIVERSITY sample: one representative (min vec_id) per
     * hyperplane bucket, with the bucket's population. Where uniform
     * sampling over-draws dense regions, one-per-bucket covers the
@@ -1322,6 +1401,7 @@ object Similarity {
     "sim_bucket_sample" -> sim_bucket_sample _,
     "sim_topk_graph" -> sim_topk_graph _,
     "sim_topk_hnsw" -> sim_topk_hnsw _,
+    "sim_kcenter" -> sim_kcenter _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -1343,6 +1423,7 @@ object Similarity {
     "sim_bucket_sample" -> sim_bucket_sample_sql,
     "sim_topk_graph" -> sim_topk_graph_sql,
     "sim_topk_hnsw" -> sim_topk_hnsw_sql,
+    "sim_kcenter" -> sim_kcenter_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

@@ -172,4 +172,40 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     // (and the gate) proves only the trivial all-kept corpus
     assert(out.exists(!_._4), "at least one vector must be dropped at sf0.001")
   }
+
+  // --------------------------------------------------------- sim_kcenter
+
+  test("sim_kcenter equals a driver-side greedy farthest-first recomputation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val n2 = emb.map { case (id, v) => id -> dot(v, v) }.toMap
+    def cos(p: Long, c: Long): Double =
+      dot(emb(c.toInt)._2, emb(p.toInt)._2) / math.sqrt(n2(p) * n2(c))
+    // greedy farthest-first: next center minimizes its MAX cosine over the
+    // chosen set (distance to the nearest center), ties to low id — the
+    // rule that catches the min/max inversion a mirrored oracle cannot
+    var chosen = Vector(emb.map(_._1).min)
+    while (chosen.size < 8) {
+      val next = emb.map { case (p, _) =>
+        p -> chosen.map(c => cos(p, c)).max
+      }.minBy { case (p, mx) => (mx, p) }._1
+      chosen :+= next
+    }
+    val expectedCenter = emb.map { case (p, _) =>
+      p -> chosen.map(c => (c, cos(p, c))).maxBy { case (c, s) => (s, -c) }._1
+    }.toMap
+    val got = Similarity.sim_kcenter(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.size === emb.length)
+    assert(got.filter(_._2._2).keySet === chosen.toSet, "exact center sequence")
+    expectedCenter.foreach { case (p, c) =>
+      assert(got(p)._1 === c, s"vec $p assigned center")
+    }
+  }
 }
