@@ -1314,7 +1314,55 @@ object Relational {
       |  ORDER BY c_acctbal DESC, c_custkey
       |  LIMIT 2) l""".stripMargin
 
+  /** Ordered-set aggregates — exact MODE and DISCRETE percentiles
+    * (`percentile_disc` semantics: the smallest actual value whose
+    * cumulative count reaches ⌈p·n⌉, never an interpolation like q16's
+    * `percentile_cont`), both determinized: mode ties break to the LOWEST
+    * value, and the percentile threshold is the cross-multiplied integer
+    * `cum·1000 >= p_milli·n` (no float boundary). Neither is computed by a
+    * per-group collect: quantity's value DOMAIN is bounded (1..50), so the
+    * per-(flag, value) count table is tiny and the cumulative walk is a
+    * window over ≤50 rows per flag — the pipe_token_budget quantized-key
+    * trick. Scale: one map-side-combined count shuffle on
+    * (flag, value); everything after runs on the bounded count table. A
+    * group-sorted `collect_list` formulation would hold a whole group's
+    * values in one task — the exact thing this shape avoids at 100 TB. */
+  def q40_ordered_set(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+    def disc(pMilli: Int): Column =
+      min(when(col("cum") * 1000 >= lit(pMilli) * col("n"), col("qty"))).as(s"qty_p$pMilli")
+    cum.groupBy(col("l_returnflag"))
+      // mode tie-break folded into one scalar key (qty <= 50 << 1000):
+      // max (c, -qty) lexicographic == max of c*1000 - qty
+      .agg(max_by(col("qty"), col("c") * 1000 - col("qty")).as("mode_qty"),
+        max(col("n")).as("n_lines"),
+        disc(250), disc(500), disc(750))
+  }
+
+  val q40_sql: String =
+    """WITH counts AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (SELECT l_returnflag, qty, c,
+      |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum,
+      |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM counts)
+      |SELECT l_returnflag,
+      |  max_by(qty, c * 1000 - qty) AS mode_qty,
+      |  CAST(max(n) AS BIGINT) AS n_lines,
+      |  CAST(min(CASE WHEN cum * 1000 >= 250 * n THEN qty END) AS BIGINT) AS qty_p250,
+      |  CAST(min(CASE WHEN cum * 1000 >= 500 * n THEN qty END) AS BIGINT) AS qty_p500,
+      |  CAST(min(CASE WHEN cum * 1000 >= 750 * n THEN qty END) AS BIGINT) AS qty_p750
+      |FROM cum GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ordered_set" -> q40_ordered_set _,
     "q38_recursive_days" -> q38_recursive_days _,
     "q39_lateral_topk" -> q39_lateral_topk _,
     "q37_grouping_id" -> q37_grouping_id _,
@@ -1360,6 +1408,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q38_recursive_days" -> q38_sql,
     "q39_lateral_topk" -> q39_sql,
+    "q40_ordered_set" -> q40_sql,
     "q37_grouping_id" -> q37_sql,
     "q36_cohort_retention" -> q36_sql,
     "q35_explode_listagg" -> q35_sql,
