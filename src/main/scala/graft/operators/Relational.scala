@@ -1361,7 +1361,184 @@ object Relational {
       |  CAST(min(CASE WHEN cum * 1000 >= 750 * n THEN qty END) AS BIGINT) AS qty_p750
       |FROM cum GROUP BY 1""".stripMargin
 
+  /** UNPIVOT (wide → long): the inverse of [[q25_pivot]]. The wide
+    * per-priority status counts are melted back to (priority, status, n)
+    * rows with Spark's native `unpivot` — a Generate-style expand, no
+    * shuffle beyond the aggregate that built the wide form. The
+    * distinguishing semantics vs a plain long group-by is DENSITY: a
+    * (priority, status) combination absent from the data still emits an
+    * n=0 row, so downstream schemas see every cell. The oracle builds the
+    * dense grid explicitly (distinct priorities × status VALUES, left
+    * join, coalesce 0) — a green hash proves the unpivot emits exactly
+    * the dense matrix. Scale: the wide input is ≤ |priorities| rows; the
+    * expand is output-side and never touches the fact table again. */
+  def q41_unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_filled"),
+        sum(when($"o_orderstatus" === "P", 1L).otherwise(0L)).as("n_partial"))
+    wide.unpivot(
+      Array($"o_orderpriority"),
+      Array($"n_open", $"n_filled", $"n_partial"),
+      "status", "n")
+  }
+
+  val q41_sql: String =
+    """WITH grid AS (
+      |  SELECT p.o_orderpriority, v.status
+      |  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      |  CROSS JOIN (VALUES ('n_open'), ('n_filled'), ('n_partial')) v(status)),
+      |counts AS (
+      |  SELECT o_orderpriority,
+      |    CASE o_orderstatus WHEN 'O' THEN 'n_open' WHEN 'F' THEN 'n_filled'
+      |      ELSE 'n_partial' END AS status,
+      |    count(*) AS c
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT g.o_orderpriority, g.status, coalesce(c.c, 0) AS n
+      |FROM grid g LEFT JOIN counts c
+      |  ON g.o_orderpriority = c.o_orderpriority AND g.status = c.status""".stripMargin
+
+  /** SCD-2 dimension build from an event stream: per user, collapse
+    * consecutive same-type events to state CHANGES, then assign each
+    * change a validity interval `[valid_from, valid_to)` via `lead`;
+    * the open current row carries valid_to = NULL and is_current = 1.
+    * This is the standard batch recipe for building a slowly-changing
+    * dimension from a change log. Plan: ONE shuffle on user_id; the
+    * change filter (`lag`) and the interval assignment (`lead`) share
+    * the same partitioning AND sort order, so Spark plans two Window
+    * operators over a single Exchange+Sort — no second shuffle, no
+    * re-sort. Ties are impossible (event_id is unique and in the sort
+    * key), so the intervals are deterministic under any partitioning.
+    * Scale: per-user history is the only locality requirement; skewed
+    * power users cost sort time, never a re-shuffle. */
+  def q42_scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val changes = ev
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes
+      .withColumn("valid_to_us", lead($"us", 1).over(w))
+      .select($"user_id", $"event_type", $"us".as("valid_from_us"),
+        $"valid_to_us",
+        when($"valid_to_us".isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  val q42_sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_id, event_type, us
+      |  FROM (SELECT *, lag(event_type) OVER
+      |          (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+      |        FROM e) t
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type, us AS valid_from_us,
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+      |  CASE WHEN lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |       IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM chg""".stripMargin
+
+  /** Deterministic HyperLogLog (p=8, 256 registers) over order keys per
+    * return flag — the cardinality sketch that replaces COUNT(DISTINCT)
+    * at 100 TB, built integer-exact so the gate can hash-compare it
+    * across engines. Both sides use the SAME public hash (md5 of the
+    * decimal string): register = first 2 hex nibbles (the bucket stays a
+    * hex STRING — no hex→int parsing dependency), rank = position of the
+    * first 1-bit in the next 52 bits, computed from the hex text
+    * (leading-'0'-run length × 4 + nibble leading-zeros + 1; 53 if the
+    * whole suffix is zero). The output is the register table's exact
+    * integer summary: occupied-register count, max/sum of ranks, and the
+    * harmonic denominator Σ 2^(40−Mj) as a truncated-integer sum
+    * (empty registers contribute 2^40) — everything float-free, so a
+    * green hash proves bit-identical sketches. The float estimate
+    * α·m²/Σ2^(−Mj) is asserted ±15% against the true count in the suite
+    * (HLL p=8 standard error is 6.5%), not in the gate. Scale: one
+    * map-side-combined shuffle of ≤ (flags × 256) register partials —
+    * the whole point of HLL — vs q9's exact-distinct re-shuffle of every
+    * key. n_exact is included for context (affordable at gate SF; the
+    * sketch columns are the scale path). */
+  def q43_hll_distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_orderkey",
+        md5(col("l_orderkey").cast("string")).as("h"))
+      .withColumn("bucket", substring($"h", 1, 2))
+      .withColumn("rest", substring($"h", 3, 13))
+      .withColumn("z", length(regexp_extract($"rest", "^0*", 0)))
+      .withColumn("rank",
+        when($"z" === 13, lit(53L)).otherwise(
+          $"z" * 4 +
+            when(substring($"rest", $"z" + 1, lit(1)) === "1", 3L)
+              .when(substring($"rest", $"z" + 1, lit(1)).isin("2", "3"), 2L)
+              .when(substring($"rest", $"z" + 1, lit(1))
+                .isin("4", "5", "6", "7"), 1L)
+              .otherwise(0L) + 1L))
+    val regs = hashed.groupBy($"l_returnflag", $"bucket")
+      .agg(max($"rank").as("mj"))
+    val sketch = regs.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_buckets"),
+        max($"mj").as("max_rank"),
+        sum($"mj").as("sum_rank"),
+        sum(expr("CAST(1099511627776 AS BIGINT) div shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT))"))
+          .as("s_nonempty"))
+      .withColumn("s_scaled",
+        $"s_nonempty" + (lit(256L) - $"n_buckets") * 1099511627776L)
+      .drop("s_nonempty")
+    val exact = Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_exact"))
+    sketch.join(exact, Seq("l_returnflag"))
+  }
+
+  val q43_sql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |    md5(CAST(l_orderkey AS VARCHAR)) AS h
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag,
+      |    substr(h, 1, 2) AS bucket,
+      |    length(regexp_extract(substr(h, 3, 13), '^0*')) AS z,
+      |    substr(h, 3, 13) AS rest
+      |  FROM h),
+      |rk AS (
+      |  SELECT l_returnflag, bucket,
+      |    CASE WHEN z = 13 THEN 53
+      |      ELSE z * 4 +
+      |        CASE WHEN substr(rest, z + 1, 1) = '1' THEN 3
+      |             WHEN substr(rest, z + 1, 1) IN ('2','3') THEN 2
+      |             WHEN substr(rest, z + 1, 1) IN ('4','5','6','7') THEN 1
+      |             ELSE 0 END + 1 END AS rank
+      |  FROM r),
+      |regs AS (
+      |  SELECT l_returnflag, bucket, max(rank) AS mj
+      |  FROM rk GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT l_returnflag,
+      |    count(*) AS n_buckets,
+      |    CAST(max(mj) AS BIGINT) AS max_rank,
+      |    CAST(sum(mj) AS BIGINT) AS sum_rank,
+      |    CAST(sum(1099511627776 // (CAST(1 AS BIGINT) << mj)) AS BIGINT)
+      |      AS s_nonempty
+      |  FROM regs GROUP BY 1)
+      |SELECT s.l_returnflag, s.n_buckets, s.max_rank, s.sum_rank,
+      |  CAST(s.s_nonempty + (256 - s.n_buckets) * 1099511627776 AS BIGINT)
+      |    AS s_scaled,
+      |  e.n_exact
+      |FROM sk s JOIN (
+      |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+      |  FROM lineitem GROUP BY 1) e USING (l_returnflag)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_unpivot" -> q41_unpivot _,
+    "q42_scd2" -> q42_scd2 _,
+    "q43_hll_distinct" -> q43_hll_distinct _,
     "q40_ordered_set" -> q40_ordered_set _,
     "q38_recursive_days" -> q38_recursive_days _,
     "q39_lateral_topk" -> q39_lateral_topk _,
@@ -1406,6 +1583,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_unpivot" -> q41_sql,
+    "q42_scd2" -> q42_sql,
+    "q43_hll_distinct" -> q43_sql,
     "q38_recursive_days" -> q38_sql,
     "q39_lateral_topk" -> q39_sql,
     "q40_ordered_set" -> q40_sql,
