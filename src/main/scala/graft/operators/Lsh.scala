@@ -27,8 +27,7 @@ package graft.operators
   */
 object Lsh {
   import org.apache.spark.sql.{Column, SparkSession}
-  import org.apache.spark.sql.functions.{lit, typedLit, when}
-  import graft.functions.VecDot
+  import graft.functions.LshBits
 
   val Dim = 64
   val DefaultMaxBits = 20
@@ -74,22 +73,30 @@ object Lsh {
     math.max(4, math.min(maxBits, fl))
   }
 
-  /** DuckDB literal: list of lists (default ceiling, as the oracles use). */
+  /** DuckDB literal: list of INT lists (default ceiling, as the oracles
+    * use). Integer weights, not `1.0` doubles — the sign test is an exact
+    * BIGINT sum on both engines (see [[bucketDuck]]). */
   val weightsDuck: String =
     weightsFor(DefaultMaxBits).take(DefaultMaxBits)
-      .map(_.map(w => s"${w}.0").mkString("[", ",", "]"))
+      .map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
-  /** Bucket id of `emb` under the first `nb` hyperplanes: nb codegen'd
-    * [[VecDot]] sign tests against literal weight rows (the interpreted
-    * aggregate-over-zip_with formulation was the bench's dominant cost). */
-  def bucketCol(nb: Int, emb: Column): Column = {
-    val w = weightsFor(nb)
-    (0 until nb).map { k =>
-      when(VecDot.dot(emb, typedLit(w(k).map(_.toDouble))) >= 0.0d,
-        lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Quantization scale for the integer-exact sign test: components become
+    * `floor(x * 2^20)` BIGINTs, so every hyperplane dot product is an exact
+    * ±1-weighted integer sum. A double-summed dot product's SIGN near zero
+    * depends on summation order/SIMD — i.e. on the oracle engine's build —
+    * which hash-failed `sim_bucket_sample` in round 10 (the one gate query
+    * exposing every bucket id directly). `floor`, not `round`: no
+    * tie-breaking semantics to drift between engines. */
+  val QuantScale = 1048576L // 2^20
+
+  /** Bucket id of `emb` under the first `nb` hyperplanes: one codegen'd
+    * [[LshBits]] pass — quantize each component once, then nb exact integer
+    * sign tests (the interpreted aggregate-over-zip_with formulation was
+    * the bench's dominant cost; per-bit VecDot re-decoded the array nb
+    * times and its double sums were sign-fragile near zero). */
+  def bucketCol(nb: Int, emb: Column): Column =
+    LshBits(emb, weightsFor(nb), nb)
 
   /** Spark: the Hamming<=1 probe set of a `blk` column (nb+1 buckets). */
   def probesSpark(nb: Int): String =
@@ -107,11 +114,14 @@ object Lsh {
     s"params AS MATERIALIZED (SELECT GREATEST(4, LEAST($DefaultMaxBits, length(bin(CAST(count(*) // $TargetBucket AS BIGINT))) - 1)) AS nb, $weightsDuck AS w FROM embeddings)"
 
   /** DuckDB: bucket id (requires `params` in scope via cross join; reads
-    * the weight rows from the `w` column, never a re-built literal). */
+    * the weight rows from the `w` column, never a re-built literal).
+    * Mirrors [[bucketCol]]'s integer-exact test: `floor(double(x) * 2^20)`
+    * is one IEEE-exact multiply + an exact floor in any engine, and the
+    * ±1-weighted BIGINT sum has a single possible sign. */
   val bucketDuck: String =
     s"""list_sum(list_transform(range(0, nb), k ->
        |      CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
-       |          w[k+1][i] * CAST(embedding[i] AS DOUBLE))) >= 0.0
+       |          CAST(w[k+1][i] AS BIGINT) * CAST(floor(CAST(embedding[i] AS DOUBLE) * $QuantScale) AS BIGINT))) >= 0
        |        THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))""".stripMargin
 
   /** DuckDB: probe set of column `blk`. */

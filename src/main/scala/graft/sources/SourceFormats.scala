@@ -143,21 +143,31 @@ object SourceFormats {
     * itself is the demonstration. */
   private val stagedBucketed = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  private[sources] def stageBucketed(s: SparkSession, dir: String): (String, String) =
-    stagedBucketed.getOrElseUpdate(dir, {
-      // table names must be unique per fixture dir within the shared JVM
-      val tag = Integer.toHexString(dir.hashCode & 0x7fffffff)
-      val (ot, ct) = (s"graft_orders_b$tag", s"graft_customer_b$tag")
-      Tables.orders(s, dir).write
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", graft.Staging.tempDir("graft-src-bucket-o-").toString)
-        .mode("overwrite").format("parquet").saveAsTable(ot)
-      Tables.customer(s, dir).write
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", graft.Staging.tempDir("graft-src-bucket-c-").toString)
-        .mode("overwrite").format("parquet").saveAsTable(ct)
-      (ot, ct)
-    })
+  private[sources] def stageBucketed(s: SparkSession, dir: String): (String, String) = {
+    // Unlike the path-returning stagers, this memo's value is CATALOG state,
+    // which lives in the SparkContext's SharedState — a later SparkContext
+    // in the same JVM (test suites stop/recreate contexts) has a fresh
+    // catalog while the memo still holds the names. Trust the memo only if
+    // the current context's catalog actually has the tables; else restage
+    // (mode=overwrite makes the re-run idempotent).
+    stagedBucketed.get(dir)
+      .filter { case (ot, ct) => s.catalog.tableExists(ot) && s.catalog.tableExists(ct) }
+      .getOrElse {
+        // table names must be unique per fixture dir within the shared JVM
+        val tag = Integer.toHexString(dir.hashCode & 0x7fffffff)
+        val (ot, ct) = (s"graft_orders_b$tag", s"graft_customer_b$tag")
+        Tables.orders(s, dir).write
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", graft.Staging.tempDir("graft-src-bucket-o-").toString)
+          .mode("overwrite").format("parquet").saveAsTable(ot)
+        Tables.customer(s, dir).write
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", graft.Staging.tempDir("graft-src-bucket-c-").toString)
+          .mode("overwrite").format("parquet").saveAsTable(ct)
+        stagedBucketed.put(dir, (ot, ct))
+        (ot, ct)
+      }
+  }
 
   def src_bucketed(s: SparkSession, dir: String): DataFrame = {
     val (ot, ct) = stageBucketed(s, dir)

@@ -906,15 +906,21 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Final image cast to DOUBLE: the per-row DECIMAL(18,2) sum is exact,
+    // but a raw DECIMAL output hashes by its engine-specific precision
+    // (Spark DECIMAL(28,2) vs DuckDB DECIMAL(38,2)) — the round-10 driver
+    // hash-fail. Cents fit a double exactly far past this scale, so the
+    // cast is value-identical in both engines (same as stream_union).
     s.read.parquet(outDir)
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("n_events"), col("sum_value")), col("batch_id")).as("m"))
-      .select(col("user_id"), col("m.n_events").as("n_events"), col("m.sum_value").as("sum_value"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_value").cast("double").as("sum_value"))
   }
 
   val stream_foreach_batch_sql: String =
     """SELECT user_id, count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
   /** `dropDuplicatesWithinWatermark` — TTL-style dedup state: a key's

@@ -77,10 +77,31 @@ class LshSuite extends AnyFunSuite with BeforeAndAfterAll {
     embs.zipWithIndex.foreach { case (e, i) =>
       var expect = 0L
       (0 until nb).foreach { k =>
-        val dot = (0 until Lsh.Dim).map(d => e(d).toDouble * w(k)(d)).sum
-        if (dot >= 0.0) expect |= 1L << k
+        // integer-exact model: quantize once, sum ±1-weighted longs
+        val dot = (0 until Lsh.Dim)
+          .map(d => math.floor(e(d).toDouble * Lsh.QuantScale).toLong * w(k)(d)).sum
+        if (dot >= 0L) expect |= 1L << k
       }
       assert(got(i) === expect, s"embedding $i bucket mismatch at width $nb")
     }
+  }
+
+  test("bucket sign test is integer-exact: no double-sum ambiguity near zero") {
+    val s = spark; import s.implicits._
+    // a vector whose double-summed dot with row 0 is ~0 (sign order-dependent)
+    // must still bucket deterministically under the quantized test
+    val w0 = Lsh.weights(0)
+    val e = Array.tabulate(Lsh.Dim)(d => (w0(d) * 1e-9f) * (if (d % 2 == 0) 1f else -1f))
+    val got = Seq((e, 0)).toDF("embedding", "i")
+      .select(Lsh.bucketCol(4, col("embedding")).as("blk"))
+      .head().getLong(0)
+    val w = Lsh.weightsFor(4)
+    var expect = 0L
+    (0 until 4).foreach { k =>
+      val dot = (0 until Lsh.Dim)
+        .map(d => math.floor(e(d).toDouble * Lsh.QuantScale).toLong * w(k)(d)).sum
+      if (dot >= 0L) expect |= 1L << k
+    }
+    assert(got === expect)
   }
 }
