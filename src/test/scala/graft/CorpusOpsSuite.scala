@@ -208,4 +208,39 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(p)._1 === c, s"vec $p assigned center")
     }
   }
+
+  // ----------------------------------------------------- text_bpe_train
+
+  test("text_bpe_train equals a from-scratch 8-round Scala BPE trainer") {
+    // independent recomputation: leftmost non-overlapping replace is
+    // String.replace's exact contract, so the merge semantics match by
+    // construction and only the counting/tiebreak/loop logic is under test
+    var words = docs().flatMap { case (_, text, _) =>
+      "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+    }.filter(_.length >= 2)
+    val expected = Seq.newBuilder[(Int, String, Long)]
+    (1 to TextAnalysis.BpeTrainRounds).foreach { r =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { w =>
+        var i = 0
+        while (i < w.length - 1) {
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+          i += 1
+        }
+      }
+      val (winner, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      expected += ((r, winner, n))
+      // winner elimination: after the merge, the winner pair never survives
+      if (r < TextAnalysis.BpeTrainRounds) {
+        val marker = ('0' + (r - 1)).toChar.toString
+        words = words.map(_.replace(winner, marker)).filter(_.length >= 2)
+        words.foreach(w => assert(!w.contains(winner),
+          s"round $r winner '$winner' survived its own merge in '$w'"))
+      }
+    }
+    val got = TextAnalysis.text_bpe_train(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === expected.result())
+  }
 }

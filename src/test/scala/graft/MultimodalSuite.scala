@@ -112,4 +112,26 @@ class MultimodalSuite extends AnyFunSuite {
       .digest("30".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
     assert(vfp === expected, "vfp is md5 of the comma-joined frame-sum sequence")
   }
+
+  test("PNG round trip is pixel-exact and fingerprint-equal to the BMP path") {
+    // off-gate width (17: not a multiple of 4) so the BMP padded-row walk
+    // and the PNG raster walk cover different physical layouts of the same
+    // logical grid — fingerprints must still agree bit-for-bit
+    val pixels = Array.tabulate(200)(i => ((i * 7 + 3) % 251).toByte)
+    val png = Multimodal.synthesizePng(17, pixels)
+    assert(png.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "real PNG magic")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 17 && img.getHeight === 12) // ceil(200/17)
+    pixels.zipWithIndex.foreach { case (b, i) =>
+      assert(img.getRaster.getSample(i % 17, i / 17, 0) === (b & 0xff),
+        s"pixel $i lost in the PNG round trip")
+    }
+    val (_, pw, ph, phashPng, bandPng) = Multimodal.decodePngPhash(9L, png)
+    val (_, bw, bh, phashBmp, bandBmp) =
+      Multimodal.parseBmpPhash(9L, Multimodal.synthesizeBmp(17, pixels))
+    assert((pw, ph) === (bw, bh))
+    assert(phashPng === phashBmp && bandPng === bandBmp,
+      "decoded-equal images must fingerprint equal across codecs")
+  }
 }
