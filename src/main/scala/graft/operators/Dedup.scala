@@ -113,6 +113,191 @@ object Dedup extends Logging {
       |FROM segs s JOIN f ON s.seg = f.seg AND s.doc_id * 1000000 + s.seg_no = f.k
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- exact substrings
+
+  /** EXACT duplicated-SUBSTRING spans (the ExactSubstr half of Lee et al.
+    * 2021, arXiv:2107.06499, next to its MinHash half [[dedup_minhash_lsh]]):
+    * a char window of length [[SubstrLen]] is duplicated when the identical
+    * window text occurs at two or more (doc, pos) locations corpus-wide
+    * (same-doc repeats included, per the paper); per document, overlapping
+    * or touching duplicated windows merge into MAXIMAL duplicated spans —
+    * the regions the paper cuts out of the training text. Output per doc:
+    * span count, duplicated chars, first span start (0s when clean).
+    *
+    * Spark-first re-expression of the paper's single-node suffix array:
+    * windows are hashed to 60-bit integers BEFORE the shuffle (24 bytes per
+    * char instead of L+16; md5-derived, so both engines agree bit-for-bit
+    * and a collision — ~N²/2^60 — would be the same collision in the
+    * oracle), the duplicate test is one map-side-combinable count on the
+    * hash, and span merging is a per-doc window bounded by one document's
+    * own length (the [[graft.operators.Relational.q23_sessionize]]
+    * recurrence: stride-1 positions are sorted, so a span breaks exactly
+    * when the gap to the previous window exceeds the window length).
+    * Stride is 1 = exact at ≥ L; a production run at petabyte scale sets
+    * stride s and keeps the paper's guarantee (every duplicated substring
+    * of length ≥ L + s − 1 is still caught) at 1/s the shuffle. */
+  private val SubstrLen = 50
+
+  /** Shared pipeline for the exact-substr pair: normalized docs
+    * (doc_id, t, len) and the merged duplicated spans
+    * (doc_id, span_id, sp_start, sp_end), 1-based inclusive. */
+  private def exactSubstrSpans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("t"))
+      .withColumn("len", length(col("t")))
+    // all window hashes in one native pass per document (the codegen'd
+    // [[graft.functions.SubstrHashes]] kernel; the equivalent SQL transform
+    // lambda evaluates interpreted at ~73 µs/window — 300× the digest — and
+    // made this family the slowest batch queries), exploded as 16-byte
+    // (pos, h) structs so the Generate never copies the document text
+    val wins = docs.filter(col("len") >= SubstrLen)
+      .select(col("doc_id"),
+        explode(graft.functions.SubstrHashes.of(col("t"), SubstrLen)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    // duplicate test as ONE window count over h — the aggregate+join
+    // spelling computes the whole wins pipeline twice (agg side + probe
+    // side) and shuffles three times; this is one shuffle on h and one
+    // partition-local count, and wins is evaluated exactly once
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("new_span",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + SubstrLen, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("sp_start"),
+        (max(col("pos")) + (SubstrLen - 1)).as("sp_end"))
+    (docs, spans)
+  }
+
+  /** Shared oracle CTE chain ending at `spans(doc_id, span_id, sp_start,
+    * sp_end)` — the DuckDB mirror of [[exactSubstrSpans]]. */
+  private val exactSubstrSpansCtes: String =
+    s"""d AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |wins AS MATERIALIZED (
+       |  SELECT doc_id, CAST(t.i AS INT) AS pos,
+       |         CAST(('0x' || substr(md5(substr(d.t, CAST(t.i AS INT), $SubstrLen)), 1, 15)) AS BIGINT) AS h
+       |  FROM d, LATERAL (SELECT unnest(range(1, length(d.t) - ${SubstrLen - 2})) AS i) t
+       |  WHERE length(d.t) >= $SubstrLen),
+       |dw AS (SELECT doc_id, pos FROM (
+       |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM wins)
+       |  WHERE c >= 2),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $SubstrLen
+       |         THEN 1 ELSE 0 END AS new_span
+       |  FROM dw),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM marked),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, span_id, min(pos) AS sp_start,
+       |         max(pos) + ${SubstrLen - 1} AS sp_end
+       |  FROM sp GROUP BY 1, 2)""".stripMargin
+
+  def dedup_exact_substr(s: SparkSession, dir: String): DataFrame = {
+    val (docs, spans) = exactSubstrSpans(s, dir)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("sp_end") - col("sp_start") + 1).as("dup_chars"),
+        min(col("sp_start")).cast("long").as("first_span_start"))
+    docs.select(col("doc_id"), col("len").cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        coalesce(col("first_span_start"), lit(0L)).as("first_span_start"))
+  }
+
+  val dedup_exact_substr_sql: String =
+    s"""WITH $exactSubstrSpansCtes,
+       |pd AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans,
+       |         sum(sp_end - sp_start + 1) AS dup_chars,
+       |         min(sp_start) AS first_span_start
+       |  FROM spans GROUP BY 1)
+       |SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |  CAST(coalesce(pd.dup_chars, 0) AS BIGINT) AS dup_chars,
+       |  CAST(coalesce(pd.first_span_start, 0) AS BIGINT) AS first_span_start
+       |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** APPLY half of [[dedup_exact_substr]] — actually CUT the duplicated
+    * spans out of each document, the text surgery Lee et al. 2021 performs
+    * on the training corpus (where [[dedup_segments]] drops fixed word
+    * segments, this removes exact char-level duplicated regions of any
+    * alignment). The kept text is the concatenation of the COMPLEMENT
+    * intervals: per doc, each span row emits the gap before it (bounded by
+    * the previous span's end via `lag`) and the last span also emits the
+    * tail gap; a document with no spans keeps its whole text through the
+    * left join. Scale: everything after the shared span pipeline is
+    * per-doc-bounded — the gap window, the substring cuts, and the ordered
+    * reassembly (`collect_list` bounded by one doc's span count ≤ len/L). */
+  def dedup_substr_clean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (docs, spans) = exactSubstrSpans(s, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sp_start"))
+    // two candidate keep-intervals per span row: the gap before this span,
+    // and (for the doc's last span only) the tail gap after it
+    val gaps = docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("g1s", coalesce(lag(col("sp_end"), 1).over(w), lit(0)) + 1)
+      .withColumn("g1e", coalesce(col("sp_start") - 1, col("len")))
+      .withColumn("g2s",
+        when(col("sp_start").isNotNull && lead(col("sp_start"), 1).over(w).isNull,
+          col("sp_end") + 1))
+      .withColumn("g2e", col("len"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("array(struct(g1s AS gs, g1e AS ge), struct(g2s AS gs, g2e AS ge))"))
+          .as("g"))
+      .select(col("doc_id"), col("g.gs").as("gs"),
+        expr("substring(t, g.gs, g.ge - g.gs + 1)").as("piece"))
+      .filter(col("gs").isNotNull && length(col("piece")) > 0)
+    val rebuilt = gaps.groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(gs, piece))), x -> x.piece), '')")
+        .as("kept"))
+    docs.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept"), lit("")).as("text_clean"),
+        length(coalesce(col("kept"), lit(""))).cast("long").as("n_chars_clean"))
+  }
+
+  val dedup_substr_clean_sql: String =
+    s"""WITH $exactSubstrSpansCtes,
+       |g AS (
+       |  SELECT d.doc_id, d.t,
+       |    coalesce(lag(s.sp_end) OVER (PARTITION BY d.doc_id ORDER BY s.sp_start), 0) + 1 AS g1s,
+       |    coalesce(s.sp_start - 1, d.len) AS g1e,
+       |    CASE WHEN s.sp_start IS NOT NULL
+       |           AND lead(s.sp_start) OVER (PARTITION BY d.doc_id ORDER BY s.sp_start) IS NULL
+       |         THEN s.sp_end + 1 END AS g2s,
+       |    d.len AS g2e
+       |  FROM (SELECT doc_id, t, length(t) AS len FROM d) d
+       |  LEFT JOIN spans s USING (doc_id)),
+       |pieces AS (
+       |  SELECT doc_id, gs, substr(t, CAST(gs AS INT), CAST(ge - gs + 1 AS INT)) AS piece
+       |  FROM (
+       |    SELECT doc_id, t, g1s AS gs, g1e AS ge FROM g
+       |    UNION ALL
+       |    SELECT doc_id, t, g2s AS gs, g2e AS ge FROM g)
+       |  WHERE gs IS NOT NULL AND ge >= gs),
+       |rb AS (
+       |  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS kept
+       |  FROM pieces GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(rb.kept, '') AS text_clean,
+       |  CAST(length(coalesce(rb.kept, '')) AS BIGINT) AS n_chars_clean
+       |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------------ bag-of-words
 
   /** Word-order-insensitive dedup: fingerprint = md5 of the SORTED DISTINCT
@@ -668,6 +853,8 @@ object Dedup extends Logging {
     "dedup_semantic" -> dedup_semantic _,
     "dedup_exact" -> dedup_exact _,
     "dedup_segments" -> dedup_segments _,
+    "dedup_exact_substr" -> dedup_exact_substr _,
+    "dedup_substr_clean" -> dedup_substr_clean _,
     "dedup_bow" -> dedup_bow _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
@@ -683,6 +870,8 @@ object Dedup extends Logging {
     "dedup_semantic" -> dedup_semantic_sql,
     "dedup_exact" -> dedup_exact_sql,
     "dedup_segments" -> dedup_segments_sql,
+    "dedup_exact_substr" -> dedup_exact_substr_sql,
+    "dedup_substr_clean" -> dedup_substr_clean_sql,
     "dedup_bow" -> dedup_bow_sql,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard_sql,
     "dedup_containment" -> dedup_containment_sql,

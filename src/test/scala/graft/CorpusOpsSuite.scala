@@ -243,4 +243,89 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(got === expected.result())
   }
+
+  // -------------------------------------------------- dedup_exact_substr
+
+  test("dedup_exact_substr equals a from-scratch duplicated-span recompute") {
+    val L = 50
+    val norm = docs().map { case (id, text, _) =>
+      id -> text.trim.replaceAll("\\s+", " ")
+    }
+    // corpus-wide window occurrence counts (window TEXT, not the hash: if
+    // the 60-bit hashes collided differently than the strings, this fails)
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    norm.foreach { case (_, t) =>
+      (1 to t.length - L + 1).foreach { p =>
+        val w = t.substring(p - 1, p - 1 + L)
+        occ(w) = occ.getOrElse(w, 0) + 1
+      }
+    }
+    val expected = norm.map { case (id, t) =>
+      val dupPos = (1 to t.length - L + 1)
+        .filter(p => occ(t.substring(p - 1, p - 1 + L)) >= 2)
+      var spans = Vector.empty[(Int, Int)] // (start, end) inclusive
+      dupPos.foreach { p =>
+        spans match {
+          case init :+ ((s0, e0)) if p <= e0 + 1 => // overlap or touching
+            if (p + L - 1 > e0) spans = init :+ (s0, p + L - 1)
+          case _ => spans = spans :+ (p, p + L - 1)
+        }
+      }
+      id -> (t.length.toLong, spans.size.toLong,
+        spans.map { case (s0, e0) => (e0 - s0 + 1).toLong }.sum,
+        spans.headOption.map(_._1.toLong).getOrElse(0L))
+    }.toMap
+    val got = Dedup.dedup_exact_substr(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) === e, s"doc $id (n_chars, n_spans, dup_chars, first_start)")
+    }
+    // the fixture must actually exercise the operator both ways
+    assert(expected.values.exists(_._2 > 0L), "no duplicated spans in fixture")
+    assert(expected.values.exists(_._2 === 0L), "no clean docs in fixture")
+  }
+
+  test("dedup_substr_clean cuts exactly the recomputed spans") {
+    val L = 50
+    val norm = docs().map { case (id, text, _) =>
+      id -> text.trim.replaceAll("\\s+", " ")
+    }
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    norm.foreach { case (_, t) =>
+      (1 to t.length - L + 1).foreach { p =>
+        val w = t.substring(p - 1, p - 1 + L)
+        occ(w) = occ.getOrElse(w, 0) + 1
+      }
+    }
+    val expected = norm.map { case (id, t) =>
+      val dupPos = (1 to t.length - L + 1)
+        .filter(p => occ(t.substring(p - 1, p - 1 + L)) >= 2)
+      var spans = Vector.empty[(Int, Int)]
+      dupPos.foreach { p =>
+        spans match {
+          case init :+ ((s0, e0)) if p <= e0 + 1 =>
+            if (p + L - 1 > e0) spans = init :+ (s0, p + L - 1)
+          case _ => spans = spans :+ (p, p + L - 1)
+        }
+      }
+      // cut the spans (1-based inclusive) out of t
+      val keep = new StringBuilder
+      var cur = 1
+      spans.foreach { case (s0, e0) =>
+        if (s0 > cur) keep.append(t.substring(cur - 1, s0 - 1))
+        cur = e0 + 1
+      }
+      if (cur <= t.length) keep.append(t.substring(cur - 1))
+      id -> keep.toString
+    }.toMap
+    val got = Dedup.dedup_substr_clean(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, txt) =>
+      assert(got(id)._1 === txt, s"doc $id cleaned text")
+      assert(got(id)._2 === txt.length.toLong, s"doc $id n_chars_clean")
+    }
+  }
 }

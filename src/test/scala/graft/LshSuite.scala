@@ -86,6 +86,20 @@ class LshSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LshBits participates in whole-stage codegen (no interpreted fallback)") {
+    // a parquet-backed plan: a local relation would be constant-folded by
+    // ConvertToLocalRelation (interpreted eval) and never reach codegen
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(Lsh.bucketCol(4, col("embedding")).as("blk"))
+    val cg = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    // the quantize+sign loops must appear inside a compiled WholeStageCodegen
+    // subtree — a doGenCode failure would silently fall back to interpreted
+    // eval and only show up as a perf cliff on the whole LSH family
+    assert(cg.contains("WholeStageCodegen subtrees") && !cg.startsWith("Found 0"),
+      s"no codegen subtree:\n${cg.take(300)}")
+    assert(cg.contains("Math.floor"), s"LshBits body missing from generated code:\n${cg.take(500)}")
+  }
+
   test("bucket sign test is integer-exact: no double-sum ambiguity near zero") {
     val s = spark; import s.implicits._
     // a vector whose double-summed dot with row 0 is ~0 (sign order-dependent)

@@ -64,6 +64,9 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
                               // depend on combine order
     "text_lm_score",          // corpus bigram MLE: three stacked aggregates
                               // and a type-table join, all integer
+    "dedup_exact_substr",     // stride-1 window hashes + per-doc span merge:
+                              // duplicate counts and span boundaries must not
+                              // depend on combine order or split placement
     "stream_join_inner_wm")   // stream-stream join: state-store partitioning
                               // (cluster-shape invariance for the streaming
                               // family — state keying, watermark eviction and
