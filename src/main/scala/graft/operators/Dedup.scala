@@ -548,6 +548,52 @@ object Dedup extends Logging {
        |FROM v WHERE common * 10 >= un * 6""".stripMargin
   }
 
+  // -------------------------------------------------------- LSH recall QA
+
+  /** Dedup-quality EVAL: the banded-LSH pipeline ([[dedup_minhash_lsh]])
+    * scored against the exact inverted-index anchor
+    * ([[dedup_ngram_jaccard]]) — the QA harness every production dedup
+    * deploy runs before trusting a band/row configuration: both pipelines
+    * verify candidates with the same exact-Jaccard test, so `n_missed` is
+    * PURE candidate-recall loss from the banding (a pair none of the 16
+    * bands collided), and `n_extra` is nonzero only if the df-cap pruned
+    * the anchor's common-counts (impossible at fixture df, structural at
+    * crawl scale). One summary row: pair counts both sides, missed/extra,
+    * integer recall per-mille.
+    *
+    * Scale: both inputs are the operators' own plans; the comparison adds
+    * two anti joins + four 1-row aggregates (broadcast crosses). At 100 TB
+    * the exact anchor is Σdf²-quadratic BY DESIGN — there, this eval runs
+    * on a sampled stratum (the standard recall-estimation protocol), same
+    * plan, sampled input. */
+  def dedup_lsh_eval(s: SparkSession, dir: String): DataFrame = {
+    val exact = dedup_ngram_jaccard(s, dir).select(col("doc_id_a"), col("doc_id_b"))
+    val lsh = dedup_minhash_lsh(s, dir).select(col("doc_id_a"), col("doc_id_b"))
+    val ne = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val nl = lsh.agg(count(lit(1)).as("n_lsh_pairs"))
+    val nm = exact.join(lsh, Seq("doc_id_a", "doc_id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val nx = lsh.join(exact, Seq("doc_id_a", "doc_id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    ne.crossJoin(nl).crossJoin(nm).crossJoin(nx)
+      .select(col("n_exact_pairs"), col("n_lsh_pairs"), col("n_missed"), col("n_extra"),
+        expr("(n_exact_pairs - n_missed) * 1000 div n_exact_pairs").as("recall_per_mille"))
+  }
+
+  val dedup_lsh_eval_sql: String =
+    s"""WITH e AS MATERIALIZED (SELECT doc_id_a, doc_id_b FROM ($dedup_ngram_jaccard_sql)),
+       |l AS MATERIALIZED (SELECT doc_id_a, doc_id_b FROM ($dedup_minhash_lsh_sql)),
+       |m AS (SELECT count(*) AS c FROM e WHERE NOT EXISTS (
+       |  SELECT 1 FROM l WHERE l.doc_id_a = e.doc_id_a AND l.doc_id_b = e.doc_id_b)),
+       |x AS (SELECT count(*) AS c FROM l WHERE NOT EXISTS (
+       |  SELECT 1 FROM e WHERE e.doc_id_a = l.doc_id_a AND e.doc_id_b = l.doc_id_b))
+       |SELECT (SELECT count(*) FROM e) AS n_exact_pairs,
+       |       (SELECT count(*) FROM l) AS n_lsh_pairs,
+       |       m.c AS n_missed, x.c AS n_extra,
+       |       CAST(((SELECT count(*) FROM e) - m.c) * 1000
+       |            // (SELECT count(*) FROM e) AS BIGINT) AS recall_per_mille
+       |FROM m, x""".stripMargin
+
   // ------------------------------------------------- near-dup clustering
 
   /** Connected components over the exact near-dup pairs: every document gets
@@ -855,6 +901,7 @@ object Dedup extends Logging {
     "dedup_segments" -> dedup_segments _,
     "dedup_exact_substr" -> dedup_exact_substr _,
     "dedup_substr_clean" -> dedup_substr_clean _,
+    "dedup_lsh_eval" -> dedup_lsh_eval _,
     "dedup_bow" -> dedup_bow _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
@@ -872,6 +919,7 @@ object Dedup extends Logging {
     "dedup_segments" -> dedup_segments_sql,
     "dedup_exact_substr" -> dedup_exact_substr_sql,
     "dedup_substr_clean" -> dedup_substr_clean_sql,
+    "dedup_lsh_eval" -> dedup_lsh_eval_sql,
     "dedup_bow" -> dedup_bow_sql,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard_sql,
     "dedup_containment" -> dedup_containment_sql,
