@@ -102,6 +102,108 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, label AS neighbor_label, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 5""".stripMargin
 
+  /** HYBRID retrieval with Reciprocal-Rank Fusion (Cormack et al., SIGIR
+    * 2009 — the fusion rule behind every production hybrid-search stack):
+    * for each query item (id < 10), a LEXICAL top-10 (3-shingle common
+    * count over the documents table, integer-exact, df-capped inverted
+    * index restricted to the query side) and a VECTOR top-10 (exact cosine
+    * over the row-aligned embeddings table — fixture item i carries both
+    * `documents.doc_id = i` text and `embeddings.vec_id = i`) are fused as
+    * `score = Σ 10^6 div (60 + rank)` over the lists containing the item
+    * (the standard k=60, in integer micro-units so every rank maps to a
+    * distinct addend and both engines agree exactly), and the fused top-5
+    * is emitted with provenance flags. Retrieval-quality intuition: items
+    * found by BOTH modalities dominate, then better-ranked single-modality
+    * items — surface match and semantic match fused without score
+    * calibration, which is why RRF beats weighted-sum fusion on
+    * uncalibrated signals.
+    *
+    * Scale: the vector branch is the broadcast-query brute-force plan (at
+    * 10^9 vectors: swap in the IVF/LSH branch — same (qid, id, rank)
+    * contract); the lexical branch joins 10 query docs' postings against
+    * the df-capped index (work Σ df_q·df, cap-bounded); fusion itself is a
+    * full outer join of two k-bounded rank lists — 10×10 rows per side
+    * here, always (queries × k), never corpus-sized. */
+  private val RrfK = 60
+  private val RrfTopN = 10
+  private val RrfMaxDf = 1000
+
+  def sim_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    // vector branch: exact cosine top-10 per query (brute-force contract)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val wv = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    val vec = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .withColumn("rv", row_number().over(wv))
+      .filter(col("rv") <= RrfTopN)
+      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+    // lexical branch: common-3-shingle count top-10 per query doc
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), expr(Dedup.h60S("s0", "")).as("s"))
+    val keep = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RrfMaxDf).select(col("s"))
+    val capped = postings.join(keep, "s")
+    val qp = capped.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("s"))
+    val wl = Window.partitionBy(col("qid")).orderBy(col("common").desc, col("id").asc)
+    val lex = qp.join(capped.select(col("doc_id").as("id"), col("s")), "s")
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("common"))
+      .withColumn("rl", row_number().over(wl))
+      .filter(col("rl") <= RrfTopN)
+      .select(col("qid"), col("id"), col("rl"))
+    // reciprocal-rank fusion in integer micro-units
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("id").asc)
+    vec.join(lex, Seq("qid", "id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($RrfK + rv)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + rl)"), lit(0L)))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("id").as("item_id"), col("rrf_micro"),
+        col("rank"), col("rv").isNotNull.as("in_vector"), col("rl").isNotNull.as("in_lexical"))
+  }
+
+  val sim_rrf_fusion_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings),
+       |q AS (SELECT vec_id qid, embedding qe, n2 qn2 FROM e WHERE vec_id < 10),
+       |vr AS (SELECT qid, id, rv FROM (
+       |  SELECT qid, vec_id AS id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_sum(list_transform(range(1, len(qe)+1), i ->
+       |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+       |      vec_id ASC) AS rv
+       |  FROM q JOIN e ON vec_id != qid) WHERE rv <= $RrfTopN),
+       |tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT doc_id, ${Dedup.shinglesD} AS sh FROM tok),
+       |post0 AS (SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s
+       |          FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh)),
+       |keep AS (SELECT s FROM post0 GROUP BY s HAVING count(*) <= $RrfMaxDf),
+       |post AS MATERIALIZED (SELECT doc_id, post0.s FROM post0 JOIN keep ON post0.s = keep.s),
+       |lex AS (SELECT qid, id, rl FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY common DESC, id ASC) AS rl
+       |  FROM (SELECT a.doc_id qid, b.doc_id id, count(*) common
+       |        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < 10 AND a.doc_id != b.doc_id
+       |        GROUP BY 1, 2)) WHERE rl <= $RrfTopN),
+       |f AS (SELECT coalesce(v.qid, l.qid) AS qid, coalesce(v.id, l.id) AS id, v.rv, l.rl
+       |      FROM vr v FULL JOIN lex l ON v.qid = l.qid AND v.id = l.id),
+       |sc AS (SELECT qid, id,
+       |    coalesce(1000000 // ($RrfK + rv), 0) + coalesce(1000000 // ($RrfK + rl), 0) AS rrf_micro,
+       |    rv IS NOT NULL AS in_vector, rl IS NOT NULL AS in_lexical
+       |  FROM f)
+       |SELECT qid, id AS item_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id ASC) AS INT) AS rank,
+       |  in_vector, in_lexical
+       |FROM sc QUALIFY rank <= 5""".stripMargin
+
   /** Bucketed ANN: top-3 among the corpus vectors in any of the query's
     * Hamming<=1 probe buckets (vec_id < 50 queries), under the shared
     * random-hyperplane LSH ([[Lsh]]): adaptive bit width keeps buckets at
@@ -1407,6 +1509,7 @@ object Similarity {
     "sim_quantize_int8" -> sim_quantize_int8 _,
     "sim_centroid_outlier" -> sim_centroid_outlier _,
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
+    "sim_rrf_fusion" -> sim_rrf_fusion _,
     "sim_topk_filtered" -> sim_topk_filtered _,
     "sim_topk_rerank" -> sim_topk_rerank _,
     "sim_topk_lsh" -> sim_topk_lsh _,
@@ -1429,6 +1532,7 @@ object Similarity {
     "sim_quantize_int8" -> sim_quantize_int8_sql,
     "sim_centroid_outlier" -> sim_centroid_outlier_sql,
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,
+    "sim_rrf_fusion" -> sim_rrf_fusion_sql,
     "sim_topk_filtered" -> sim_topk_filtered_sql,
     "sim_topk_rerank" -> sim_topk_rerank_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,

@@ -64,6 +64,9 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
                               // depend on combine order
     "text_lm_score",          // corpus bigram MLE: three stacked aggregates
                               // and a type-table join, all integer
+    "sim_rrf_fusion",         // hybrid fusion: two independently-ranked lists
+                              // full-outer joined — rank assignment and RRF
+                              // tie-breaks must survive any shuffle width
     "dedup_exact_substr",     // stride-1 window hashes + per-doc span merge:
                               // duplicate counts and span boundaries must not
                               // depend on combine order or split placement
