@@ -992,7 +992,134 @@ object TextAnalysis {
        |FROM probe JOIN cms USING (j, b)
        |GROUP BY t, exact_n""".stripMargin
 
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+    * RANDOM 2002; unbiased estimator per Beyer et al., SIGMOD 2007): per
+    * language, the [[KmvK]] smallest distinct 60-bit shingle hashes — kept
+    * by the native bounded [[graft.functions.KMinDistinct]] aggregate —
+    * give `D ≈ (k-1) · 2^60 / h_(k)` where `h_(k)` is the kth-smallest
+    * hash. The gate emits the estimate NEXT TO the exact distinct count
+    * (the audit column, same discipline as the CMS gate), so the artifact
+    * itself shows the ~1/√k relative error envelope.
+    *
+    * Cross-engine exactness: the estimate is ONE IEEE double division of
+    * two exactly-representable operands — `(k-1)·2^60` (6-bit mantissa,
+    * exact) and the long→double rounding of `h_(k)` (identical
+    * round-to-nearest in JVM and C++) — then a floor to BIGINT; no
+    * summation order anywhere, so Spark and DuckDB agree bit-for-bit.
+    *
+    * Scale: the sketch is a ≤k-long array per (group × partition) with
+    * map-side combine — one narrow pass at any corpus size, the raw
+    * shingle stream never shuffles. The exact column is the fixture-scale
+    * audit; at 100 TB you drop it and keep the sketch (that is the point).
+    */
+  private val KmvK = 64
+  private val KmvNum = s"CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976" // (k-1)·2^60, exact
+
+  def text_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(s, dir)
+      .select(col("lang"), explode(graft.functions.WordShingles.of(col("text"), 3)).as("s0"))
+      .select(col("lang"), expr(Dedup.h60S("s0", "")).as("hv"))
+    posts.groupBy(col("lang"))
+      .agg(graft.functions.KMinDistinct.of(col("hv"), KmvK).as("sk"),
+        countDistinct(col("hv")).as("exact_distinct"))
+      .select(col("lang"),
+        size(col("sk")).as("n_kept"),
+        when(size(col("sk")) === KmvK, element_at(col("sk"), KmvK)).as("kth_hash"),
+        when(size(col("sk")) < KmvK, size(col("sk")).cast("long"))
+          .otherwise(floor(expr(KmvNum) / element_at(col("sk"), KmvK).cast("double"))
+            .cast("long")).as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  val text_kmv_distinct_sql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, trim(text) tx,
+       |    string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT lang, unnest(${Dedup.shinglesD}) AS s0 FROM tok),
+       |h AS (SELECT DISTINCT lang,
+       |    CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS hv FROM sh),
+       |r AS (SELECT lang, hv,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS nd FROM h)
+       |SELECT lang, CAST(count(*) FILTER (WHERE rn <= $KmvK) AS INT) AS n_kept,
+       |  max(CASE WHEN rn = $KmvK THEN hv END) AS kth_hash,
+       |  CAST(CASE WHEN max(nd) < $KmvK THEN max(nd)
+       |    ELSE floor($KmvNum / CAST(max(CASE WHEN rn = $KmvK THEN hv END) AS DOUBLE))
+       |  END AS BIGINT) AS est_distinct,
+       |  CAST(max(nd) AS BIGINT) AS exact_distinct
+       |FROM r GROUP BY lang""".stripMargin
+
+  /** KMV set algebra — cross-source overlap profiling, the question a
+    * corpus curator actually asks ("how much does crawl A overlap crawl
+    * B?") at sketch cost: for every source pair, the union sketch is the
+    * [[KmvK]] smallest of the two sketches merged (EXACT — KMV is closed
+    * under union, the property HLL shares but Bloom/CMS lack), and the
+    * intersection estimate is the Beyer-et-al inclusion fraction
+    * `ρ/k · D_∪` where ρ counts union-sketch members present in BOTH input
+    * sketches. All integer array algebra on ≤k-long arrays plus the same
+    * single-division estimator as [[text_kmv_distinct]]; the exact
+    * intersection rides along as the fixture-scale audit column.
+    *
+    * Scale: 20 sources → 20 sketches of 64 longs — the pair matrix is
+    * sketch-side-only (190 rows of bounded arrays), NEVER a corpus-side
+    * pair join; at 1000 sources over 100 TB the sketch table is still KB. */
+  def text_kmv_intersect(s: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(s, dir)
+      .select(col("source"), explode(graft.functions.WordShingles.of(col("text"), 3)).as("s0"))
+      .select(col("source"), expr(Dedup.h60S("s0", "")).as("hv"))
+    val sk = posts.groupBy(col("source"))
+      .agg(graft.functions.KMinDistinct.of(col("hv"), KmvK).as("ksk"))
+    val pairs = sk.select(col("source").as("src_a"), col("ksk").as("ka"))
+      .join(sk.select(col("source").as("src_b"), col("ksk").as("kb")),
+        col("src_a") < col("src_b"))
+      .withColumn("ku", slice(array_sort(array_union(col("ka"), col("kb"))), 1, KmvK))
+      .withColumn("n_common_k",
+        size(array_intersect(col("ku"), array_intersect(col("ka"), col("kb")))))
+      .withColumn("est_union",
+        when(size(col("ku")) < KmvK, size(col("ku")).cast("long"))
+          .otherwise(floor(expr(KmvNum) / element_at(col("ku"), KmvK).cast("double"))
+            .cast("long")))
+      .withColumn("est_inter", expr(s"(n_common_k * est_union) div $KmvK"))
+    val exact = posts.select(col("source"), col("hv")).distinct()
+    val ex = exact.toDF("sa", "hva")
+      .join(exact.toDF("sb", "hvb"), col("hva") === col("hvb") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("exact_inter"))
+    pairs.join(ex, col("src_a") === col("sa") && col("src_b") === col("sb"), "left")
+      .select(col("src_a"), col("src_b"), col("n_common_k"),
+        col("est_union"), col("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
+  val text_kmv_intersect_sql: String =
+    s"""WITH tok AS (SELECT doc_id, source, trim(text) tx,
+       |    string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT source, unnest(${Dedup.shinglesD}) AS s0 FROM tok),
+       |h AS (SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS hv FROM sh),
+       |r AS (SELECT source, hv,
+       |    row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rn FROM h),
+       |sk AS MATERIALIZED (SELECT source, list(hv ORDER BY hv) AS ksk
+       |      FROM r WHERE rn <= $KmvK GROUP BY source),
+       |pr AS (SELECT a.source src_a, b.source src_b, a.ksk ka, b.ksk kb,
+       |         list_sort(list_distinct(a.ksk || b.ksk))[1:$KmvK] AS ku
+       |       FROM sk a JOIN sk b ON a.source < b.source),
+       |est AS (SELECT src_a, src_b,
+       |    len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS rho,
+       |    CASE WHEN len(ku) < $KmvK THEN len(ku)
+       |      ELSE CAST(floor($KmvNum / CAST(ku[$KmvK] AS DOUBLE)) AS BIGINT)
+       |    END AS est_union
+       |  FROM pr),
+       |ex AS (SELECT a.source sa, b.source sb, count(*) AS n
+       |       FROM h a JOIN h b ON a.hv = b.hv AND a.source < b.source
+       |       GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(rho AS INT) AS n_common_k,
+       |  CAST(est_union AS BIGINT) AS est_union,
+       |  CAST((rho * est_union) // $KmvK AS BIGINT) AS est_inter,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS exact_inter
+       |FROM est LEFT JOIN ex ON src_a = sa AND src_b = sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kmv_distinct" -> text_kmv_distinct _,
+    "text_kmv_intersect" -> text_kmv_intersect _,
     "text_cms_counts" -> text_cms_counts _,
     "text_lm_score" -> text_lm_score _,
     "text_oov_rate" -> text_oov_rate _,
@@ -1016,6 +1143,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_kmv_distinct" -> text_kmv_distinct_sql,
+    "text_kmv_intersect" -> text_kmv_intersect_sql,
     "text_cms_counts" -> text_cms_counts_sql,
     "text_lm_score" -> text_lm_score_sql,
     "text_oov_rate" -> text_oov_rate_sql,

@@ -64,6 +64,10 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
                               // depend on combine order
     "text_lm_score",          // corpus bigram MLE: three stacked aggregates
                               // and a type-table join, all integer
+    "text_kmv_distinct",      // KMV sketch: k smallest distinct hashes are
+                              // order statistics — identical under any
+                              // combine order, and the estimator is one
+                              // IEEE division, never a float sum
     "sim_rrf_fusion",         // hybrid fusion: two independently-ranked lists
                               // full-outer joined — rank assignment and RRF
                               // tie-breaks must survive any shuffle width
