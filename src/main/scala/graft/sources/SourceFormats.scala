@@ -209,6 +209,83 @@ object SourceFormats {
       t
     })
 
+  /** Z-ORDER (Morton) clustered layout — the multi-dimensional counterpart
+    * of [[stageSorted]]'s single-column sort, and the layout a 100 TB lake
+    * actually uses when TWO independent columns are both hot filters
+    * (Morton 1966; the technique behind Delta/Iceberg `OPTIMIZE ZORDER
+    * BY`): each dimension is normalized to an 8-bit cell by exact integer
+    * arithmetic against the table max, the two cell ids are bit-interleaved
+    * into a 16-bit Z-code, and rows land in `zbucket = zcode div 1024` —
+    * 64 Hive partitions, each a contiguous Z-range that spans only 1/8 of
+    * EACH dimension's domain (the top 6 interleaved bits pin 3 high bits
+    * per dimension). A single-column sort gives tight files on one column
+    * and full-domain spread on the other; the gate's per-bucket min/max of
+    * BOTH keys exhibits the both-dimensions-tight property directly, and
+    * the oracle recomputes the identical interleave from the originals.
+    *
+    * The interleave is expressed as pure `div`/`%`/`*` arithmetic shared
+    * (token-for-token, modulo the floor-div spelling) between the Spark
+    * plan and the DuckDB oracle — engine-exact, codegen-friendly, no UDF.
+    *
+    * Scale: staging is one repartition-by-bucket write (the same shuffle a
+    * plain partitioned write costs); reads with predicates on either (or
+    * both) dimensions prune whole directories from the listing, which
+    * `SourcePartitionSuite` pins on the physical plan. */
+  private val ZBits = 8 // cell bits per dimension -> 16-bit Z-code
+  private val ZBuckets = 64
+
+  /** Bit-interleave of two [[ZBits]]-bit cells as div/mod arithmetic; `fd`
+    * is the engine's floor-division token ("div" Spark, "//" DuckDB). */
+  private def mortonExpr(a: String, b: String, fd: String): String =
+    (0 until ZBits).flatMap(i => Seq(
+      s"(($a $fd ${1L << i}) % 2) * ${1L << (2 * i)}",
+      s"(($b $fd ${1L << i}) % 2) * ${1L << (2 * i + 1)}")).mkString(" + ")
+
+  private def zcells(fd: String): (String, String) = (
+    s"(l_partkey * ${1 << ZBits}) $fd (maxp + 1)",
+    s"(l_suppkey * ${1 << ZBits}) $fd (maxs + 1)")
+
+  private val stagedZorder = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[sources] def stageZorder(s: SparkSession, dir: String): String =
+    stagedZorder.getOrElseUpdate(dir, {
+      val t = graft.Staging.tempDir("graft-src-zorder-").toString
+      val (ca, cb) = zcells("div")
+      val maxes = Tables.lineitem(s, dir)
+        .agg(max(col("l_partkey")).as("maxp"), max(col("l_suppkey")).as("maxs"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .crossJoin(broadcast(maxes))
+        .withColumn("zcode", expr(mortonExpr(ca, cb, "div")))
+        .withColumn("zbucket", expr(s"zcode div ${(1 << (2 * ZBits)) / ZBuckets}"))
+        .drop("maxp", "maxs")
+        .repartition(col("zbucket"))
+        .sortWithinPartitions(col("zbucket"), col("zcode"))
+        .write.mode("overwrite").partitionBy("zbucket").parquet(t)
+      t
+    })
+
+  def src_zorder(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(stageZorder(s, dir))
+      .groupBy(col("zbucket").cast("int").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+  }
+
+  val src_zorder_sql: String = {
+    val (ca, cb) = zcells("//")
+    s"""WITH m AS (SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem),
+       |z AS (SELECT l_partkey, l_suppkey,
+       |        (${mortonExpr(ca, cb, "//")}) AS zcode
+       |      FROM lineitem CROSS JOIN m)
+       |SELECT CAST(zcode // ${(1 << (2 * ZBits)) / ZBuckets} AS INT) AS zbucket,
+       |  count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   def src_sorted_layout(s: SparkSession, dir: String): DataFrame = {
     val t = stageSorted(s, dir)
     s.read.parquet(t)
@@ -368,7 +445,8 @@ object SourceFormats {
     "src_partitioned" -> src_partitioned _,
     "src_schema_merge" -> src_schema_merge _,
     "src_bucketed" -> src_bucketed _,
-    "src_sorted_layout" -> src_sorted_layout _)
+    "src_sorted_layout" -> src_sorted_layout _,
+    "src_zorder" -> src_zorder _)
 
   val oracles: Map[String, String] = Map(
     "src_binary" -> src_binary_sql,
@@ -378,5 +456,6 @@ object SourceFormats {
     "src_partitioned" -> src_partitioned_sql,
     "src_schema_merge" -> src_schema_merge_sql,
     "src_bucketed" -> src_bucketed_sql,
-    "src_sorted_layout" -> src_sorted_layout_sql)
+    "src_sorted_layout" -> src_sorted_layout_sql,
+    "src_zorder" -> src_zorder_sql)
 }

@@ -114,4 +114,39 @@ class SourcePartitionSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("z-order layout prunes on zbucket and is tight in BOTH dimensions") {
+    val t = SourceFormats.stageZorder(spark, sfDir)
+    // a zbucket predicate prunes at the listing, like any Hive partition
+    val df = spark.read.parquet(t).filter(col("zbucket") === 0).select(col("l_orderkey"))
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("zbucket")),
+      s"zbucket predicate missing from PartitionFilters: ${scan.partitionFilters}")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    val paths = selected.flatMap(_.files.map(_.getPath.toString))
+    assert(paths.forall(_.contains("zbucket=0")),
+      s"scan lists non-pruned files: ${paths.filterNot(_.contains("zbucket=0")).take(3)}")
+    // the Morton property: with 64 buckets (6 interleaved high bits = 3 per
+    // dimension), EVERY bucket spans at most 1/8 of EACH key's domain (+1
+    // cell-boundary slack) — the both-dimensions-tight guarantee a single
+    // column sort cannot give
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val (maxP, maxS) = {
+      val r = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val spans = spark.read.parquet(t).groupBy(col("zbucket"))
+      .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("sp"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("ss"))
+      .collect()
+    assert(spans.length > 16, s"expected many populated buckets, got ${spans.length}")
+    spans.foreach { r =>
+      assert(r.getLong(1) <= (maxP + 1) / 8 + (maxP + 1) / 256 + 1,
+        s"zbucket ${r.get(0)} partkey span ${r.getLong(1)} exceeds 1/8 of $maxP")
+      assert(r.getLong(2) <= (maxS + 1) / 8 + (maxS + 1) / 256 + 1,
+        s"zbucket ${r.get(0)} suppkey span ${r.getLong(2)} exceeds 1/8 of $maxS")
+    }
+  }
 }
