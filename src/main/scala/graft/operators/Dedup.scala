@@ -481,14 +481,50 @@ object Dedup extends Logging {
   private val MinHashP = graft.functions.MinHashSig.Prime
   private val (hashAs, hashBs) = graft.functions.MinHashSig.coefficients(NumHashes, 42)
 
+  /** The 16 band keys off a `sig` column — shared (one definition) by the
+    * batch pipeline below and the streaming candidate index
+    * ([[graft.streaming.StreamingQueries]] `stream_lsh_dedup`), which must
+    * band identically to land on the same buckets. */
+  private[graft] val bandKeysExpr =
+    s"""transform(sequence(0, ${NumBands - 1}), b ->
+       |  concat(CAST(element_at(sig, 2*b+1) AS STRING), ',', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin
+
+  /** `(doc_id, text)` → `(doc_id, band, bkey)`: shingle → signature → band
+    * keys as one stateless projection chain (safe inside a streaming
+    * micro-batch; the batch op keeps its own copy of this chain because its
+    * plan deliberately materializes the signature behind a repartition
+    * barrier for three-way reuse). */
+  private[graft] def lshBandRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+      .withColumn("sig",
+        graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
+      .select(col("doc_id"), posexplode(expr(bandKeysExpr)))
+      .toDF("doc_id", "band", "bkey")
+
+  /** DuckDB mirror of the shingle→signature→bands chain, as a WITH-clause
+    * fragment ending in a `bands(doc_id, b, bkey)` CTE. */
+  private[graft] val lshBandsCte: String = {
+    val aArr = hashAs.mkString("[", ",", "]")
+    val bArr = hashBs.mkString("[", ",", "]")
+    s"""tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
+       |hsx AS (SELECT doc_id, sh, list_transform(sh, s ->
+       |          CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, ${NumHashes - 1}), j ->
+       |          list_min(list_transform(hs, h ->
+       |            ($aArr[j + 1] * h + $bArr[j + 1]) % $MinHashP))) AS sg
+       |        FROM hsx),
+       |bands AS (SELECT doc_id, u.b,
+       |            CAST(sg[2*u.b+1] AS VARCHAR) || ',' || CAST(sg[2*u.b+2] AS VARCHAR) AS bkey
+       |          FROM sig, unnest(generate_series(0, ${NumBands - 1})) AS u(b))""".stripMargin
+  }
+
   /** MinHash signatures + banded LSH + exact verification of candidates.
     * Same output contract as dedup_ngram_jaccard; the oracle mirrors the
     * banding, so the gate checks the real LSH pipeline, not just recall. */
   def dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
-    val bandKeys =
-      s"""transform(sequence(0, ${NumBands - 1}), b ->
-         |  concat(CAST(element_at(sig, 2*b+1) AS STRING), ',', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin
-
+    val bandKeys = bandKeysExpr
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
     // The signature is a compiled single-pass kernel (one md5 per shingle +

@@ -784,6 +784,47 @@ object StreamingQueries {
     """SELECT DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Streaming NEAR-dup detection — the MinHash-LSH candidate index
+    * maintained incrementally in RocksDB state, the production shape of
+    * deduplicating a crawl AS IT ARRIVES (each new document's 16 band keys
+    * probe-and-extend the bucket index; a bucket reaching 2+ members is a
+    * near-dup candidate group to verify downstream, exactly the candidate
+    * set the batch pipeline ([[graft.operators.Dedup]] `dedup_minhash_lsh`)
+    * builds by self-join). Banding is the SAME definition as the batch op
+    * (shared `Dedup.bandKeysExpr` + codegen'd shingle/signature kernels,
+    * running inside the micro-batch), so the streamed index provably equals
+    * the batch index — the oracle is one GROUP BY over the batch bands.
+    *
+    * Emission is update-mode (bucket rows re-emit as members arrive); the
+    * final per-bucket row is recovered order-independently because both
+    * stats are monotone along any arrival order — `rep_doc_id` (running
+    * min) only decreases, `n_docs` (running count) only increases — so
+    * `min`/`max` over the emitted versions equal the final state no matter
+    * how the staged chunks interleave.
+    *
+    * Scale: state is one (min, count) pair per occupied bucket — the same
+    * adaptive-width bucket geometry as the batch LSH (~bounded occupancy by
+    * construction), with no raw text retained in state; the emitted gate
+    * rows are candidate buckets only (`n_docs >= 2`). */
+  def stream_lsh_dedup(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, s2 =>
+      graft.operators.Dedup.lshBandRows(
+        documentsStream(s2, dir).select(col("doc_id"), col("text")))
+        .groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n")),
+      OutputMode.Update(), "stream_lsh_dedup")
+      .groupBy(col("band"), col("bkey"))
+      .agg(min(col("rep")).as("rep_doc_id"), max(col("n")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("band").cast("int").as("band"), col("bkey"),
+        col("rep_doc_id"), col("n_docs"))
+
+  val stream_lsh_dedup_sql: String =
+    s"""WITH ${graft.operators.Dedup.lshBandsCte}
+       |SELECT CAST(b AS INT) AS band, bkey, min(doc_id) AS rep_doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM bands GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   /** Count-Min sketch maintained INCREMENTALLY in streaming state: the
     * document stream's token occurrences hash into the constant
     * depth×width counter grid, a complete-mode count aggregation whose
@@ -1316,6 +1357,7 @@ object StreamingQueries {
     "stream_file_sink" -> (stream_file_sink(_, _)),
     "stream_foreach_batch" -> (stream_foreach_batch(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
+    "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
     "stream_cms" -> (stream_cms(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
@@ -1351,5 +1393,6 @@ object StreamingQueries {
     "stream_foreach_batch" -> stream_foreach_batch_sql,
     "stream_restart" -> stream_restart_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql,
+    "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_cms" -> stream_cms_sql)
 }
