@@ -372,7 +372,7 @@ object Dedup extends Logging {
         (col("common") * 1000).divide(col("na") + col("nb") - col("common")).cast("long").as("jaccard_per_mille"))
   }
 
-  private[operators] val shinglesD =
+  private[graft] val shinglesD =
     "CASE WHEN len(toks) < 3 THEN [tx] ELSE list_distinct(list_transform(" +
     "range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END"
 

@@ -1012,23 +1012,31 @@ object TextAnalysis {
     * shingle stream never shuffles. The exact column is the fixture-scale
     * audit; at 100 TB you drop it and keep the sketch (that is the point).
     */
-  private val KmvK = 64
-  private val KmvNum = s"CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976" // (k-1)·2^60, exact
+  private[graft] val KmvK = 64
+  private[graft] val KmvNum = s"CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976" // (k-1)·2^60, exact
+
+  /** `(lang, text)` → `(lang, hv)` 60-bit shingle hashes — shared by the
+    * batch sketch and the streaming incremental build
+    * ([[graft.streaming.StreamingQueries]] `stream_kmv`), which must hash
+    * identically for incremental ≡ batch to hold. */
+  private[graft] def kmvHashes(docs: DataFrame): DataFrame = docs
+    .select(col("lang"), explode(graft.functions.WordShingles.of(col("text"), 3)).as("s0"))
+    .select(col("lang"), expr(Dedup.h60S("s0", "")).as("hv"))
+
+  /** Estimate columns off a sketch column `sk` — shared with `stream_kmv`. */
+  private[graft] def kmvEstimateCols: Seq[Column] = Seq(
+    size(col("sk")).as("n_kept"),
+    when(size(col("sk")) === KmvK, element_at(col("sk"), KmvK)).as("kth_hash"),
+    when(size(col("sk")) < KmvK, size(col("sk")).cast("long"))
+      .otherwise(floor(expr(KmvNum) / element_at(col("sk"), KmvK).cast("double"))
+        .cast("long")).as("est_distinct"))
 
   def text_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
-    val posts = Tables.documents(s, dir)
-      .select(col("lang"), explode(graft.functions.WordShingles.of(col("text"), 3)).as("s0"))
-      .select(col("lang"), expr(Dedup.h60S("s0", "")).as("hv"))
+    val posts = kmvHashes(Tables.documents(s, dir))
     posts.groupBy(col("lang"))
       .agg(graft.functions.KMinDistinct.of(col("hv"), KmvK).as("sk"),
         countDistinct(col("hv")).as("exact_distinct"))
-      .select(col("lang"),
-        size(col("sk")).as("n_kept"),
-        when(size(col("sk")) === KmvK, element_at(col("sk"), KmvK)).as("kth_hash"),
-        when(size(col("sk")) < KmvK, size(col("sk")).cast("long"))
-          .otherwise(floor(expr(KmvNum) / element_at(col("sk"), KmvK).cast("double"))
-            .cast("long")).as("est_distinct"),
-        col("exact_distinct"))
+      .select(col("lang") +: kmvEstimateCols :+ col("exact_distinct"): _*)
   }
 
   val text_kmv_distinct_sql: String =

@@ -825,6 +825,51 @@ object StreamingQueries {
        |  CAST(count(*) AS BIGINT) AS n_docs
        |FROM bands GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** KMV distinct-count sketch maintained INCREMENTALLY in streaming
+    * state: the document stream's shingle hashes fold into the bounded
+    * [[graft.functions.KMinDistinct]] aggregate per language, whose
+    * serialized ≤k-long buffer lives in the graft RocksDB provider between
+    * micro-batches — "how many distinct shingles has this corpus stream
+    * carried, per language?" answered forever at k·8 bytes of state per
+    * group. Hashing and estimator are the batch definitions verbatim
+    * ([[graft.operators.TextAnalysis]] `kmvHashes` / `kmvEstimateCols`),
+    * and k-min-distinct is a pure order statistic, so the incremental
+    * sketch equals the batch sketch BIT-FOR-BIT whatever the chunk
+    * interleaving — the oracle is the batch KMV SQL minus the audit
+    * column. Update-mode re-emissions are resolved by `max_by` on the
+    * running row count (strictly increasing per re-emitting key). */
+  def stream_kmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val sk = runToTable(s, s2 =>
+      TextAnalysis.kmvHashes(
+        documentsStream(s2, dir).select(col("lang"), col("text")))
+        .groupBy(col("lang"))
+        .agg(graft.functions.KMinDistinct.of(col("hv"), TextAnalysis.KmvK).as("sk"),
+          count(lit(1)).as("n_rows")),
+      OutputMode.Update(), "stream_kmv")
+      .groupBy(col("lang"))
+      .agg(max_by(col("sk"), col("n_rows")).as("sk"))
+    sk.select(col("lang") +: TextAnalysis.kmvEstimateCols: _*)
+  }
+
+  val stream_kmv_sql: String = {
+    import graft.operators.TextAnalysis.{KmvK, KmvNum}
+    s"""WITH tok AS (SELECT doc_id, lang, trim(text) tx,
+       |    string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT lang, unnest(${graft.operators.Dedup.shinglesD}) AS s0 FROM tok),
+       |h AS (SELECT DISTINCT lang,
+       |    CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS hv FROM sh),
+       |r AS (SELECT lang, hv,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS nd FROM h)
+       |SELECT lang, CAST(count(*) FILTER (WHERE rn <= $KmvK) AS INT) AS n_kept,
+       |  max(CASE WHEN rn = $KmvK THEN hv END) AS kth_hash,
+       |  CAST(CASE WHEN max(nd) < $KmvK THEN max(nd)
+       |    ELSE floor($KmvNum / CAST(max(CASE WHEN rn = $KmvK THEN hv END) AS DOUBLE))
+       |  END AS BIGINT) AS est_distinct
+       |FROM r GROUP BY lang""".stripMargin
+  }
+
   /** Count-Min sketch maintained INCREMENTALLY in streaming state: the
     * document stream's token occurrences hash into the constant
     * depth×width counter grid, a complete-mode count aggregation whose
@@ -1358,6 +1403,7 @@ object StreamingQueries {
     "stream_foreach_batch" -> (stream_foreach_batch(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
+    "stream_kmv" -> (stream_kmv(_, _)),
     "stream_cms" -> (stream_cms(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
@@ -1394,5 +1440,6 @@ object StreamingQueries {
     "stream_restart" -> stream_restart_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
+    "stream_kmv" -> stream_kmv_sql,
     "stream_cms" -> stream_cms_sql)
 }
