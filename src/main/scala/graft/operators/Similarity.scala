@@ -1495,7 +1495,71 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  /** TRIANGLE census + local clustering coefficient over the staged kNN
+    * graph — the standard density diagnostic for an embedding space: a
+    * node whose neighbors are also neighbors of each other sits in a tight
+    * semantic cluster (near-dup nest, template family); a zero-coefficient
+    * hub bridges unrelated regions. Used to audit kNN-graph quality before
+    * trusting it for SemDeDup-style clustering or graph-ANN construction.
+    *
+    * The graph is first symmetrized to distinct undirected edges (a<b),
+    * then triangles are counted with the classic two-join wedge-close:
+    * edges (a,b)⋈(b,c) form wedges with a<b<c, and a semi-join against the
+    * closing edge (a,c) keeps actual triangles — each triangle is produced
+    * exactly once because its vertices appear in sorted roles. Per-node
+    * participation explodes each triangle to its three corners; the
+    * coefficient is emitted in integer micro-units
+    * (`2·10^6·tri div deg·(deg-1)`) so the gate hashes exact BIGINTs.
+    *
+    * Scale: the undirected edge table is ≤ 2kN rows of two integers. Both
+    * joins key on a single vertex, so per-key work is bounded by the square
+    * of that vertex's degree — out-degree is k by construction and
+    * in-degree is bounded by the LSH probe-bucket ceiling (~(nb+1)·64
+    * candidates can ever rank a given node), so no wedge explosion and no
+    * skew surface. Work is O(Σ deg²) ≈ O(N·k²), never O(N²); this is the
+    * same plan a 10^9-node GraphFrames triangle count runs distributed. */
+  def sim_triangles(s: SparkSession, dir: String): DataFrame = {
+    val und = knnGraphStaged(s, dir)
+      .select(least(col("src"), col("neighbor_id")).as("a"),
+        greatest(col("src"), col("neighbor_id")).as("b"))
+      .distinct()
+    val wedges = und.join(
+        und.select(col("a").as("b"), col("b").as("c")), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          expr("(2000000 * coalesce(n_tri, 0)) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_micro"))
+  }
+
+  val sim_triangles_sql: String =
+    s"""WITH g AS MATERIALIZED ($sim_knn_graph_sql),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, neighbor_id) AS a,
+       |    greatest(src, neighbor_id) AS b FROM g),
+       |tri AS (SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT v AS vec_id, count(*) AS n_tri
+       |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY 1),
+       |deg AS (SELECT v AS vec_id, count(*) AS degree
+       |  FROM (SELECT unnest([a, b]) AS v FROM und) GROUP BY 1)
+       |SELECT deg.vec_id, degree, coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       |  CASE WHEN degree >= 2
+       |    THEN (2000000 * coalesce(n_tri, 0)) // (degree * (degree - 1))
+       |    ELSE CAST(0 AS BIGINT) END AS cc_micro
+       |FROM deg LEFT JOIN pn ON deg.vec_id = pn.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_triangles" -> sim_triangles _,
     "sim_knn_graph" -> sim_knn_graph _,
     "sim_mutual_knn" -> sim_mutual_knn _,
     "sim_recall_eval" -> sim_recall_eval _,
@@ -1519,6 +1583,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_triangles" -> sim_triangles_sql,
     "sim_knn_graph" -> sim_knn_graph_sql,
     "sim_mutual_knn" -> sim_mutual_knn_sql,
     "sim_recall_eval" -> sim_recall_eval_sql,

@@ -515,6 +515,67 @@ object TextAnalysis {
        |  FROM documents)
        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT $NgramTopK""".stripMargin
 
+  /** COLLOCATION mining via pointwise mutual information — the corpus-
+    * statistics pass that finds multi-word expressions ("United States",
+    * boilerplate phrases) worth atomizing before tokenizer training, and
+    * the standard signal for template/boilerplate detection in web-corpus
+    * curation. For every bigram seen at least [[PmiMinCount]] times, emit
+    * its count, both marginal counts over the bigram population, and the
+    * PMI association ratio `p(x,y)/(p(x)p(y)) = nxy·N/(nx·ny)`. The ratio
+    * is emitted instead of its log: it orders identically, and one IEEE
+    * multiply+divide over exact BIGINT-derived doubles is bit-deterministic
+    * across engines, where a transcendental `ln` is libm-version dependent
+    * (the same exactness discipline as the k-means/PQ gates).
+    *
+    * Scale: one scan explodes adjacent-pair bigrams; counts are map-side-
+    * combined aggregations whose cardinality is the distinct-bigram count,
+    * not the occurrence count. The reduced count table is materialized once
+    * (eager localCheckpoint — the same single-pass barrier the graph-ANN
+    * beam and the q38 bounds fix use; exchange reuse does NOT dedupe the
+    * four consumer branches here, measured: 4 corpus scans without it), so
+    * the corpus is exploded exactly once and the three marginal aggregates
+    * read the vocabulary²-bounded counts. The rare-bigram filter runs
+    * BEFORE the marginal joins, so the joins carry only frequent pairs
+    * against vocabulary-sized sides — shuffle-joined on the word key at
+    * cluster scale, with the single-row total broadcast. */
+  private val PmiMinCount = 4
+
+  def text_pmi_bigrams(s: SparkSession, dir: String): DataFrame = {
+    val bc = Tables.documents(s, dir)
+      .select(tokens.as("toks"))
+      .filter(expr("size(toks) >= 2")) // see text_ngram_top's short-doc guard
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS x, toks[i + 1] AS y))"))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true)
+    val left = bc.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val right = bc.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = bc.agg(sum(col("nxy")).as("nn"))
+    bc.filter(col("nxy") >= PmiMinCount)
+      .join(left, "x").join(right, "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"),
+        ((col("nxy").cast("double") * col("nn").cast("double")) /
+          (col("nx").cast("double") * col("ny").cast("double"))).as("pmi_ratio"))
+  }
+
+  val text_pmi_bigrams_sql: String =
+    s"""WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |bi AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS x,
+       |    unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS y
+       |  FROM toks WHERE len(toks) >= 2),
+       |bc AS MATERIALIZED (SELECT x, y, count(*) AS nxy FROM bi GROUP BY 1, 2),
+       |l AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM bc GROUP BY 1),
+       |r AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM bc GROUP BY 1),
+       |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM bc)
+       |SELECT bc.x, bc.y, nxy, nx, ny,
+       |  (CAST(nxy AS DOUBLE) * CAST(nn AS DOUBLE)) /
+       |    (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) AS pmi_ratio
+       |FROM bc JOIN l USING (x) JOIN r USING (y) CROSS JOIN t
+       |WHERE nxy >= $PmiMinCount""".stripMargin
+
   /** Two merge rounds of byte-pair-encoding tokenizer training — the kernel
     * an in-house BPE trainer runs hundreds of times over the corpus. Symbols
     * start as single lowercase letters ([a-z]+ words); round 1 counts every
@@ -1136,6 +1197,7 @@ object TextAnalysis {
     "text_tfidf_top" -> text_tfidf_top _,
     "text_bpe_pairs" -> text_bpe_pairs _,
     "text_ngram_top" -> text_ngram_top _,
+    "text_pmi_bigrams" -> text_pmi_bigrams _,
     "text_pii_scrub" -> text_pii_scrub _,
     "text_repetition" -> text_repetition _,
     "text_stats" -> text_stats _,
@@ -1161,6 +1223,7 @@ object TextAnalysis {
     "text_tfidf_top" -> text_tfidf_top_sql,
     "text_bpe_pairs" -> text_bpe_pairs_sql,
     "text_ngram_top" -> text_ngram_top_sql,
+    "text_pmi_bigrams" -> text_pmi_bigrams_sql,
     "text_pii_scrub" -> text_pii_scrub_sql,
     "text_repetition" -> text_repetition_sql,
     "text_stats" -> text_stats_sql,

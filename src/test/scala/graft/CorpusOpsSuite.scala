@@ -328,4 +328,55 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(id)._2 === txt.length.toLong, s"doc $id n_chars_clean")
     }
   }
+
+  // --------------------------------------------------- text_pmi_bigrams
+
+  test("text_pmi_bigrams equals a driver-side PMI recomputation") {
+    val bc = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs().foreach { case (_, text, _) =>
+      val t = toks(text)
+      if (t.length >= 2) t.sliding(2).foreach { p =>
+        bc((p(0), p(1))) = bc.getOrElse((p(0), p(1)), 0L) + 1L
+      }
+    }
+    val nx = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ny = bc.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = bc.values.sum
+    val expected = bc.collect { case ((x, y), nxy) if nxy >= 4 =>
+      (x, y) -> ((nxy, nx(x), ny(y),
+        (nxy.toDouble * nn.toDouble) / (nx(x).toDouble * ny(y).toDouble)))
+    }.toMap
+    val got = TextAnalysis.text_pmi_bigrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) === v, s"bigram $k") }
+  }
+
+  // ------------------------------------------------------ sim_triangles
+
+  test("sim_triangles equals a driver-side triangle census of the kNN graph") {
+    // the graph itself is gate-verified (sim_knn_graph); this pins the
+    // symmetrize + wedge-close + coefficient kernel against a brute recount
+    val edges = Similarity.sim_knn_graph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.map { case (s0, d) => (math.min(s0, d), math.max(s0, d)) }.distinct
+    val undSet = und.toSet
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triOf = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- und
+      c <- adj(b) if b < c && undSet.contains((a, c)) && a < b
+    } Seq(a, b, c).foreach(v => triOf(v) = triOf.getOrElse(v, 0L) + 1L)
+    val expected = adj.map { case (v, ns) =>
+      val d = ns.size.toLong
+      val t = triOf.getOrElse(v, 0L)
+      v -> ((d, t, if (d >= 2) 2000000L * t / (d * (d - 1)) else 0L))
+    }
+    val got = Similarity.sim_triangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (v, e) => assert(got(v) === e, s"node $v") }
+  }
 }

@@ -56,6 +56,14 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       "the offsets branch must aggregate the windowed output, not re-scan")
   }
 
+  test("text_pmi_bigrams explodes the corpus once (marginals off the checkpointed counts)") {
+    // the one corpus scan happens at the eager bigram-count checkpoint;
+    // the returned plan must contain NO parquet scan at all — any scan here
+    // means a marginal branch re-exploded the corpus (4x I/O at 100 TB)
+    assert(executedScans(TextAnalysis.text_pmi_bigrams(spark, sfDir)) === 0,
+      "all marginal branches must read the materialized count table, not the corpus")
+  }
+
   test("text_lm_score: corpus explodes once; type-score join broadcasts") {
     val df = TextAnalysis.text_lm_score(spark, sfDir)
     assert(executedScans(df) === 1,
