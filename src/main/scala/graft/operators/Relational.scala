@@ -1541,10 +1541,49 @@ object Relational {
       |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
       |  FROM lineitem GROUP BY 1) e USING (l_returnflag)""".stripMargin
 
+  /** SKEW AUDIT of a join/aggregation key — the diagnosis a 100 TB pipeline
+    * runs BEFORE keying a shuffle on a column: the top-[[SkewTopK]]
+    * heaviest `user_id`s with each key's share of all events and its
+    * multiple of the uniform per-key load (`1.0 == perfectly balanced`;
+    * a 50× reading means the hottest task processes 50 partitions' worth
+    * — the threshold signal for salting or AQE skew-split). Shares are in
+    * integer micro-units so the gate hashes exactly.
+    *
+    * Scale: one scan into a map-side-combined per-key count (cardinality =
+    * distinct keys, not rows); the global total/key-count is a second
+    * aggregation OVER THE COUNTS (never a re-scan) broadcast as one row;
+    * the top-K is TakeOrderedAndProject — bounded heaps per partition plus
+    * a K×partitions driver merge, never a full sort of the key table. */
+  private val SkewTopK = 15
+
+  def q44_skew_audit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // key-cardinality rows; one events scan total
+    val glob = counts.agg(sum($"n_events").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(glob))
+      .select($"user_id", $"n_events",
+        expr("1000000 * n_events div total").as("share_micro"),
+        expr("1000000 * n_events * n_keys div total").as("xuniform_micro"))
+      .orderBy($"n_events".desc, $"user_id".asc)
+      .limit(SkewTopK)
+  }
+
+  val q44_sql: String =
+    s"""WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+       |g AS (SELECT CAST(sum(n_events) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+       |SELECT user_id, n_events,
+       |  (1000000 * n_events) // total AS share_micro,
+       |  (1000000 * n_events * n_keys) // total AS xuniform_micro
+       |FROM c CROSS JOIN g
+       |ORDER BY n_events DESC, user_id ASC LIMIT $SkewTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_unpivot" -> q41_unpivot _,
     "q42_scd2" -> q42_scd2 _,
     "q43_hll_distinct" -> q43_hll_distinct _,
+    "q44_skew_audit" -> q44_skew_audit _,
     "q40_ordered_set" -> q40_ordered_set _,
     "q38_recursive_days" -> q38_recursive_days _,
     "q39_lateral_topk" -> q39_lateral_topk _,
@@ -1592,6 +1631,7 @@ object Relational {
     "q41_unpivot" -> q41_sql,
     "q42_scd2" -> q42_sql,
     "q43_hll_distinct" -> q43_sql,
+    "q44_skew_audit" -> q44_sql,
     "q38_recursive_days" -> q38_sql,
     "q39_lateral_topk" -> q39_sql,
     "q40_ordered_set" -> q40_sql,

@@ -1558,8 +1558,89 @@ object Similarity {
        |    ELSE CAST(0 AS BIGINT) END AS cc_micro
        |FROM deg LEFT JOIN pn ON deg.vec_id = pn.vec_id""".stripMargin
 
+  /** LABEL-SEPARABILITY audit of the embedding space — for every label
+    * pair, a Fisher-style ratio of between-centroid distance to pooled
+    * within-class variance. The pre-training check on labeled embedding
+    * data: a near-zero ratio means the two classes overlap (label noise, or
+    * an embedding model that can't tell them apart); downstream quality
+    * classifiers and SemDeDup thresholds are only trustworthy where this
+    * is comfortably positive.
+    *
+    * All statistics are exact integers over components quantized to
+    * `floor(x·2^10)` (the k-means/PQ discipline): per label, the count, the
+    * [[graft.functions.VecSumLong]] component sum `cv` and the squared-norm
+    * sum `s2` give `varnum = n·s2 − |cv|² = n²·σ²` with no division; the
+    * pair's between-term `|n_b·cv_a − n_a·cv_b|² = (n_a·n_b)²·|μ_a−μ_b|²`
+    * and denominator `n_b²·varnum_a + n_a²·varnum_b` carry the SAME
+    * `(n_a·n_b)²` scale, so `fisher_ratio` is one mirrored IEEE division of
+    * two exact BIGINTs. Magnitude headroom: with |x|≤1, the between dot
+    * peaks at ~2^62 at sf0.1 (measured bounds) — fine for the gate scales;
+    * a 10^6+-per-label corpus would move the accumulators to DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB), same plan.
+    *
+    * Scale: one corpus scan into a map-side-combined per-label aggregate
+    * (VecSumLong ships ONE dim-length array per label × partition); the
+    * label table (≤ #labels rows) is checkpointed and self-joined — work
+    * after the scan is O(labels²·dim), independent of corpus size. */
+  private val SepQ = 1024L
+
+  def sim_label_separability(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VecDot, VecSumLong}
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $SepQ) AS BIGINT))")
+          .as("qv"))
+      // norm2 over integer arrays: every partial is an exact integer < 2^53,
+      // so the double-typed kernel is exact and the cast back is lossless
+      .withColumn("d2", VecDot.norm2(col("qv")).cast("long"))
+    val per = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), VecSumLong.of(col("qv")).as("cv"),
+        sum(col("d2")).as("s2"))
+      .withColumn("varnum", expr(
+        "n * s2 - aggregate(zip_with(cv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .localCheckpoint(true) // tiny (≤ #labels rows); one corpus scan total
+    val a = per.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("cv").as("cv_a"), col("varnum").as("varnum_a"))
+    val b = per.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("cv").as("cv_b"), col("varnum").as("varnum_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("between_num", expr(
+        """aggregate(zip_with(cv_a, cv_b, (x, y) ->
+          |  (n_b * x - n_a * y) * (n_b * x - n_a * y)),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("varnum_a"), col("varnum_b"), col("between_num"),
+        expr("""CAST(between_num AS DOUBLE) /
+               |CAST(n_b * n_b * varnum_a + n_a * n_a * varnum_b AS DOUBLE)""".stripMargin)
+          .as("fisher_ratio"))
+  }
+
+  val sim_label_separability_sql: String =
+    s"""WITH d AS (SELECT label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $SepQ) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |d2 AS (SELECT label, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS d2 FROM d),
+       |comp AS (SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS s
+       |  FROM d2 CROSS JOIN range(1, ${Lsh.Dim + 1}) r(i) GROUP BY label, i),
+       |cvt AS (SELECT label, list(s ORDER BY i) AS cv FROM comp GROUP BY label),
+       |agg AS (SELECT label, count(*) AS n, CAST(sum(d2) AS BIGINT) AS s2 FROM d2 GROUP BY label),
+       |per AS (SELECT agg.label, n, s2, cv,
+       |    n * s2 - CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS varnum
+       |  FROM agg JOIN cvt ON agg.label = cvt.label),
+       |pair AS (SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+       |    a.varnum AS varnum_a, b.varnum AS varnum_b,
+       |    CAST(list_sum(list_transform(range(1, ${Lsh.Dim + 1}), i ->
+       |      (b.n * a.cv[i] - a.n * b.cv[i]) * (b.n * a.cv[i] - a.n * b.cv[i]))) AS BIGINT)
+       |      AS between_num
+       |  FROM per a JOIN per b ON a.label < b.label)
+       |SELECT label_a, label_b, n_a, n_b, varnum_a, varnum_b, between_num,
+       |  CAST(between_num AS DOUBLE) /
+       |    CAST(n_b * n_b * varnum_a + n_a * n_a * varnum_b AS DOUBLE) AS fisher_ratio
+       |FROM pair""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_triangles" -> sim_triangles _,
+    "sim_label_separability" -> sim_label_separability _,
     "sim_knn_graph" -> sim_knn_graph _,
     "sim_mutual_knn" -> sim_mutual_knn _,
     "sim_recall_eval" -> sim_recall_eval _,
@@ -1584,6 +1665,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_triangles" -> sim_triangles_sql,
+    "sim_label_separability" -> sim_label_separability_sql,
     "sim_knn_graph" -> sim_knn_graph_sql,
     "sim_mutual_knn" -> sim_mutual_knn_sql,
     "sim_recall_eval" -> sim_recall_eval_sql,

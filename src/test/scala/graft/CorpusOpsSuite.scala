@@ -379,4 +379,40 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (v, e) => assert(got(v) === e, s"node $v") }
   }
+
+  // --------------------------------------------- sim_label_separability
+
+  test("sim_label_separability equals a driver-side exact-integer recomputation") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong).toArray))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    case class St(n: Long, cv: Array[Long], varnum: Long)
+    val per = byLabel.map { case (l, vs) =>
+      val dim = vs.head.length
+      val cv = Array.fill(dim)(0L)
+      var s2 = 0L
+      vs.foreach { v =>
+        var i = 0
+        while (i < dim) { cv(i) += v(i); s2 += v(i) * v(i); i += 1 }
+      }
+      l -> St(vs.length.toLong, cv, vs.length * s2 - cv.map(x => x * x).sum)
+    }
+    val expected = (for {
+      (la, a) <- per; (lb, b) <- per if la < lb
+    } yield {
+      val between = a.cv.zip(b.cv)
+        .map { case (x, y) => val d = b.n * x - a.n * y; d * d }.sum
+      val denom = b.n * b.n * a.varnum + a.n * a.n * b.varnum
+      (la, lb) -> ((a.n, b.n, a.varnum, b.varnum, between,
+        between.toDouble / denom.toDouble))
+    }).toMap
+    val got = Similarity.sim_label_separability(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k) === e, s"pair $k") }
+  }
 }
