@@ -931,7 +931,68 @@ object Dedup extends Logging {
       |  (d.ib IS NULL) AS kept
       |FROM cells c JOIN sz USING (cid) LEFT JOIN d ON c.vec_id = d.ib""".stripMargin
 
+  /** CROSS-SOURCE OVERLAP matrix — pairwise shingle containment between
+    * corpus sources, the audit that finds mirrored/scraped/re-hosted
+    * content BETWEEN collections before a per-document dedup pass even
+    * runs (a source 80%-contained in another is a candidate for wholesale
+    * exclusion, far cheaper than deduping it document by document). For
+    * each source pair: the distinct-shingle counts, the common-shingle
+    * count, and both containment directions in integer micro-units.
+    *
+    * Shingles present in more than [[OverlapSrcCap]] sources are excluded
+    * as boilerplate — they carry no provenance signal (every web page
+    * shares "all rights reserved"), and the cap is ALSO what bounds the
+    * pair join: a shingle contributes at most OverlapSrcCap² pair rows, so
+    * the join never degenerates on universal trigrams regardless of corpus
+    * size. Presence sets are distinct (source, hash) rows — bounded by
+    * shingle vocabulary × sources, not occurrences — built in one scan
+    * through the codegen'd shingle kernel and checkpointed once for the
+    * count/join consumers. Pairs with zero discriminative overlap are
+    * absent (inner-join semantics), keeping output ≤ sources². */
+  private val OverlapSrcCap = 10
+
+  def dedup_source_overlap(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.documents(s, dir)
+      .select(col("source"), explode(graft.functions.WordShingles.of(col("text"), 3)).as("s0"))
+      .select(col("source"), expr(h60S("s0", "")).as("s"))
+      .distinct()
+    val keep = p.groupBy(col("s")).agg(count(lit(1)).as("nsrc"))
+      .filter(col("nsrc") <= OverlapSrcCap).select(col("s"))
+    val pc = p.join(keep, "s").select(col("source"), col("s"))
+      .localCheckpoint(true) // vocab×sources-bounded; reused by 3 consumers
+    val cnt = pc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val com = pc.select(col("source").as("source_a"), col("s"))
+      .join(pc.select(col("source").as("source_b"), col("s")), "s")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_common"))
+    com
+      .join(cnt.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(cnt.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(1000000 * n_common) div n_a").as("contain_ab_micro"),
+        expr("(1000000 * n_common) div n_b").as("contain_ba_micro"))
+  }
+
+  val dedup_source_overlap_sql: String =
+    s"""WITH tok AS (SELECT source, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT source, $shinglesD AS sh FROM tok),
+       |p AS (SELECT DISTINCT source, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s
+       |  FROM (SELECT source, unnest(sh) AS s0 FROM sh)),
+       |keep AS (SELECT s FROM p GROUP BY s HAVING count(*) <= $OverlapSrcCap),
+       |pc AS MATERIALIZED (SELECT p.source, p.s FROM p JOIN keep USING (s)),
+       |cnt AS (SELECT source, count(*) AS n FROM pc GROUP BY 1),
+       |com AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+       |  FROM pc a JOIN pc b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, ca.n AS n_a, cb.n AS n_b, n_common,
+       |  (1000000 * n_common) // ca.n AS contain_ab_micro,
+       |  (1000000 * n_common) // cb.n AS contain_ba_micro
+       |FROM com
+       |JOIN cnt ca ON ca.source = com.source_a
+       |JOIN cnt cb ON cb.source = com.source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> dedup_source_overlap _,
     "dedup_semantic" -> dedup_semantic _,
     "dedup_exact" -> dedup_exact _,
     "dedup_segments" -> dedup_segments _,
@@ -950,6 +1011,7 @@ object Dedup extends Logging {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_overlap" -> dedup_source_overlap_sql,
     "dedup_semantic" -> dedup_semantic_sql,
     "dedup_exact" -> dedup_exact_sql,
     "dedup_segments" -> dedup_segments_sql,

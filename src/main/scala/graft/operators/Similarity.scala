@@ -1558,6 +1558,44 @@ object Similarity {
        |    ELSE CAST(0 AS BIGINT) END AS cc_micro
        |FROM deg LEFT JOIN pn ON deg.vec_id = pn.vec_id""".stripMargin
 
+  /** kNN LABEL-PURITY audit — for each label, the fraction (integer
+    * micro-units) of its members' kNN edges that stay inside the label.
+    * The classifier-free alignment check between an embedding space and a
+    * labeling: purity near the 1/#labels chance floor for a class means
+    * its labels are noise to this encoder, and any curation rule keyed on
+    * them (quality classes, domain tags) will leak across that boundary.
+    * Complements [[sim_label_separability]] (centroid-level, parametric)
+    * with the local non-parametric view.
+    *
+    * Scale: two joins of the staged k·N-row edge table against the
+    * (vec_id, label) projection — narrow keys, shuffle-joined on vec_id at
+    * any corpus size — then a map-side-combined count per label. Nothing
+    * beyond the already-materialized graph is ever recomputed. */
+  def sim_knn_label_purity(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val l1 = lab.select(col("vec_id").as("src"), col("label").as("label_src"))
+    val l2 = lab.select(col("vec_id").as("neighbor_id"), col("label").as("label_nb"))
+    knnGraphStaged(s, dir)
+      .join(l1, "src").join(l2, "neighbor_id")
+      .groupBy(col("label_src"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("label_src") === col("label_nb"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("label_src").as("label"), col("n_edges"), col("n_same"),
+        expr("(1000000 * n_same) div n_edges").as("purity_micro"))
+  }
+
+  val sim_knn_label_purity_sql: String =
+    s"""WITH g AS MATERIALIZED ($sim_knn_graph_sql),
+       |per AS (SELECT l1.label AS label, count(*) AS n_edges,
+       |    CAST(sum(CASE WHEN l1.label = l2.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |  FROM g
+       |  JOIN embeddings l1 ON g.src = l1.vec_id
+       |  JOIN embeddings l2 ON g.neighbor_id = l2.vec_id
+       |  GROUP BY 1)
+       |SELECT label, n_edges, n_same,
+       |  (1000000 * n_same) // n_edges AS purity_micro
+       |FROM per""".stripMargin
+
   /** LABEL-SEPARABILITY audit of the embedding space — for every label
     * pair, a Fisher-style ratio of between-centroid distance to pooled
     * within-class variance. The pre-training check on labeled embedding
@@ -1641,6 +1679,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_triangles" -> sim_triangles _,
     "sim_label_separability" -> sim_label_separability _,
+    "sim_knn_label_purity" -> sim_knn_label_purity _,
     "sim_knn_graph" -> sim_knn_graph _,
     "sim_mutual_knn" -> sim_mutual_knn _,
     "sim_recall_eval" -> sim_recall_eval _,
@@ -1666,6 +1705,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_triangles" -> sim_triangles_sql,
     "sim_label_separability" -> sim_label_separability_sql,
+    "sim_knn_label_purity" -> sim_knn_label_purity_sql,
     "sim_knn_graph" -> sim_knn_graph_sql,
     "sim_mutual_knn" -> sim_mutual_knn_sql,
     "sim_recall_eval" -> sim_recall_eval_sql,

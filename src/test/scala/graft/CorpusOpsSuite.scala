@@ -415,4 +415,51 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (k, e) => assert(got(k) === e, s"pair $k") }
   }
+
+  // ---------------------------------------------- sim_knn_label_purity
+
+  test("sim_knn_label_purity equals a driver-side recount over the kNN graph") {
+    val lab = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Similarity.sim_knn_graph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = edges.groupBy { case (s0, _) => lab(s0) }.map { case (l, es) =>
+      val same = es.count { case (a, b) => lab(a) == lab(b) }.toLong
+      l -> ((es.length.toLong, same, 1000000L * same / es.length))
+    }
+    val got = Similarity.sim_knn_label_purity(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (l, e) => assert(got(l) === e, s"label $l") }
+  }
+
+  // ---------------------------------------------- dedup_source_overlap
+
+  test("dedup_source_overlap equals a driver-side shingle-set recomputation") {
+    val bySource = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def shingles(text: String): Set[Long] = {
+      val t = toks(text)
+      val raw = if (t.length < 3) Seq(text.trim)
+        else t.sliding(3).map(_.mkString(" ")).toSeq
+      raw.map(h60).toSet
+    }
+    val sets0 = bySource.view.mapValues(_.flatMap(shingles).toSet).toMap
+    val srcCount = sets0.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val sets = sets0.view.mapValues(_.filter(srcCount(_) <= 10)).toMap
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      common = (sa & sb).size.toLong if common > 0
+    } yield (a, b) -> ((sa.size.toLong, sb.size.toLong, common,
+      1000000L * common / sa.size, 1000000L * common / sb.size))).toMap
+    val got = Dedup.dedup_source_overlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k) === e, s"pair $k") }
+  }
 }
