@@ -234,6 +234,36 @@ object StreamingQueries {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1""".stripMargin
 
+  /** STREAM-STATIC equi-join — the enrichment topology every production
+    * ingest runs (stream ⋈ dimension table) and the one join class the
+    * stream-stream matrix doesn't cover: the static side is a batch
+    * DataFrame (here a per-user activity-tier profile computed from the
+    * events table), joined stateLESSly — no watermark, no join state, the
+    * only state is the downstream aggregation's. Spark re-plans the static
+    * side every micro-batch (which is what picks up dim-table updates); at
+    * production scale the dim side is broadcast when small, or pre-bucketed
+    * on the key so each micro-batch joins without a full dim shuffle.
+    * Complete-mode totals after the stream drains equal the batch join,
+    * which is exactly what the oracle states. */
+  def stream_static_join(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      val profile = graft.Tables.events(s2, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_hist"))
+        .select(col("user_id"), expr("least(CAST(n_hist div 10 AS INT), 5)").as("tier"))
+      events(s2, dir)
+        .join(profile, "user_id")
+        .groupBy(col("tier"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }, OutputMode.Complete(), "stream_static_join")
+
+  val stream_static_join_sql: String =
+    """WITH prof AS (SELECT user_id, LEAST(CAST(count(*) // 10 AS INT), 5) AS tier
+      |              FROM events GROUP BY 1)
+      |SELECT tier, event_type, count(*) AS n_events
+      |FROM events JOIN prof USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Event-time tumbling window counts (complete mode). */
   def stream_window(s: SparkSession, dir: String): DataFrame =
     runToTable(s, s2 =>
@@ -1373,6 +1403,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_agg" -> (stream_agg(_, _)),
     "stream_union" -> (stream_union(_, _)),
+    "stream_static_join" -> (stream_static_join(_, _)),
     "stream_window" -> (stream_window(_, _)),
     "stream_sliding" -> (stream_sliding(_, _)),
     "stream_session" -> (stream_session(_, _)),
@@ -1410,6 +1441,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "stream_agg" -> stream_agg_sql,
     "stream_union" -> stream_union_sql,
+    "stream_static_join" -> stream_static_join_sql,
     "stream_window" -> stream_window_sql,
     "stream_sliding" -> stream_sliding_sql,
     "stream_session" -> stream_session_sql,
