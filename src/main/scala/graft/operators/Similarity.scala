@@ -1256,7 +1256,67 @@ object Similarity {
   private val PqK = 16
   private val PqIters = 2
 
-  def sim_topk_pq(s: SparkSession, dir: String): DataFrame = {
+  /** PQ DISTORTION audit — per (vector, subspace): the assigned codeword
+    * and the cosine between the subvector and that codeword, i.e. the
+    * fidelity the ADC scorer actually works with. The eval every PQ
+    * deployment runs before trusting the code table (the PQ twin of
+    * [[sim_recall_eval]] for the LSH path): a subspace whose fidelity
+    * collapses needs more codewords or a different split. Per-row cosines
+    * are each ONE mirrored expression over exact integer codewords
+    * (`sqrt` is IEEE-correctly-rounded, so bit-identical across engines —
+    * unlike `ln`/`exp`); no float is ever summed across rows.
+    *
+    * Scale: reuses the [[sim_topk_pq]] training plan (two Lloyd rounds,
+    * broadcast codebooks, VecSumLong map-side update); the audit itself is
+    * the final broadcast-join + per-row expression — one corpus pass. */
+  def sim_pq_distortion(s: SparkSession, dir: String): DataFrame = {
+    val (subs, code) = pqTrained(s, dir)
+    pqAssign(subs, code)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(struct(col("cid"), col("cscore")), struct(col("cscore"), -col("cid"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.cid").as("cid"),
+        col("a.cscore").as("fidelity"))
+  }
+
+  val sim_pq_distortion_sql: String =
+    s"""WITH dims AS (SELECT max(len(embedding)) AS d,
+      |    CAST(max(len(embedding)) // $PqM AS BIGINT) AS sd FROM embeddings),
+      |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dims),
+      |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+      |sq AS (SELECT vec_id, m,
+      |    embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)] AS sv,
+      |    list_transform(embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)],
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS qsv,
+      |    list_sum(list_transform(embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)],
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sn2
+      |  FROM embeddings CROSS JOIN ms CROSS JOIN dims),
+      |c0 AS (SELECT m, vec_id AS cid, qsv AS cv FROM sq WHERE vec_id < $PqK),
+      |${pqLloydDuck("c0", "c1", "i1")},
+      |${pqLloydDuck("c1", "c2", "i2")},
+      |s_f AS (SELECT sq.vec_id, sq.m, cid,
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
+      |    / sqrt(sq.sn2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cscore,
+      |    row_number() OVER (PARTITION BY sq.vec_id, sq.m ORDER BY
+      |    list_sum(list_transform(range(1, len(cv)+1), i ->
+      |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
+      |    / sqrt(sq.sn2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+      |    cid ASC) AS r
+      |  FROM sq JOIN c2 USING (m))
+      |SELECT vec_id, CAST(m AS INT) AS m, cid, cscore AS fidelity
+      |FROM s_f WHERE r = 1""".stripMargin
+
+  /** Per-subspace cosine of every (subvector, codeword) pair — the scoring
+    * join shared by the Lloyd update, the final assignment, and the
+    * distortion audit. */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame = subs
+    .join(broadcast(codebook.withColumn("cn2", VecDot.norm2(col("cv")))), Seq("m"))
+    .withColumn("cscore", VecDot.dot(col("cv"), col("sv")) / sqrt(col("sn2") * col("cn2")))
+
+  /** The PQ training pipeline shared by [[sim_topk_pq]] and
+    * [[sim_pq_distortion]]: subvector table + the codebook after
+    * [[PqIters]] Lloyd rounds. */
+  private def pqTrained(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dim = Tables.embeddingsDim(s, dir)
     val sd = dim / PqM
     // subspace m covers [m*sd+1, ...]; the last takes any remainder
@@ -1269,22 +1329,22 @@ object Similarity {
       .withColumn("qsv",
         expr(s"transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"))
       .withColumn("sn2", VecDot.norm2(col("sv")))
-
-    def assign(codebook: DataFrame): DataFrame = subs
-      .join(broadcast(codebook.withColumn("cn2", VecDot.norm2(col("cv")))), Seq("m"))
-      .withColumn("cscore", VecDot.dot(col("cv"), col("sv")) / sqrt(col("sn2") * col("cn2")))
-
     var code = subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cid"), col("qsv").as("cv"))
     for (_ <- 1 to PqIters) {
-      code = assign(code)
+      code = pqAssign(subs, code)
         .groupBy(col("vec_id"), col("m"))
         .agg(max_by(struct(col("qsv"), col("cid")), struct(col("cscore"), -col("cid"))).as("a"))
         .groupBy(col("m"), col("a.cid").as("cid"))
         .agg(graft.functions.VecSumLong.of(col("a.qsv")).as("cv"))
     }
+    (subs, code)
+  }
 
-    val assigned = assign(code)
+  def sim_topk_pq(s: SparkSession, dir: String): DataFrame = {
+    val (subs, code) = pqTrained(s, dir)
+
+    val assigned = pqAssign(subs, code)
       .groupBy(col("vec_id"), col("m"))
       .agg(max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("cid"))
     // ADC lookup table: partial cosine of each query subvector against each
@@ -1690,6 +1750,7 @@ object Similarity {
     "sim_kcenter" -> sim_kcenter _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_topk_pq" -> sim_topk_pq _,
+    "sim_pq_distortion" -> sim_pq_distortion _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
     "sim_centroid_outlier" -> sim_centroid_outlier _,
     "sim_topk_bruteforce" -> sim_topk_bruteforce _,
@@ -1716,6 +1777,7 @@ object Similarity {
     "sim_kcenter" -> sim_kcenter_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
+    "sim_pq_distortion" -> sim_pq_distortion_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,
     "sim_centroid_outlier" -> sim_centroid_outlier_sql,
     "sim_topk_bruteforce" -> sim_topk_bruteforce_sql,

@@ -74,11 +74,21 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_exact_substr",     // stride-1 window hashes + per-doc span merge:
                               // duplicate counts and span boundaries must not
                               // depend on combine order or split placement
-    "stream_join_inner_wm")   // stream-stream join: state-store partitioning
+    "stream_join_inner_wm",   // stream-stream join: state-store partitioning
                               // (cluster-shape invariance for the streaming
                               // family — state keying, watermark eviction and
                               // append emission must not depend on how many
                               // state-store partitions the cluster runs)
+    "sim_triangles",          // wedge-close self-joins + per-node counts:
+                              // triangle multiplicity must not depend on
+                              // join task placement or combine order
+    "text_pmi_bigrams",       // checkpointed count table + three marginal
+                              // aggregates + one IEEE ratio division — the
+                              // ratio must be bit-identical at any width
+    "sim_label_separability", // exact-integer label statistics + pair join:
+                              // VecSumLong merge order must not matter
+    "dedup_source_overlap")   // distinct presence sets + capped pair join:
+                              // containment counts must survive any shuffle
 
   private def runWith(parts: Int, splitMb: Int, name: String): Seq[String] = {
     val s = spark.newSession()
