@@ -100,6 +100,46 @@ object Pipeline {
        |FROM tr JOIN ev USING (s)
        |GROUP BY 1, 2 HAVING count(*) >= $MinCommonShingles""".stripMargin
 
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[pipe_decontaminate]]: an n-gram screen misses paraphrased benchmark
+    * leakage (same answer, reworded), which is exactly what survives into
+    * a training set and inflates evals. Same eval split (`id % 20 == 0`,
+    * the held-out 5%), but the match predicate is cosine ≥ 0.4 between the
+    * documents' embeddings, tested in the squared integer-discipline form
+    * (`dot > 0 AND dot² ≥ 0.16·n2·qn2`, the [[Dedup.dedup_semantic]]
+    * predicate) so no square root touches the gate decision.
+    *
+    * Scale: the eval side is a bounded benchmark suite — broadcast, one
+    * corpus pass, no corpus shuffle (the [[Similarity.sim_topk_bruteforce]]
+    * plan with a threshold instead of a rank). A production eval set too
+    * large to broadcast routes both sides through the LSH bucket join
+    * ([[Similarity.sim_topk_lsh]]) with the same predicate. */
+  def pipe_decontaminate_semantic(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), VecDot.norm2(col("embedding")).as("n2"))
+    val ev = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("eval_doc_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    e.filter(col("vec_id") % 20 =!= 0)
+      .crossJoin(broadcast(ev))
+      .withColumn("dot", VecDot.dot(col("qe"), col("embedding")))
+      .filter(col("dot") > 0 && col("dot") * col("dot") >= lit(0.16) * col("n2") * col("qn2"))
+      .select(col("vec_id").as("train_doc_id"), col("eval_doc_id"))
+  }
+
+  val pipe_decontaminate_semantic_sql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_doc_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id % 20 = 0),
+      |p AS (SELECT e.vec_id AS train_doc_id, eval_doc_id,
+      |    list_sum(list_transform(range(1, len(qe)+1), i ->
+      |      CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+      |    n2, qn2
+      |  FROM e CROSS JOIN ev WHERE e.vec_id % 20 <> 0)
+      |SELECT train_doc_id, eval_doc_id
+      |FROM p WHERE dot > 0 AND dot * dot >= 0.16 * n2 * qn2""".stripMargin
+
   /** The corpus cut: quality-pass documents that represent their exact-dup
     * group, with the columns a downstream tokenizer run needs. */
   def pipe_corpus(s: SparkSession, dir: String): DataFrame = {
@@ -902,6 +942,7 @@ object Pipeline {
     "pipe_interleave" -> (pipe_interleave(_, _)),
     "pipe_domain_cap" -> (pipe_domain_cap(_, _)),
     "pipe_decontaminate" -> (pipe_decontaminate(_, _)),
+    "pipe_decontaminate_semantic" -> (pipe_decontaminate_semantic(_, _)),
     "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
     "pipe_pack" -> (pipe_pack(_, _)),
     "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
@@ -924,6 +965,7 @@ object Pipeline {
     "pipe_interleave" -> pipe_interleave_sql,
     "pipe_domain_cap" -> pipe_domain_cap_sql,
     "pipe_decontaminate" -> pipe_decontaminate_sql,
+    "pipe_decontaminate_semantic" -> pipe_decontaminate_semantic_sql,
     "pipe_bloom_screen" -> pipe_bloom_screen_sql,
     "pipe_pack" -> pipe_pack_sql,
     "pipe_sample_stratified" -> pipe_sample_stratified_sql,

@@ -434,6 +434,25 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     expected.foreach { case (l, e) => assert(got(l) === e, s"label $l") }
   }
 
+  // ---------------------------------------- pipe_decontaminate_semantic
+
+  test("pipe_decontaminate_semantic equals a driver-side cosine-threshold recompute") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (for {
+      (te, tv) <- vecs if te % 20 != 0
+      (ee, ev) <- vecs if ee % 20 == 0
+      d = dot(ev, tv) // query-side first, matching VecDot.dot(qe, embedding)
+      if d > 0 && d * d >= 0.16 * dot(tv, tv) * dot(ev, ev)
+    } yield (te, ee)).toSet
+    val got = Pipeline.pipe_decontaminate_semantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   // ---------------------------------------------- dedup_source_overlap
 
   test("dedup_source_overlap equals a driver-side shingle-set recomputation") {
