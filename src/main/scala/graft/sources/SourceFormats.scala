@@ -437,6 +437,58 @@ object SourceFormats {
       |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Small-files COMPACTION — the lake-maintenance operator (`OPTIMIZE` /
+    * rewrite) that keeps a blob store readable: the [[stageBinary]] tree is
+    * thousands of one-blob files (the shape ingestion leaves behind, and
+    * the shape that makes every downstream scan pay per-file open+listing
+    * cost — `src_binary`'s measured page-cache sensitivity is exactly this
+    * tax), rewritten into [[CompactTargetFiles]] parquet files in one
+    * distributed pass. The gate proves BOTH halves: per-lang blob counts,
+    * an order-insensitive XOR of content hashes, and the min fingerprint
+    * pin content identity through the rewrite (a lost, duplicated, or
+    * truncated blob hash-fails), while the emitted `n_files` — read from
+    * the compacted directory's metadata — pins that the layout actually
+    * compacted (1000 residual files would fail the oracle's constant).
+    *
+    * Scale: read is one task per small file (listing partition-parallel),
+    * the rewrite is one round-robin repartition sized to the target file
+    * count — at 100 TB the count comes from `input_bytes / target_file_size`
+    * instead of a constant, and the write itself is the same
+    * exchange+write any ETL pass costs. Nothing goes through the driver
+    * but file metadata. */
+  private val CompactTargetFiles = 4
+  private val stagedCompact = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageCompact(s: SparkSession, dir: String): String =
+    stagedCompact.getOrElseUpdate(dir, {
+      val t = graft.Staging.tempDir("graft-src-compact-").toString
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(stageBinary(s, dir))
+        .select(regexp_extract(col("path"), "lang=([a-z]+)", 1).as("lang"),
+          col("content"))
+        .repartition(CompactTargetFiles)
+        .write.mode("overwrite").parquet(t)
+      t
+    })
+
+  def src_compact(s: SparkSession, dir: String): DataFrame = {
+    val t = stageCompact(s, dir)
+    val nFiles = s.read.parquet(t).inputFiles.length.toLong // metadata only
+    s.read.parquet(t)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_blobs"),
+        expr(s"bit_xor(${graft.operators.Dedup.h60S("content", "")})").as("content_xor"),
+        min(md5(col("content"))).as("min_fp"))
+      .withColumn("n_files", lit(nFiles))
+  }
+
+  val src_compact_sql: String =
+    s"""SELECT lang, count(*) AS n_blobs,
+       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor,
+       |  min(md5(text)) AS min_fp,
+       |  CAST($CompactTargetFiles AS BIGINT) AS n_files
+       |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_binary" -> src_binary _,
     "src_orc" -> src_orc _,
@@ -446,7 +498,8 @@ object SourceFormats {
     "src_schema_merge" -> src_schema_merge _,
     "src_bucketed" -> src_bucketed _,
     "src_sorted_layout" -> src_sorted_layout _,
-    "src_zorder" -> src_zorder _)
+    "src_zorder" -> src_zorder _,
+    "src_compact" -> src_compact _)
 
   val oracles: Map[String, String] = Map(
     "src_binary" -> src_binary_sql,
@@ -457,5 +510,6 @@ object SourceFormats {
     "src_schema_merge" -> src_schema_merge_sql,
     "src_bucketed" -> src_bucketed_sql,
     "src_sorted_layout" -> src_sorted_layout_sql,
-    "src_zorder" -> src_zorder_sql)
+    "src_zorder" -> src_zorder_sql,
+    "src_compact" -> src_compact_sql)
 }
