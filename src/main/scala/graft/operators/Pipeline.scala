@@ -140,6 +140,52 @@ object Pipeline {
       |SELECT train_doc_id, eval_doc_id
       |FROM p WHERE dot > 0 AND dot * dot >= 0.16 * n2 * qn2""".stripMargin
 
+  /** EPOCH SHUFFLE — the reproducible training-order permutation: for each
+    * epoch, every document gets a dense order index that is random-looking
+    * but a pure function of (epoch, doc_id), so any worker, any restart,
+    * and any re-partitioning regenerates the identical order (the property
+    * `rand()`-based shuffles lack, and the reason training jobs shuffle by
+    * seeded hash). Sort key = md5-derived 60-bit hash of `ep:<epoch>:<id>`;
+    * different epochs permute independently.
+    *
+    * The dense rank is computed WITHOUT a whole-corpus sort (the
+    * [[pipe_token_budget]]/[[pipe_interleave]] decomposition): hash keys
+    * shard into 256 top-bit buckets — balanced by construction, since the
+    * shard key IS the uniform hash — so the sort task is one bucket,
+    * ~N/256 rows, plus bucket-count offsets from a 256-row window. The
+    * single-window oracle proves the decomposition exact. */
+  private val ShuffleEpochs = 2
+  private val ShuffleBuckets = 256L
+
+  def pipe_epoch_shuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyExpr = Dedup.h60S(
+      "concat('ep:', CAST(epoch AS STRING), ':', CAST(doc_id AS STRING))", "")
+    val base = Tables.documents(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${ShuffleEpochs - 1})")).as("epoch"))
+      .withColumn("key", expr(keyExpr))
+      .withColumn("bkt", expr(s"key div ${(1L << 60) / ShuffleBuckets}"))
+    val wLocal = Window.partitionBy(col("epoch"), col("bkt"))
+      .orderBy(col("key"), col("doc_id"))
+    val local = base.withColumn("lr", row_number().over(wLocal))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("epoch"), col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("bkt"), col("off"))
+    local.join(offsets, Seq("epoch", "bkt"))
+      .select(col("epoch"), col("doc_id"), (col("off") + col("lr") - 1L).as("ord"))
+  }
+
+  val pipe_epoch_shuffle_sql: String =
+    s"""WITH b AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents),
+       |k AS (SELECT epoch, doc_id,
+       |    CAST(('0x' || substr(md5(concat('ep:', CAST(epoch AS VARCHAR), ':',
+       |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS key
+       |  FROM b)
+       |SELECT CAST(epoch AS INT) AS epoch, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) - 1 AS BIGINT) AS ord
+       |FROM k""".stripMargin
+
   /** The corpus cut: quality-pass documents that represent their exact-dup
     * group, with the columns a downstream tokenizer run needs. */
   def pipe_corpus(s: SparkSession, dir: String): DataFrame = {
@@ -943,6 +989,7 @@ object Pipeline {
     "pipe_domain_cap" -> (pipe_domain_cap(_, _)),
     "pipe_decontaminate" -> (pipe_decontaminate(_, _)),
     "pipe_decontaminate_semantic" -> (pipe_decontaminate_semantic(_, _)),
+    "pipe_epoch_shuffle" -> (pipe_epoch_shuffle(_, _)),
     "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
     "pipe_pack" -> (pipe_pack(_, _)),
     "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
@@ -966,6 +1013,7 @@ object Pipeline {
     "pipe_domain_cap" -> pipe_domain_cap_sql,
     "pipe_decontaminate" -> pipe_decontaminate_sql,
     "pipe_decontaminate_semantic" -> pipe_decontaminate_semantic_sql,
+    "pipe_epoch_shuffle" -> pipe_epoch_shuffle_sql,
     "pipe_bloom_screen" -> pipe_bloom_screen_sql,
     "pipe_pack" -> pipe_pack_sql,
     "pipe_sample_stratified" -> pipe_sample_stratified_sql,

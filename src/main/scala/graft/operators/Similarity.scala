@@ -1090,6 +1090,38 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  /** IVF CELL-BALANCE audit — per trained cell: vector count, share of the
+    * corpus, and multiple-of-uniform load, in integer micro-units (the
+    * [[graft.operators.Relational]] q44 skew diagnosis applied to the ANN
+    * index). Probe latency in IVF is governed by the FATTEST probed cells,
+    * not the average: a quantizer that collapsed (one cell swallowing the
+    * corpus) makes every probe a near-linear scan while recall numbers
+    * still look fine — this is the audit that catches it before deploy.
+    *
+    * Scale: reuses the trained assignment ([[trainedCells]] — Lloyd rounds
+    * with broadcast centroids + VecSumLong updates); the audit itself
+    * aggregates to ≤K cell rows (checkpointed so the global total never
+    * re-runs the trainer), then one broadcast single-row join. */
+  def sim_ivf_balance(s: SparkSession, dir: String): DataFrame = {
+    val counts = trainedCells(s, dir)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint(true) // ≤ K rows; one trainer run feeds both consumers
+    val glob = counts.agg(sum(col("n_vecs")).as("total"), count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(glob))
+      .select(col("cid"), col("n_vecs"),
+        expr("(1000000 * n_vecs) div total").as("share_micro"),
+        expr("(1000000 * n_vecs * n_cells) div total").as("xuniform_micro"))
+  }
+
+  val sim_ivf_balance_sql: String =
+    s"""WITH $trainedCellsDuck,
+       |c AS (SELECT cid, count(*) AS n_vecs FROM cells GROUP BY 1),
+       |g AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*) AS n_cells FROM c)
+       |SELECT cid, n_vecs,
+       |  (1000000 * n_vecs) // total AS share_micro,
+       |  (1000000 * n_vecs * n_cells) // total AS xuniform_micro
+       |FROM c CROSS JOIN g""".stripMargin
+
   /** Radius (range) similarity self-join: every pair of corpus vectors with
     * cosine above the threshold, blocked by the shared LSH bucketing —
     * candidates are pairs filing in the SAME bucket (no probe expansion:
@@ -1760,6 +1792,7 @@ object Similarity {
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained _,
+    "sim_ivf_balance" -> sim_ivf_balance _,
     "sim_range" -> sim_range _,
   )
 
@@ -1787,6 +1820,7 @@ object Similarity {
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained_sql,
+    "sim_ivf_balance" -> sim_ivf_balance_sql,
     "sim_range" -> sim_range_sql,
   )
 }

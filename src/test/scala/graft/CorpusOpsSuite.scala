@@ -434,6 +434,23 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     expected.foreach { case (l, e) => assert(got(l) === e, s"label $l") }
   }
 
+  // ----------------------------------------------- pipe_epoch_shuffle
+
+  test("pipe_epoch_shuffle equals a driver-side seeded-hash rank recompute") {
+    val ids = docs().map(_._1)
+    val expected = (for (epoch <- 0 until 2) yield {
+      val keyed = ids.map(id => (id, h60(s"ep:$epoch:$id"))).sortBy { case (id, k) => (k, id) }
+      keyed.zipWithIndex.map { case ((id, _), ord) => (epoch, id) -> ord.toLong }
+    }).flatten.toMap
+    val got = Pipeline.pipe_epoch_shuffle(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // the two epochs must actually permute differently (seeded independence)
+    val e0 = expected.collect { case ((0, id), o) => id -> o }
+    val e1 = expected.collect { case ((1, id), o) => id -> o }.toMap
+    assert(e0.exists { case (id, o) => e1(id) != o })
+  }
+
   // ---------------------------------------- pipe_decontaminate_semantic
 
   test("pipe_decontaminate_semantic equals a driver-side cosine-threshold recompute") {
