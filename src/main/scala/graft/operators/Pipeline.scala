@@ -489,6 +489,57 @@ object Pipeline {
       |       (SELECT min(lang_tokens) FROM pl) * 1000 // lang_tokens AS weight_pm
       |FROM pl""".stripMargin
 
+  /** APPLY the [[pipe_mix_weights]] rates — the second half of corpus mix
+    * balancing (the weights→apply completion, like SemDeDup's train→apply
+    * split): each document survives with its language's per-mille keep
+    * rate, decided by a deterministic seeded hash of the doc id (never
+    * `rand()` — the kept set must be identical across runs, engines, and
+    * partitionings). Emits the per-language before/after counts and kept
+    * token totals, so the gate verifies the realized mix, not just the
+    * rates.
+    *
+    * Scale: the rate table is ≤ #languages rows (broadcast); the keep
+    * decision is a pure map; the rollup is one map-side-combined
+    * aggregate. Two corpus scans by necessity — the rates are a global
+    * aggregate the apply pass must consume, so rate-derivation and
+    * application cannot share one pass (the aggregate-then-apply floor
+    * every engine pays); the per-lang table between them is checkpointed
+    * so the aggregate itself runs once. */
+  def pipe_mix_apply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(TextAnalysis.tokens).cast("long").as("n"))
+      .withColumn("keyp", expr(s"${Dedup.h60S("concat('mix:', CAST(doc_id AS STRING))", "")} % 1000"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("lang_tokens"))
+      .localCheckpoint(true) // ≤ #languages rows; one corpus scan total
+    val rates = perLang
+      .withColumn("min_tokens", min(col("lang_tokens")).over(Window.partitionBy()))
+      .select(col("lang"), col("n_docs"),
+        expr("min_tokens * 1000 DIV lang_tokens").as("weight_pm"))
+    docs.join(broadcast(rates), "lang")
+      .filter(col("keyp") < col("weight_pm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("kept_tokens"))
+      .join(broadcast(rates), "lang")
+      .select(col("lang"), col("n_docs"), col("weight_pm"),
+        col("n_kept"), col("kept_tokens"))
+  }
+
+  val pipe_mix_apply_sql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+      |    CAST(('0x' || substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS keyp
+      |  FROM documents),
+      |pl AS (SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS lang_tokens
+      |  FROM d GROUP BY 1),
+      |r AS (SELECT lang, n_docs,
+      |    (SELECT min(lang_tokens) FROM pl) * 1000 // lang_tokens AS weight_pm
+      |  FROM pl)
+      |SELECT r.lang, n_docs, weight_pm,
+      |  count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS kept_tokens
+      |FROM d JOIN r ON d.lang = r.lang AND d.keyp < r.weight_pm
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Per-domain document cap — the anti-crawl-domination step of a corpus
     * build: keep only the top [[DomainCapK]] documents per source, ranked by
     * length (`n_chars` DESC, `doc_id` tiebreak — stand-in for a quality
@@ -994,6 +1045,7 @@ object Pipeline {
     "pipe_pack" -> (pipe_pack(_, _)),
     "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
     "pipe_mix_weights" -> (pipe_mix_weights(_, _)),
+    "pipe_mix_apply" -> (pipe_mix_apply(_, _)),
     "pipe_corpus" -> (pipe_corpus(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1018,5 +1070,6 @@ object Pipeline {
     "pipe_pack" -> pipe_pack_sql,
     "pipe_sample_stratified" -> pipe_sample_stratified_sql,
     "pipe_mix_weights" -> pipe_mix_weights_sql,
+    "pipe_mix_apply" -> pipe_mix_apply_sql,
     "pipe_corpus" -> pipe_corpus_sql)
 }

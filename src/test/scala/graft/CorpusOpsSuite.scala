@@ -434,6 +434,27 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     expected.foreach { case (l, e) => assert(got(l) === e, s"label $l") }
   }
 
+  // --------------------------------------------------- pipe_mix_apply
+
+  test("pipe_mix_apply equals a driver-side rate-derivation + hash-keep recompute") {
+    val d = docs().map { case (id, text, lang) => (id, lang, toks(text).length.toLong) }
+    val perLang = d.groupBy(_._2).view.mapValues(v =>
+      (v.size.toLong, v.map(_._3).sum)).toMap
+    val minTok = perLang.values.map(_._2).min
+    val rates = perLang.view.mapValues { case (n, t) => (n, minTok * 1000 / t) }.toMap
+    val expected = d.groupBy(_._2).flatMap { case (lang, v) =>
+      val (nDocs, pm) = rates(lang)
+      val kept = v.filter { case (id, _, _) => h60(s"mix:$id") % 1000 < pm }
+      if (kept.isEmpty) None
+      else Some(lang -> ((nDocs, pm, kept.size.toLong, kept.map(_._3).sum)))
+    }
+    val got = Pipeline.pipe_mix_apply(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (l, e) => assert(got(l) === e, s"lang $l") }
+  }
+
   // ----------------------------------------------- pipe_epoch_shuffle
 
   test("pipe_epoch_shuffle equals a driver-side seeded-hash rank recompute") {
