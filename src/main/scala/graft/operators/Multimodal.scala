@@ -806,7 +806,8 @@ object Multimodal {
 
   /** Walk the RIFF chunks to the data section, then fold the per-window
     * u8-energy profile into the difference hash. */
-  private[operators] def parseWavFingerprint(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+  private[operators] def parseWavFingerprint(id: Long, bytes: Array[Byte],
+      win: Int = AudioWin): (Long, Long, Long, Long, Long) = {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def magic(expect: String): Unit = {
       val got = new Array[Byte](4); buf.get(got)
@@ -821,9 +822,9 @@ object Multimodal {
       else buf.position(buf.position() + size)
     }
     require(dataStart >= 0, s"no data chunk in doc $id")
-    val nWindows = math.max(1L, (dataLen + AudioWin - 1L) / AudioWin)
+    val nWindows = math.max(1L, (dataLen + win - 1L) / win)
     def winSum(w: Long): Long = {
-      var i = w * AudioWin; val end = math.min(i + AudioWin, dataLen.toLong)
+      var i = w * win; val end = math.min(i + win, dataLen.toLong)
       var s = 0L
       while (i < end) { s += bytes(dataStart + i.toInt) & 0xff; i += 1 }
       s
@@ -1182,7 +1183,77 @@ object Multimodal {
         |SELECT doc_id_a, doc_id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
   }
 
+  /** AUDIO NEAR-DUP pairs — [[mm_phash_dedup]]'s twin in the audio domain,
+    * completing the near-dup join for all three modalities (image/audio/
+    * video): same-window-count clips whose window-energy difference hashes
+    * are within Hamming distance 3, found by the same pigeonhole-exact
+    * Hamming banding (4 bands × 15 bits — any pair with d ≤ 3 agrees on
+    * ≥ 1 band, so the (n_windows, band, value) bucket join is exact for
+    * the threshold while never comparing non-candidates). The dedup
+    * fingerprint uses a FINER window ([[AudioDedupWin]] samples) than the
+    * [[mm_audio_fp]] profile: at the fixture's clip lengths the 64-sample
+    * profile yields ≤9 hash bits — degenerate for a d≤3 threshold (nearly
+    * everything matches) — while 8-sample windows give 12–60 informative
+    * bits (measured: 86 true near-pairs vs 13.7k degenerate ones).
+    * `n_windows` plays the role image dims play in the pHash join: a
+    * near-dup clip has the same duration profile, and it keeps short
+    * clips' zeroed high bands from collapsing into one bucket. Scale: the
+    * fingerprint pass is a pure map (one RIFF parse per blob); the band
+    * join shuffles 4 rows per clip of three integers. */
+  private val AudioDedupWin = 8
+
+  def mm_audio_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val p = ds.mapPartitions { batch =>
+      batch.map { case (id, textBytes) =>
+        requireAscii(id, textBytes)
+        val wav = synthesizeWav(sampleRateFor(id), textBytes)
+        parseWavFingerprint(id, wav, AudioDedupWin)
+      }
+    }.toDF("doc_id", "n_samples", "n_windows", "afp", "band16")
+      .select(col("doc_id"), col("n_windows"), col("afp"))
+    val b = p.withColumn("bi", explode(array((0 to 3).map(lit(_)): _*)))
+      .withColumn("bv", expr("(afp >> (bi * 15)) & 32767"))
+    val left = b.select(col("doc_id").as("doc_id_a"), col("n_windows"),
+      col("bi"), col("bv"), col("afp").as("fp_a"))
+    val right = b.select(col("doc_id").as("doc_id_b"), col("n_windows"),
+      col("bi"), col("bv"), col("afp").as("fp_b"))
+    left.join(right, Seq("n_windows", "bi", "bv"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        expr("CAST(bit_count(fp_a ^ fp_b) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  val mm_audio_dedup_sql: String =
+    s"""WITH g AS (SELECT doc_id, text, length(text) AS len,
+       |        greatest(1, (length(text) + ${AudioDedupWin - 1}) // $AudioDedupWin) AS nw
+       |      FROM documents),
+       |fp AS MATERIALIZED (SELECT doc_id, nw AS n_windows,
+       |   CAST(COALESCE(list_sum(list_transform(range(0, least(nw - 1, 60)), w ->
+       |     CASE WHEN
+       |       COALESCE(list_sum(list_transform(range(w*$AudioDedupWin + 1, w*$AudioDedupWin + ${AudioDedupWin + 1}), i ->
+       |         CASE WHEN i <= len THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)), 0)
+       |       >
+       |       COALESCE(list_sum(list_transform(range((w+1)*$AudioDedupWin + 1, (w+1)*$AudioDedupWin + ${AudioDedupWin + 1}), i ->
+       |         CASE WHEN i <= len THEN ord(substr(text, CAST(i AS INT), 1)) ELSE 0 END)), 0)
+       |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS afp
+       | FROM g),
+       |b AS (SELECT doc_id, n_windows, afp, unnest([0,1,2,3]) AS bi FROM fp),
+       |bb AS (SELECT doc_id, n_windows, afp, bi, (afp >> (bi*15)) & 32767 AS bv FROM b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+       |    CAST(bit_count(xor(a.afp::BITSTRING, c.afp::BITSTRING)) AS INT) AS hamming
+       |  FROM bb a JOIN bb c
+       |    ON a.n_windows = c.n_windows AND a.bi = c.bi AND a.bv = c.bv
+       |   AND a.doc_id < c.doc_id)
+       |SELECT doc_id_a, doc_id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_dedup" -> mm_audio_dedup _,
     "mm_video_dedup" -> mm_video_dedup _,
     "mm_phash_dedup" -> mm_phash_dedup _,
     "mm_audio_resample" -> mm_audio_resample _,
@@ -1201,6 +1272,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_dedup" -> mm_audio_dedup_sql,
     "mm_video_dedup" -> mm_video_dedup_sql,
     "mm_phash_dedup" -> mm_phash_dedup_sql,
     "mm_audio_resample" -> mm_audio_resample_sql,
