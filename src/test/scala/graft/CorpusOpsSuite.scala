@@ -434,6 +434,33 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     expected.foreach { case (l, e) => assert(got(l) === e, s"label $l") }
   }
 
+  // --------------------------------------------------- mm_audio_dedup
+
+  test("mm_audio_dedup equals a driver-side fine-window fingerprint recount") {
+    // the WAV data chunk IS the text bytes, so the fingerprint recomputes
+    // from the text directly (the oracle's formulation)
+    val win = 8
+    val fps = docs().map { case (id, text, _) =>
+      val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+      val len = bytes.length
+      val nw = math.max(1, (len + win - 1) / win)
+      def winSum(w: Int): Long =
+        (w * win until math.min((w + 1) * win, len)).map(bytes(_).toLong).sum
+      val afp = (0 until math.min(nw - 1, 60).toInt)
+        .foldLeft(0L)((acc, w) => if (winSum(w) > winSum(w + 1)) acc | (1L << w) else acc)
+      (id, nw.toLong, afp)
+    }
+    val expected = (for {
+      (a, nwa, fa) <- fps; (b, nwb, fb) <- fps
+      if a < b && nwa == nwb
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b) -> h).toMap
+    val got = Multimodal.mm_audio_dedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, h) => assert(got(k) === h, s"pair $k") }
+  }
+
   // --------------------------------------------------- pipe_mix_apply
 
   test("pipe_mix_apply equals a driver-side rate-derivation + hash-keep recompute") {
