@@ -117,12 +117,19 @@ object Lsh {
     * the weight rows from the `w` column, never a re-built literal).
     * Mirrors [[bucketCol]]'s integer-exact test: `floor(double(x) * 2^20)`
     * is one IEEE-exact multiply + an exact floor in any engine, and the
-    * ±1-weighted BIGINT sum has a single possible sign. */
+    * ±1-weighted BIGINT sum has a single possible sign.
+    *
+    * The outer CAST matters: DuckDB's `list_sum` over BIGINTs returns
+    * HUGEINT (INT128), and the driver's result hash is TYPE-sensitive —
+    * a value-identical HUGEINT column hash-mismatches Spark's BIGINT
+    * wherever `blk` reaches a top-level output (sim_bucket_sample,
+    * rounds 10–11 red). Every gate oracle output must land in the
+    * BIGINT/INT/DOUBLE/VARCHAR/BOOL/DATE/TS families. */
   val bucketDuck: String =
-    s"""list_sum(list_transform(range(0, nb), k ->
+    s"""CAST(list_sum(list_transform(range(0, nb), k ->
        |      CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
        |          CAST(w[k+1][i] AS BIGINT) * CAST(floor(CAST(embedding[i] AS DOUBLE) * $QuantScale) AS BIGINT))) >= 0
-       |        THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))""".stripMargin
+       |        THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
   /** DuckDB: probe set of column `blk`. */
   val probesDuck: String =

@@ -164,12 +164,23 @@ object Pipeline {
       .select(col("doc_id"), explode(expr(s"sequence(0, ${ShuffleEpochs - 1})")).as("epoch"))
       .withColumn("key", expr(keyExpr))
       .withColumn("bkt", expr(s"key div ${(1L << 60) / ShuffleBuckets}"))
+      // bkt is never null (md5 of non-null input), but the inner join below
+      // infers IsNotNull(bkt) into ONE branch's subtree — stated here so
+      // both branches' exchange subtrees stay identical and reuse fires
+      // (the pipe_token_budget discipline)
+      .where(col("bkt").isNotNull)
     val wLocal = Window.partitionBy(col("epoch"), col("bkt"))
       .orderBy(col("key"), col("doc_id"))
     val local = base.withColumn("lr", row_number().over(wLocal))
     val wOff = Window.partitionBy(col("epoch")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("epoch"), col("bkt")).agg(count(lit(1)).as("n"))
+    // bucket count = max row_number, aggregated from `local` rather than
+    // `base` (the pipe_token_budget discipline): the offsets branch then
+    // shares the windowed stage's exchange subtree verbatim, so the corpus
+    // is scanned and the epoch keys hashed ONCE (exchange reuse), and the
+    // aggregate runs on data already partitioned by (epoch, bkt) — the
+    // only new exchange is over the 256-buckets-per-epoch counts.
+    val offsets = local.groupBy(col("epoch"), col("bkt")).agg(max(col("lr")).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
       .select(col("epoch"), col("bkt"), col("off"))
     local.join(offsets, Seq("epoch", "bkt"))

@@ -1553,7 +1553,16 @@ object Relational {
     * distinct keys, not rows); the global total/key-count is a second
     * aggregation OVER THE COUNTS (never a re-scan) broadcast as one row;
     * the top-K is TakeOrderedAndProject — bounded heaps per partition plus
-    * a K×partitions driver merge, never a full sort of the key table. */
+    * a K×partitions driver merge, never a full sort of the key table.
+    *
+    * Overflow headroom: `10^6·n_events` fits BIGINT while the hottest key
+    * holds < 9.2·10^12 events; but `10^6·n_events·n_keys` wraps at
+    * `n_events·n_keys > 9.2·10^12` — easily reached at 100 TB (10^9-event
+    * key × 10^8 keys), and non-ANSI Spark wraps SILENTLY. The product
+    * therefore runs in DECIMAL(38,0) (headroom 10^38 ≫ 10^6·10^12·10^10)
+    * and only the integral-divide result — ≤ 10^6·n_keys < 2^63 — returns
+    * to BIGINT; the oracle mirrors via HUGEINT. Intermediate-only: no
+    * DECIMAL reaches the output schema (the gate-typing rule). */
   private val SkewTopK = 15
 
   def q44_skew_audit(s: SparkSession, dir: String): DataFrame = {
@@ -1565,7 +1574,8 @@ object Relational {
     counts.crossJoin(broadcast(glob))
       .select($"user_id", $"n_events",
         expr("1000000 * n_events div total").as("share_micro"),
-        expr("1000000 * n_events * n_keys div total").as("xuniform_micro"))
+        expr("CAST(1000000 AS DECIMAL(38,0)) * n_events * n_keys div total")
+          .as("xuniform_micro"))
       .orderBy($"n_events".desc, $"user_id".asc)
       .limit(SkewTopK)
   }
@@ -1575,7 +1585,7 @@ object Relational {
        |g AS (SELECT CAST(sum(n_events) AS BIGINT) AS total, count(*) AS n_keys FROM c)
        |SELECT user_id, n_events,
        |  (1000000 * n_events) // total AS share_micro,
-       |  (1000000 * n_events * n_keys) // total AS xuniform_micro
+       |  CAST((CAST(1000000 AS HUGEINT) * n_events * n_keys) // total AS BIGINT) AS xuniform_micro
        |FROM c CROSS JOIN g
        |ORDER BY n_events DESC, user_id ASC LIMIT $SkewTopK""".stripMargin
 

@@ -1101,7 +1101,13 @@ object Similarity {
     * Scale: reuses the trained assignment ([[trainedCells]] — Lloyd rounds
     * with broadcast centroids + VecSumLong updates); the audit itself
     * aggregates to ≤K cell rows (checkpointed so the global total never
-    * re-runs the trainer), then one broadcast single-row join. */
+    * re-runs the trainer), then one broadcast single-row join.
+    *
+    * Overflow headroom: K bounds `n_cells`, so `10^6·n_vecs·n_cells` wraps
+    * only past ~9.2·10^12/K vectors in one cell — but a collapsed quantizer
+    * (the very pathology this audit exists to catch) concentrates `n_vecs`,
+    * so the product runs in DECIMAL(38,0) like the q44 pattern and only
+    * the integral-divide result (≤ 10^6·K) returns to BIGINT. */
   def sim_ivf_balance(s: SparkSession, dir: String): DataFrame = {
     val counts = trainedCells(s, dir)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
@@ -1110,7 +1116,8 @@ object Similarity {
     counts.crossJoin(broadcast(glob))
       .select(col("cid"), col("n_vecs"),
         expr("(1000000 * n_vecs) div total").as("share_micro"),
-        expr("(1000000 * n_vecs * n_cells) div total").as("xuniform_micro"))
+        expr("CAST(1000000 AS DECIMAL(38,0)) * n_vecs * n_cells div total")
+          .as("xuniform_micro"))
   }
 
   val sim_ivf_balance_sql: String =
@@ -1119,7 +1126,7 @@ object Similarity {
        |g AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*) AS n_cells FROM c)
        |SELECT cid, n_vecs,
        |  (1000000 * n_vecs) // total AS share_micro,
-       |  (1000000 * n_vecs * n_cells) // total AS xuniform_micro
+       |  CAST((CAST(1000000 AS HUGEINT) * n_vecs * n_cells) // total AS BIGINT) AS xuniform_micro
        |FROM c CROSS JOIN g""".stripMargin
 
   /** Radius (range) similarity self-join: every pair of corpus vectors with
@@ -1729,6 +1736,35 @@ object Similarity {
       .withColumn("varnum", expr(
         "n * s2 - aggregate(zip_with(cv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
       .localCheckpoint(true) // tiny (≤ #labels rows); one corpus scan total
+    // Overflow guard: the pair arithmetic below is exact BIGINT and wraps
+    // SILENTLY in non-ANSI Spark if a fixture outgrows the documented ~2^62
+    // headroom. The per-label table is ≤ #labels rows and already
+    // checkpointed, so recomputing the exact pair terms in BigInt driver-
+    // side is O(labels²·dim) — label-bounded, never data-bounded — and
+    // fails LOUDLY with the migration path instead of hash-failing.
+    locally {
+      val lim = BigInt(Long.MaxValue)
+      val rows = per.select(col("label"), col("n"), col("cv"), col("s2"),
+        col("varnum")).collect()
+      for (r <- rows) {
+        val (n, s2) = (BigInt(r.getLong(1)), BigInt(r.getLong(3)))
+        require(n * s2 <= lim && r.getSeq[Long](2).map(x => BigInt(x) * x).sum <= lim,
+          s"sim_label_separability: per-label accumulators for label " +
+            s"${r.get(0)} exceed BIGINT (n=$n) — move n*s2/|cv|^2 to " +
+            "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); same plan")
+      }
+      for (ra <- rows; rb <- rows if ra.getInt(0) < rb.getInt(0)) {
+        val (na, nb) = (BigInt(ra.getLong(1)), BigInt(rb.getLong(1)))
+        val between = ra.getSeq[Long](2).zip(rb.getSeq[Long](2))
+          .map { case (x, y) => val t = nb * x - na * y; t * t }.sum
+        val denom = nb * nb * ra.getLong(4) + na * na * rb.getLong(4)
+        require(between <= lim && denom <= lim,
+          s"sim_label_separability: pair (${ra.get(0)}, ${rb.get(0)}) " +
+            s"between/denominator exceed BIGINT (between=$between, " +
+            s"denom=$denom) — move the pair terms to DECIMAL(38,0) " +
+            "(Spark) / HUGEINT (DuckDB); same plan")
+      }
+    }
     val a = per.select(col("label").as("label_a"), col("n").as("n_a"),
       col("cv").as("cv_a"), col("varnum").as("varnum_a"))
     val b = per.select(col("label").as("label_b"), col("n").as("n_b"),

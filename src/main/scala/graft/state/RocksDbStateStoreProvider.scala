@@ -1230,7 +1230,8 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       val ckpt = Checkpoint.create(db)
       try {
         ckpt.createCheckpoint(ckptDir.getAbsolutePath)
-        snapshots.upload(ckptDir, newVersion, commitCkptId)
+        snapshots.upload(ckptDir, newVersion, commitCkptId,
+          incremental = conf.incrementalSnapshot)
         newestFullSnapshot = math.max(newestFullSnapshot, newVersion)
       } finally {
         Try(ckpt.close())

@@ -21,12 +21,46 @@ import scala.util.Try
   *
   * At 100 TB the full-snapshot-per-batch model is O(state) upload per commit;
   * that matches the reference's contract and keeps recovery trivial
-  * (download + unzip = exact DB). Changelog checkpointing is the planned
-  * phase-2 upgrade (SURVEY §7.2 M6) and slots behind this same interface.
+  * (download + unzip = exact DB). Changelog checkpointing (deltas between
+  * cadence snapshots) bounds the per-batch upload; INCREMENTAL snapshots
+  * (below) bound the cadence upload itself.
+  *
+  * ==Incremental (SST-skip) snapshots==
+  *
+  * RocksDB SST files are immutable, and between two cadence snapshots most
+  * of a large DB's bytes sit in SSTs that did not change — re-uploading
+  * them is the dominant checkpoint cost at scale (the Flink/RocksDB
+  * incremental-checkpoint observation). With `incremental = true`,
+  * [[upload]] stores each `.sst` ONCE in a shared content-addressed pool
+  * (`<baseDir>/sst/<md5>-<len>.sst`) and writes only a reference list into
+  * the snapshot zip (entry [[SnapshotManager.SstRefsEntry]], one
+  * `localName TAB remoteName` line per SST) alongside the small mutable
+  * files (MANIFEST/CURRENT/OPTIONS) stored inline as before. Content
+  * addressing makes dedup correct by construction — sibling commits,
+  * task retries, and restored lineages that regenerate an SST name with
+  * different bytes land under different pool names, while identical
+  * content (the common case: the same file hard-linked into consecutive
+  * RocksDB checkpoints) uploads exactly once. A per-manager
+  * `(name, length, mtime) -> md5` cache skips re-hashing SSTs already seen
+  * by this provider instance, and a known-remote set skips the per-file
+  * existence RPC after the first sighting. [[download]] restores both
+  * formats (inline entries and referenced SSTs), so mixed histories read
+  * back transparently; [[cleanup]] drops pool files referenced by no
+  * retained snapshot (age-gated, like tmp reclaim, so a pool file uploaded
+  * ahead of its manifest's publish is never swept mid-commit).
   */
 final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Logging {
+  import SnapshotManager.SstRefsEntry
 
   private lazy val fs: FileSystem = baseDir.getFileSystem(hadoopConf)
+
+  private def sstPoolDir: Path = new Path(baseDir, "sst")
+
+  /** (name, length, mtime) -> md5 for SSTs this manager has hashed; valid
+    * because a live RocksDB instance never rewrites an SST name in place. */
+  private val hashCache = scala.collection.concurrent.TrieMap.empty[(String, Long, Long), String]
+  /** Pool files this manager has uploaded or seen — skips the exists() RPC. */
+  private val knownRemote = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def ensureBaseDir(): Unit = fs.mkdirs(baseDir)
 
@@ -94,10 +128,62 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
   def openDelta(version: Long, ckptId: Option[String] = None): java.io.InputStream =
     fs.open(deltaFile(version, ckptId))
 
+  /** md5 of a local file, via the per-manager cache. */
+  private def md5Of(f: File): String =
+    hashCache.getOrElseUpdate((f.getName, f.length(), f.lastModified()), {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val in = new FileInputStream(f)
+      try {
+        val buf = new Array[Byte](256 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
+    })
+
+  /** Upload `f` to the SST pool under its content address unless already
+    * there; returns the pool file name. Same tmp+rename atomicity. */
+  private def uploadToPool(f: File): String = {
+    val remoteName = s"${md5Of(f)}-${f.length()}.sst"
+    val target = new Path(sstPoolDir, remoteName)
+    if (knownRemote.contains(remoteName) || fs.exists(target)) {
+      // dedup hit: refresh the pool file's mtime so cleanup's age gate
+      // keeps protecting it until the manifest that re-references it
+      // publishes (without this, an SST whose only other referencers are
+      // below-cutoff manifests could be swept mid-upload)
+      Try(fs.setTimes(target, System.currentTimeMillis(), -1))
+    } else {
+      fs.mkdirs(sstPoolDir)
+      val tmp = new Path(sstPoolDir, s".$remoteName.${System.nanoTime()}.tmp")
+      val out = fs.create(tmp, true)
+      try {
+        val in = new FileInputStream(f)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      } finally out.close()
+      // a concurrent sibling may have published the same content first;
+      // content addressing makes either copy equally correct
+      if (!fs.rename(tmp, target) && !fs.exists(target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"Failed to publish pool SST $target")
+      }
+      Try(fs.delete(tmp, false)) // no-op when the rename won
+    }
+    knownRemote.add(remoteName)
+    remoteName
+  }
+
   /** Zip `localDir`'s RocksDB files into `state.snapshot.<version>[_<id>]`.
     * RocksDB info logs (`LOG`, `LOG.old.*`) are excluded — dead weight the
-    * reference also stripped before upload (`:438-443`). */
-  def upload(localDir: File, version: Long, ckptId: Option[String] = None): Unit = {
+    * reference also stripped before upload (`:438-443`). With
+    * `incremental = true`, immutable `.sst` files go to the shared
+    * content-addressed pool (skipping bytes already uploaded) and the zip
+    * carries only their reference list — see the class doc. */
+  def upload(localDir: File, version: Long, ckptId: Option[String] = None,
+      incremental: Boolean = false): Unit = {
     val target = snapshotFile(version, ckptId)
     val tmp = new Path(baseDir, s".state.snapshot.$version.${System.nanoTime()}.tmp")
     val out = new ZipOutputStream(fs.create(tmp, true))
@@ -105,13 +191,23 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
       val files = Option(localDir.listFiles()).getOrElse(Array.empty[File])
         .filter(f => f.isFile && !f.getName.startsWith("LOG"))
       val buf = new Array[Byte](64 * 1024)
-      files.foreach { f =>
+      val (ssts, inline) =
+        if (incremental) files.partition(_.getName.endsWith(".sst"))
+        else (Array.empty[File], files)
+      inline.foreach { f =>
         out.putNextEntry(new ZipEntry(f.getName))
         val in = new FileInputStream(f)
         try {
           var n = in.read(buf)
           while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
         } finally in.close()
+        out.closeEntry()
+      }
+      if (incremental) {
+        val refs = ssts.sortBy(_.getName)
+          .map(f => s"${f.getName}\t${uploadToPool(f)}").mkString("\n")
+        out.putNextEntry(new ZipEntry(SstRefsEntry))
+        out.write(refs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.closeEntry()
       }
     } finally out.close()
@@ -122,22 +218,70 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     }
   }
 
-  /** Unzip `state.snapshot.<version>[_<id>]` into `destDir` (must exist, empty). */
+  /** Unzip `state.snapshot.<version>[_<id>]` into `destDir` (must exist,
+    * empty). Restores inline entries directly and fetches any
+    * pool-referenced SSTs under their original local names, so full and
+    * incremental snapshots (and histories mixing both) read back the same. */
   def download(version: Long, destDir: File, ckptId: Option[String] = None): Unit = {
+    var refs: Seq[(String, String)] = Nil
     val in = new ZipInputStream(fs.open(snapshotFile(version, ckptId)))
     try {
       val buf = new Array[Byte](64 * 1024)
       var entry: ZipEntry = in.getNextEntry
       while (entry != null) {
-        val target = new File(destDir, new File(entry.getName).getName) // no path traversal
-        val out = new FileOutputStream(target)
-        try {
+        if (entry.getName == SstRefsEntry) {
+          val bos = new java.io.ByteArrayOutputStream()
           var n = in.read(buf)
-          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-        } finally out.close()
+          while (n >= 0) { if (n > 0) bos.write(buf, 0, n); n = in.read(buf) }
+          refs = new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty)
+            .map { line =>
+              val Array(local, remote) = line.split("\t", 2)
+              (local, remote)
+            }
+        } else {
+          val target = new File(destDir, new File(entry.getName).getName) // no path traversal
+          val out = new FileOutputStream(target)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+          } finally out.close()
+        }
         in.closeEntry()
         entry = in.getNextEntry
       }
+    } finally in.close()
+    refs.foreach { case (local, remote) =>
+      val pin = fs.open(new Path(sstPoolDir, remote))
+      try {
+        val out = new FileOutputStream(new File(destDir, new File(local).getName))
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = pin.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = pin.read(buf) }
+        } finally out.close()
+      } finally pin.close()
+    }
+  }
+
+  /** Pool names referenced by a snapshot file (empty for full zips). */
+  private def refsOf(p: Path): Seq[String] = {
+    val in = new ZipInputStream(fs.open(p))
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var entry: ZipEntry = in.getNextEntry
+      while (entry != null) {
+        if (entry.getName == SstRefsEntry) {
+          val bos = new java.io.ByteArrayOutputStream()
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) bos.write(buf, 0, n); n = in.read(buf) }
+          return new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", 2)(1))
+        }
+        in.closeEntry()
+        entry = in.getNextEntry
+      }
+      Nil
     } finally in.close()
   }
 
@@ -165,6 +309,30 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
       snaps.filter(_._1 < b).foreach(e => drop(e._2))
       deltas.filter(_._1 <= b).foreach(e => drop(e._2))
     }
+    // Pool GC: a content-addressed SST is garbage once no RETAINED snapshot
+    // references it. Reading each retained manifest's ref entry is one
+    // small-zip open per retained snapshot — retained counts are small
+    // (minVersionsToRetain), never O(state). Age-gated like tmp reclaim:
+    // an SST uploaded ahead of its manifest's publish (the upload order in
+    // `upload`) is at most minutes old and is never swept.
+    if (Try(fs.exists(sstPoolDir)).getOrElse(false)) {
+      val retainedSnaps = base match {
+        case Some(b) => snaps.filter(_._1 >= b).map(_._2)
+        case None => snaps.map(_._2)
+      }
+      val referenced = retainedSnaps.flatMap(p => Try(refsOf(p)).getOrElse(Nil)).toSet
+      val poolStaleBefore = System.currentTimeMillis() - 10 * 60 * 1000L
+      Try {
+        fs.listStatus(sstPoolDir).foreach { st =>
+          val name = st.getPath.getName
+          if (!name.startsWith(".") && !referenced.contains(name) &&
+            st.getModificationTime < poolStaleBefore) {
+            knownRemote.remove(name)
+            drop(st.getPath)
+          }
+        }
+      }
+    }
     // reclaim upload temp files orphaned by a crash between create and
     // rename; age-gate so an in-flight commit's tmp is never touched
     val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000L
@@ -177,4 +345,11 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     }
     Some(cutoff)
   }
+}
+
+object SnapshotManager {
+  /** Zip entry carrying the pool references of an incremental snapshot.
+    * The name cannot collide with RocksDB files (they never contain '/'
+    * prefixes or this literal). */
+  val SstRefsEntry = "__graft_sst_refs__"
 }

@@ -56,6 +56,12 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       "the offsets branch must aggregate the windowed output, not re-scan")
   }
 
+  test("pipe_epoch_shuffle scans the corpus once (offsets from the windowed stage)") {
+    assert(executedScans(Pipeline.pipe_epoch_shuffle(spark, sfDir)) === 1,
+      "the bucket-count branch must aggregate max(row_number) off the " +
+        "windowed output, not re-scan and re-hash the exploded corpus")
+  }
+
   test("text_pmi_bigrams explodes the corpus once (marginals off the checkpointed counts)") {
     // the one corpus scan happens at the eager bigram-count checkpoint;
     // the returned plan must contain NO parquet scan at all — any scan here

@@ -43,6 +43,28 @@ def canon(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+# Type pairs (spark_side, oracle_side) treated as equal beyond identity.
+# The driver's hash is TYPE-sensitive (sim_bucket_sample shipped red twice on
+# a value-identical HUGEINT-vs-BIGINT mismatch), so the default is STRICT:
+# only integer-width promotions that DuckDB's own parquet reader performs are
+# allowed. Everything else — HUGEINT, DECIMAL, FLOAT-vs-DOUBLE — fails.
+TYPE_OK = {
+    ("INTEGER", "BIGINT"), ("BIGINT", "INTEGER"),
+    ("SMALLINT", "INTEGER"), ("SMALLINT", "BIGINT"),
+    ("TINYINT", "INTEGER"), ("TINYINT", "BIGINT"),
+}
+
+
+def types_mismatch(gcols, gtypes_by_col, etypes_by_col):
+    """Return a list of 'col: spark_type != oracle_type' strings (empty = ok)."""
+    bad = []
+    for c in gcols:
+        gt, et = str(gtypes_by_col[c]).upper(), str(etypes_by_col[c]).upper()
+        if gt != et and (gt, et) not in TYPE_OK:
+            bad.append(f"{c}: spark {gt} != oracle {et}")
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
@@ -70,8 +92,14 @@ def main():
             continue
         ecols, erows = canon(exp.columns, exp.fetchall())
         record[name] = {"status": "FAIL", "rows": len(grows)}
+        gtypes = {c.lower(): t for c, t in zip(got.columns, got.types)}
+        etypes = {c.lower(): t for c, t in zip(exp.columns, exp.types)}
         if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
+            failures += 1
+        elif bad := types_mismatch([c.lower() for c in gcols], gtypes, etypes):
+            print(f"FAIL {name}: output types differ: {'; '.join(bad)}")
+            record[name]["reason"] = "type mismatch: " + "; ".join(bad)
             failures += 1
         elif grows != erows:
             print(f"FAIL {name}: {len(grows)} rows vs {len(erows)} oracle rows")
