@@ -317,6 +317,45 @@ object Pipeline {
   private val PackBudget = 1024L
   private val PackShardSpan = 128L // doc_ids per shard bucket
 
+  /** LENGTH-DISTRIBUTION audit per (lang, power-of-two token bucket) —
+    * the histogram a sequence-packing/curriculum design reads first: where
+    * the corpus' tokens actually live by document length (a corpus whose
+    * token mass sits in 2^4-token fragments packs and trains very
+    * differently from one living in 2^12-token documents). Bucket =
+    * floor(log2(n_tokens)) computed integer-exactly as bit-length − 1;
+    * each bucket's share of its language's token mass in integer ppm.
+    *
+    * Scale: one corpus scan into a map-side-combined (lang, bucket)
+    * aggregate (≤ |langs|·64 rows); the per-lang total is a WINDOW over
+    * that aggregate — never a second scan. The ppm product runs in
+    * DECIMAL(38,0) (HUGEINT oracle) so a 10^13-token language bucket
+    * cannot wrap BIGINT (the q44 discipline). */
+  def pipe_length_buckets(s: SparkSession, dir: String): DataFrame = {
+    val wLang = Window.partitionBy(col("lang"))
+    Tables.documents(s, dir)
+      .select(col("lang"), size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("CAST(length(bin(greatest(n_tokens, 1))) - 1 AS INT)"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("lang_tokens", sum(col("bucket_tokens")).over(wLang))
+      .withColumn("share_ppm",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * bucket_tokens div lang_tokens"))
+      .drop("lang_tokens")
+  }
+
+  val pipe_length_buckets_sql: String =
+    """WITH d AS (SELECT lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT lang,
+      |    CAST(length(bin(greatest(n_tokens, 1))) - 1 AS INT) AS bucket,
+      |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+      |  FROM d GROUP BY 1, 2)
+      |SELECT lang, bucket, n_docs, bucket_tokens,
+      |  CAST((CAST(1000000 AS HUGEINT) * bucket_tokens) //
+      |    sum(bucket_tokens) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+      |FROM b""".stripMargin
+
   def pipe_pack(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1054,6 +1093,7 @@ object Pipeline {
     "pipe_epoch_shuffle" -> (pipe_epoch_shuffle(_, _)),
     "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
     "pipe_pack" -> (pipe_pack(_, _)),
+    "pipe_length_buckets" -> (pipe_length_buckets(_, _)),
     "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
     "pipe_mix_weights" -> (pipe_mix_weights(_, _)),
     "pipe_mix_apply" -> (pipe_mix_apply(_, _)),
@@ -1079,6 +1119,7 @@ object Pipeline {
     "pipe_epoch_shuffle" -> pipe_epoch_shuffle_sql,
     "pipe_bloom_screen" -> pipe_bloom_screen_sql,
     "pipe_pack" -> pipe_pack_sql,
+    "pipe_length_buckets" -> pipe_length_buckets_sql,
     "pipe_sample_stratified" -> pipe_sample_stratified_sql,
     "pipe_mix_weights" -> pipe_mix_weights_sql,
     "pipe_mix_apply" -> pipe_mix_apply_sql,

@@ -343,29 +343,79 @@ object Similarity {
     * exactly how recall is measured there too: a sampled query set, one
     * linear scan for ground truth, set-intersect per query — the eval cost
     * is one brute-force pass over a sample, never N². */
-  def sim_recall_eval(s: SparkSession, dir: String): DataFrame = {
+  /** Exact cosine top-3 for the standard eval query set (vec_id < 50):
+    * the ground-truth side shared by [[sim_recall_eval]] (LSH) and
+    * [[sim_ivf_recall]] (trained IVF). Broadcast queries, one corpus
+    * pass, per-partition top-k. */
+  private def exactTop3(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    val exact = e.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("vec_id").as("neighbor_id"))
-    val approx = sim_topk_lsh(s, dir)
-      .select(col("qid"), col("neighbor_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("qid", "neighbor_id"), "left")
+  }
+
+  /** recall@3 of an approximate search against [[exactTop3]], per query,
+    * in exact integer per-mille. */
+  private def recallAgainstExact(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx.select(col("qid"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("qid", "neighbor_id"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .withColumn("recall_per_mille", expr("n_hits * 1000 div n_exact"))
-  }
+
+  def sim_recall_eval(s: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(exactTop3(s, dir), sim_topk_lsh(s, dir))
 
   val sim_recall_eval_sql: String =
     s"""WITH approx AS ($sim_topk_lsh_sql),
+       |e2 AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings),
+       |q2 AS (SELECT vec_id qid, embedding qe, n2 qn2 FROM e2 WHERE vec_id < 50),
+       |exact AS (SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        list_sum(list_transform(range(1, len(qe)+1), i ->
+       |          CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+       |        vec_id ASC) AS rank
+       |    FROM q2 JOIN e2 ON vec_id != qid)
+       |  WHERE rank <= 3)
+       |SELECT x.qid, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+       |    // count(*) AS recall_per_mille
+       |FROM exact x LEFT JOIN approx a
+       |  ON x.qid = a.qid AND x.neighbor_id = a.neighbor_id
+       |GROUP BY x.qid""".stripMargin
+
+  /** IVF counterpart of [[sim_recall_eval]]: recall@3 of the TRAINED IVF
+    * probe search ([[sim_topk_ivf_trained]] — Lloyd-trained cells,
+    * multi-probe) against the exact scan, per query, in integer per-mille.
+    * Together with [[sim_ivf_balance]] this is the deploy gate for an IVF
+    * index: balance says probes stay cheap, recall says they stay good —
+    * a quantizer can fail either audit independently (collapsed cells pass
+    * recall while probes go linear; over-split cells pass balance while
+    * recall craters).
+    *
+    * Scale: identical to [[sim_recall_eval]] — ground truth is one
+    * brute-force pass over a SAMPLED query set (never N²), the approx side
+    * is the production plan under test, and the trainer runs once (shared
+    * [[trainedCells]] staging). */
+  def sim_ivf_recall(s: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(exactTop3(s, dir), sim_topk_ivf_trained(s, dir))
+
+  // lazy: interpolates sim_topk_ivf_trained_sql, which is declared later
+  // in the file — an eager val here would capture null at init order
+  lazy val sim_ivf_recall_sql: String =
+    s"""WITH approx AS ($sim_topk_ivf_trained_sql),
        |e2 AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
        |  FROM embeddings),
@@ -1811,6 +1861,7 @@ object Similarity {
     "sim_knn_graph" -> sim_knn_graph _,
     "sim_mutual_knn" -> sim_mutual_knn _,
     "sim_recall_eval" -> sim_recall_eval _,
+    "sim_ivf_recall" -> sim_ivf_recall _,
     "sim_pagerank" -> sim_pagerank _,
     "sim_bucket_sample" -> sim_bucket_sample _,
     "sim_topk_graph" -> sim_topk_graph _,
@@ -1839,6 +1890,7 @@ object Similarity {
     "sim_knn_graph" -> sim_knn_graph_sql,
     "sim_mutual_knn" -> sim_mutual_knn_sql,
     "sim_recall_eval" -> sim_recall_eval_sql,
+    "sim_ivf_recall" -> sim_ivf_recall_sql,
     "sim_pagerank" -> sim_pagerank_sql,
     "sim_bucket_sample" -> sim_bucket_sample_sql,
     "sim_topk_graph" -> sim_topk_graph_sql,

@@ -48,6 +48,48 @@ object TextAnalysis {
       |  CAST(list_max(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS INT) AS max_token_len
       |FROM documents""".stripMargin
 
+  /** TOKENIZER FERTILITY audit per (lang, source) — the corpus-level
+    * budgeting table a pre-training run is priced from: how many tokens a
+    * slice yields per 1000 chars (token budget ÷ fertility = raw bytes to
+    * crawl) and how long its tokens run (fertility drift per language is
+    * the classic multilingual-tokenizer failure signal). Whitespace
+    * tokenization as everywhere in this family; ratios in exact integer
+    * per-mille so the gate hashes them.
+    *
+    * Scale: one corpus scan into a map-side-combined SUM/COUNT aggregate;
+    * output is ≤ |langs|×|sources| rows and the ratios are computed ON the
+    * aggregate — nothing here is per-doc after the partial agg, so the
+    * shuffle carries one row per (lang, source, partition). */
+  def text_fertility(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("long").as("chars"),
+        size(tokens).cast("long").as("toks"),
+        expr("aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), 0, (acc, x) -> acc + x)")
+          .cast("long").as("tok_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("sum_tokens"),
+        sum(col("chars")).as("sum_chars"),
+        sum(col("tok_chars")).as("sum_token_chars"))
+      .withColumn("tokens_per_kchar", expr("1000 * sum_tokens div sum_chars"))
+      .withColumn("chars_per_token_milli", expr("1000 * sum_token_chars div sum_tokens"))
+  }
+
+  val text_fertility_sql: String =
+    """WITH d AS (SELECT lang, source,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM documents)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(tok_chars) AS BIGINT) AS sum_token_chars,
+      |  (1000 * CAST(sum(toks) AS BIGINT)) // CAST(sum(chars) AS BIGINT) AS tokens_per_kchar,
+      |  (1000 * CAST(sum(tok_chars) AS BIGINT)) // CAST(sum(toks) AS BIGINT) AS chars_per_token_milli
+      |FROM d GROUP BY lang, source""".stripMargin
+
   /** Quality signals: stopword density, short-doc flag, repetition rate —
     * the usual cheap pre-training corpus filters. All integer arithmetic. */
   def text_quality(s: SparkSession, dir: String): DataFrame = {
@@ -1201,6 +1243,7 @@ object TextAnalysis {
     "text_pii_scrub" -> text_pii_scrub _,
     "text_repetition" -> text_repetition _,
     "text_stats" -> text_stats _,
+    "text_fertility" -> text_fertility _,
     "text_quality" -> text_quality _,
     "text_gopher" -> text_gopher _,
     "text_readability" -> text_readability _,
@@ -1227,6 +1270,7 @@ object TextAnalysis {
     "text_pii_scrub" -> text_pii_scrub_sql,
     "text_repetition" -> text_repetition_sql,
     "text_stats" -> text_stats_sql,
+    "text_fertility" -> text_fertility_sql,
     "text_quality" -> text_quality_sql,
     "text_gopher" -> text_gopher_sql,
     "text_readability" -> text_readability_sql,

@@ -546,4 +546,47 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (k, e) => assert(got(k) === e, s"pair $k") }
   }
+
+  // ------------------------------------------------------ text_fertility
+
+  test("text_fertility equals a driver-side per-(lang,source) recomputation") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case (k, ds) =>
+      val nDocs = ds.length.toLong
+      val sumToks = ds.map(d => toks(d._3).length.toLong).sum
+      val sumChars = ds.map(_._3.length.toLong).sum
+      val sumTokChars = ds.map(d => toks(d._3).map(_.length.toLong).sum).sum
+      k -> ((nDocs, sumToks, sumChars, sumTokChars,
+        1000L * sumToks / sumChars, 1000L * sumTokChars / sumToks))
+    }
+    val got = TextAnalysis.text_fertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k) === e, s"slice $k") }
+  }
+
+  // ------------------------------------------------- pipe_length_buckets
+
+  test("pipe_length_buckets equals a driver-side log2-histogram recompute") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1)).length.toLong))
+    val byBucket = rows.groupBy { case (lang, n) =>
+      (lang, 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)))
+    }
+    val langToks = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = byBucket.map { case ((lang, bkt), ds) =>
+      val bt = ds.map(_._2).sum
+      (lang, bkt) -> ((ds.size.toLong, bt, 1000000L * bt / langToks(lang)))
+    }
+    val got = Pipeline.pipe_length_buckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k) === e, s"bucket $k") }
+  }
 }
