@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output inherits the sbt process stdout/stderr RAW instead of
+// passing through sbt's logger, which prefixes every line with "[info] " —
+// the driver's tail parser needs Bench's summary JSON line unprefixed
+// (BENCH_r10/r11 recorded "parsed": null because of exactly that prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

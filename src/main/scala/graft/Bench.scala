@@ -43,8 +43,12 @@ object Bench {
 
   /** min/max spread beyond this ratio marks a query "contended" in the
     * artifact: an unchanged plan whose passes disagree by >2x is host
-    * noise, not a regression (BASELINE.md round-5 policy). */
+    * noise, not a regression (BASELINE.md round-5 policy). The absolute
+    * floor keeps 0.1-vs-0.25 s jitter on tiny queries from diluting the
+    * flag (18 of 83 flags in the first interleaved run were sub-0.5 s
+    * spreads — pass-to-pass JVM noise, not load windows). */
   private val SpreadFlagRatio = 2.0
+  private val SpreadFlagFloorSecs = 0.3
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -60,6 +64,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, effective because this is the JVM's first session:
+      // the default 100-entry generated-class cache thrashes under
+      // round-robin repeats (197 interleaved plans evict each other, so
+      // every pass re-runs Janino: a uniform +0.3-0.7 s on sub-second
+      // queries, measured 1.34x total on the first interleaved run).
+      // Sized to hold every gate query's codegen stages at once.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,7 +128,8 @@ object Bench {
     // self-diagnosis: queries whose passes disagree by >SpreadFlagRatio ran
     // on a loaded host — their medians are suspect, their plans are not
     val contended = results.collect {
-      case (k, ts, _) if ts.size >= 2 && ts.min > 0 && ts.max / ts.min > SpreadFlagRatio =>
+      case (k, ts, _) if ts.size >= 2 && ts.min > 0 && ts.max / ts.min > SpreadFlagRatio &&
+        ts.max - ts.min > SpreadFlagFloorSecs =>
         "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
@@ -147,18 +159,16 @@ object Bench {
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,""" +
       s""""queries":$slowest,"failed":$failed,"partial":$partial,"contended":$contended,""" +
       s""""repeats":$repeats,"full":"$out","sf":"$sfDir"}"""
-    // Write the summary to the PROCESS stdout (FileDescriptor.out), not
-    // System.out: under `sbt runMain` the in-process System.out is swapped
-    // for sbt's logger, which prefixes every line with "[info] " — and the
-    // driver's tail parser rejects a prefixed JSON line (BENCH_r10/r11 both
-    // recorded "parsed": null despite the line being present in the tail).
-    // FileDescriptor.out bypasses the swap and reaches the pipe raw.
-    println(summary) // sbt-logged copy, for humans scrolling the build log
+    // Reaching the driver's tail UNPREFIXED is a build.sbt concern, not a
+    // stream trick: `run / fork := true` pipes this JVM's stdout through
+    // sbt, and with the default LoggedOutput strategy every line gained an
+    // "[info] " prefix the driver's tail parser rejects (BENCH_r10/r11
+    // "parsed": null; an in-JVM FileDescriptor.out bypass cannot help —
+    // the fork means FD 1 IS the sbt pipe). `run / outputStrategy :=
+    // Some(StdoutOutput)` makes the forked process inherit sbt's stdout
+    // raw, so this plain println lands verbatim.
+    println(summary)
     System.out.flush()
-    val raw = new java.io.PrintStream(
-      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
-    raw.println(summary)
-    raw.flush()
     // Abandoned daemon threads wedged in native code must not keep the JVM
     // (and the driver's clock) running after the artifact is written.
     sys.exit(0)

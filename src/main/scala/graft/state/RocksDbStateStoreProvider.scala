@@ -1289,7 +1289,13 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       val custom: Map[StateStoreCustomMetric, Long] = Map(
         MetricMemtableSize -> memtables,
         MetricSstSize -> sstSize,
-        MetricChangelogRecords -> changelogWriter.map(_.records).getOrElse(0L))
+        MetricChangelogRecords -> changelogWriter.map(_.records).getOrElse(0L),
+        // lifetime counters (uploads ride the maintenance thread, so they
+        // are not attributable to one batch): the measured value of
+        // SST-incremental snapshots — deduped/(deduped+uploaded) is the
+        // fraction of snapshot bytes content-addressing never re-shipped
+        MetricSnapshotBytesUploaded -> snapshots.bytesUploaded.get(),
+        MetricSnapshotBytesDeduped -> snapshots.bytesDeduped.get())
       val instance: Map[StateStoreInstanceMetric, Long] = Map(
         StateStoreSnapshotLastUploadInstanceMetric(
           Some(id.partitionId), id.storeName) -> newestFullSnapshot)
@@ -1348,8 +1354,15 @@ object RocksDbStateStoreProvider {
     StateStoreCustomSizeMetric("rocksdbSstFilesSize", "RocksDB SST files bytes")
   private[state] val MetricChangelogRecords =
     StateStoreCustomSumMetric("changelogRecords", "changelog records written this batch")
+  private[state] val MetricSnapshotBytesUploaded =
+    StateStoreCustomSizeMetric("snapshotBytesUploaded",
+      "checkpoint bytes shipped to durable storage (zips, deltas, new pool SSTs)")
+  private[state] val MetricSnapshotBytesDeduped =
+    StateStoreCustomSizeMetric("snapshotBytesDeduped",
+      "SST bytes skipped by incremental-snapshot content dedup")
   private[state] val customMetrics: Seq[StateStoreCustomMetric] =
-    Seq(MetricMemtableSize, MetricSstSize, MetricChangelogRecords)
+    Seq(MetricMemtableSize, MetricSstSize, MetricChangelogRecords,
+      MetricSnapshotBytesUploaded, MetricSnapshotBytesDeduped)
 
   private[state] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -62,6 +62,13 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
   /** Pool files this manager has uploaded or seen — skips the exists() RPC. */
   private val knownRemote = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Lifetime observability counters for this store instance: bytes
+    * actually shipped (zips, deltas, new pool SSTs) vs SST bytes the
+    * content-address dedup skipped — the measured value of incremental
+    * snapshots, surfaced as provider custom metrics. */
+  val bytesUploaded = new java.util.concurrent.atomic.AtomicLong()
+  val bytesDeduped = new java.util.concurrent.atomic.AtomicLong()
+
   def ensureBaseDir(): Unit = fs.mkdirs(baseDir)
 
   /** Checkpoint-format v2 (state store checkpoint IDs) suffixes every
@@ -107,6 +114,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
   /** Publish a local changelog file as `state.delta.<version>[_<id>]` (same
     * tmp+rename atomicity as snapshots). */
   def uploadDelta(local: File, version: Long, ckptId: Option[String] = None): Unit = {
+    bytesUploaded.addAndGet(local.length())
     val target = deltaFile(version, ckptId)
     val tmp = new Path(baseDir, s".state.delta.$version.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
@@ -152,6 +160,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
       // publishes (without this, an SST whose only other referencers are
       // below-cutoff manifests could be swept mid-upload)
       Try(fs.setTimes(target, System.currentTimeMillis(), -1))
+      bytesDeduped.addAndGet(f.length())
     } else {
       fs.mkdirs(sstPoolDir)
       val tmp = new Path(sstPoolDir, s".$remoteName.${System.nanoTime()}.tmp")
@@ -171,6 +180,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
         throw new java.io.IOException(s"Failed to publish pool SST $target")
       }
       Try(fs.delete(tmp, false)) // no-op when the rename won
+      bytesUploaded.addAndGet(f.length())
     }
     knownRemote.add(remoteName)
     remoteName
@@ -195,6 +205,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
         if (incremental) files.partition(_.getName.endsWith(".sst"))
         else (Array.empty[File], files)
       inline.foreach { f =>
+        bytesUploaded.addAndGet(f.length())
         out.putNextEntry(new ZipEntry(f.getName))
         val in = new FileInputStream(f)
         try {

@@ -193,11 +193,17 @@ class SnapshotIncrementalSuite extends AnyFunSuite {
     val p = newProvider(ckpt, conf)
     try {
       var v = 0L
+      var lastMetrics: Map[String, Long] = Map.empty
       (1 to 6).foreach { i =>
         val store = p.getStore(v, None)
         put(store, s"k$i", i)
         v = store.commit()
+        lastMetrics = store.metrics.customMetrics.map { case (m, x) => m.name -> x }
       }
+      assert(lastMetrics("snapshotBytesUploaded") > 0,
+        "upload counter tracks shipped bytes")
+      assert(lastMetrics("snapshotBytesDeduped") > 0,
+        "unchanged SSTs across consecutive checkpoints register as deduped")
     } finally p.close()
     val pool = new File(new File(new File(ckpt), "0"), "0/sst")
     assert(Try(pool.listFiles().nonEmpty).getOrElse(false),
