@@ -48,6 +48,51 @@ object TextAnalysis {
       |  CAST(list_max(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS INT) AS max_token_len
       |FROM documents""".stripMargin
 
+  /** HEAVY HITTERS over the token stream — the frequent-vocabulary query
+    * answered WITHOUT a full-vocabulary groupBy, via the two-pass
+    * Misra-Gries protocol (the production shape for "top terms over
+    * 100 TB" when the key domain itself is shuffle-sized):
+    * pass 1 folds the corpus into ONE bounded [[graft.functions.HeavyKeep]]
+    * summary (≤[[HeavyK]] entries per partition on the shuffle, merged by
+    * the PODS-2012 rule, so every token with frequency > N/(k+1) is
+    * guaranteed present among the candidates); pass 2 exactly recounts
+    * ONLY the ≤k broadcast candidates and keeps those above the N/(k+1)
+    * threshold. The MG guarantee (no false negatives) plus the exact
+    * recount (no false positives) make the end result EXACTLY the true
+    * heavy set — deterministic although the intermediate summary is
+    * merge-order-dependent, which is what lets the gate hash it against
+    * a sketch-free oracle.
+    *
+    * Fixture note: the synthetic vocabulary (31 tokens) is below k=64, so
+    * on the gate corpus the summary never decrements (exact regime); the
+    * compression/merge regime is pinned by `HeavyKeepSuite` on a skewed
+    * fixture with vocab ≫ k.
+    *
+    * Scale: pass 1 is one scan + a ≤k-entry map per partition merged to a
+    * single row; pass 2 is one scan + a broadcast semi-filter + a
+    * ≤k-group aggregate. Nothing ever shuffles the raw token domain. */
+  private val HeavyK = 64
+
+  def text_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HeavyKeep
+    def toks0(df: DataFrame): DataFrame = df.select(explode(tokens).as("tok"))
+    val corpus = Tables.documents(s, dir)
+    val sketch = toks0(corpus)
+      .agg(HeavyKeep.of(col("tok"), HeavyK).as("cand"), count(lit(1)).as("total"))
+    toks0(corpus)
+      .join(broadcast(sketch))
+      .filter(array_contains(col("cand"), col("tok")))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"), min(col("total")).as("total"))
+      .filter(expr(s"cnt * ${HeavyK + 1} > total"))
+      .select(col("tok"), col("cnt"))
+  }
+
+  val text_heavy_hitters_sql: String =
+    s"""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |g AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+       |SELECT tok, cnt FROM g WHERE cnt * ${HeavyK + 1} > (SELECT count(*) FROM t)""".stripMargin
+
   /** TOKENIZER FERTILITY audit per (lang, source) — the corpus-level
     * budgeting table a pre-training run is priced from: how many tokens a
     * slice yields per 1000 chars (token budget ÷ fertility = raw bytes to
@@ -1244,6 +1289,7 @@ object TextAnalysis {
     "text_repetition" -> text_repetition _,
     "text_stats" -> text_stats _,
     "text_fertility" -> text_fertility _,
+    "text_heavy_hitters" -> text_heavy_hitters _,
     "text_quality" -> text_quality _,
     "text_gopher" -> text_gopher _,
     "text_readability" -> text_readability _,
@@ -1271,6 +1317,7 @@ object TextAnalysis {
     "text_repetition" -> text_repetition_sql,
     "text_stats" -> text_stats_sql,
     "text_fertility" -> text_fertility_sql,
+    "text_heavy_hitters" -> text_heavy_hitters_sql,
     "text_quality" -> text_quality_sql,
     "text_gopher" -> text_gopher_sql,
     "text_readability" -> text_readability_sql,
