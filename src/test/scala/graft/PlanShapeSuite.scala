@@ -62,6 +62,17 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
         "windowed output, not re-scan and re-hash the exploded corpus")
   }
 
+  test("text_heavy_hitters: exactly two scans; candidates broadcast and filter pre-shuffle") {
+    val df = TextAnalysis.text_heavy_hitters(spark, sfDir)
+    assert(executedScans(df) === 2,
+      "the protocol is sketch pass + recount pass — a third scan means " +
+        "the candidate filter re-derived something")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("array_contains"),
+      "the <=k candidate array must broadcast and filter the recount scan " +
+        "BEFORE its exchange — the pass-2 shuffle carries candidate tokens only")
+  }
+
   test("text_pmi_bigrams explodes the corpus once (marginals off the checkpointed counts)") {
     // the one corpus scan happens at the eager bigram-count checkpoint;
     // the returned plan must contain NO parquet scan at all — any scan here
