@@ -317,6 +317,51 @@ object Pipeline {
   private val PackBudget = 1024L
   private val PackShardSpan = 128L // doc_ids per shard bucket
 
+  /** SHARD MANIFEST — the writer-side ledger of a training-data export:
+    * every document deterministically assigned to one of [[ManifestShards]]
+    * hash shards (seeded md5 of doc_id — balanced by construction, stable
+    * under any partitioning, reshuffle, or restart), with the per-shard
+    * stats a loader schedules from (doc/token/char totals, id range) and
+    * an ORDER-INDEPENDENT integrity checksum (`bit_xor` of the per-doc
+    * 60-bit hashes): a reader re-deriving the xor over a shard's actual
+    * contents detects any lost/duplicated/foreign document without
+    * requiring row order — the property a parallel writer can't promise.
+    *
+    * Scale: one scan into a map-side-combined aggregate (xor and the sums
+    * all combine associatively+commutatively); output is exactly
+    * [[ManifestShards]] rows. At 100 TB the same plan writes the manifest
+    * alongside `partitionBy(shard)` output — the aggregate IS the audit
+    * of what the files should contain. */
+  private val ManifestShards = 32L
+
+  def pipe_shard_manifest(s: SparkSession, dir: String): DataFrame = {
+    val h = Dedup.h60S("concat('shard:', CAST(doc_id AS STRING))", "")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"),
+        expr(h).as("h"))
+      .withColumn("shard", expr(s"h % $ManifestShards"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  val pipe_shard_manifest_sql: String =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5(concat('shard:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT h % $ManifestShards AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  bit_xor(h) AS checksum
+       |FROM d GROUP BY 1""".stripMargin
+
   /** LENGTH-DISTRIBUTION audit per (lang, power-of-two token bucket) —
     * the histogram a sequence-packing/curriculum design reads first: where
     * the corpus' tokens actually live by document length (a corpus whose
@@ -1094,6 +1139,7 @@ object Pipeline {
     "pipe_bloom_screen" -> (pipe_bloom_screen(_, _)),
     "pipe_pack" -> (pipe_pack(_, _)),
     "pipe_length_buckets" -> (pipe_length_buckets(_, _)),
+    "pipe_shard_manifest" -> (pipe_shard_manifest(_, _)),
     "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
     "pipe_mix_weights" -> (pipe_mix_weights(_, _)),
     "pipe_mix_apply" -> (pipe_mix_apply(_, _)),
@@ -1120,6 +1166,7 @@ object Pipeline {
     "pipe_bloom_screen" -> pipe_bloom_screen_sql,
     "pipe_pack" -> pipe_pack_sql,
     "pipe_length_buckets" -> pipe_length_buckets_sql,
+    "pipe_shard_manifest" -> pipe_shard_manifest_sql,
     "pipe_sample_stratified" -> pipe_sample_stratified_sql,
     "pipe_mix_weights" -> pipe_mix_weights_sql,
     "pipe_mix_apply" -> pipe_mix_apply_sql,

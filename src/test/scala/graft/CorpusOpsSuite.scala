@@ -569,6 +569,28 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     expected.foreach { case (k, e) => assert(got(k) === e, s"slice $k") }
   }
 
+  // ------------------------------------------------- pipe_shard_manifest
+
+  test("pipe_shard_manifest equals a driver-side hash-shard recompute") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val perDoc = rows.map { case (id, nc, text) =>
+      val h = h60(s"shard:$id")
+      (h % 32, id, nc, toks(text).length.toLong, h)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (shard, ds) =>
+      shard -> ((ds.length.toLong, ds.map(_._4).sum, ds.map(_._3).sum,
+        ds.map(_._2).min, ds.map(_._2).max,
+        ds.map(_._5).reduce(_ ^ _)))
+    }
+    val got = Pipeline.pipe_shard_manifest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k) === e, s"shard $k") }
+  }
+
   // ------------------------------------------------- pipe_length_buckets
 
   test("pipe_length_buckets equals a driver-side log2-histogram recompute") {
