@@ -322,10 +322,16 @@ object Pipeline {
     * hash shards (seeded md5 of doc_id — balanced by construction, stable
     * under any partitioning, reshuffle, or restart), with the per-shard
     * stats a loader schedules from (doc/token/char totals, id range) and
-    * an ORDER-INDEPENDENT integrity checksum (`bit_xor` of the per-doc
-    * 60-bit hashes): a reader re-deriving the xor over a shard's actual
-    * contents detects any lost/duplicated/foreign document without
-    * requiring row order — the property a parallel writer can't promise.
+    * TWO order-independent integrity checksums over the per-doc 60-bit
+    * hashes: `checksum` (bit_xor) and `checksum2` (sum mod 2^61). A reader
+    * re-deriving both over a shard's actual contents detects any
+    * odd-multiplicity error (lost/foreign/odd-duplicated document) via the
+    * xor alone; even-multiplicity errors cancel in xor (a document
+    * duplicated twice leaves it unchanged) but shift the modular sum, so a
+    * silent miss requires cancelling two independent equations
+    * simultaneously (plus n_docs and both totals). Not cryptographic — an
+    * adversarial writer is out of scope; the target is lost/duplicated
+    * shard fragments from retried tasks and partial copies.
     *
     * Scale: one scan into a map-side-combined aggregate (xor and the sums
     * all combine associatively+commutatively); output is exactly
@@ -347,7 +353,11 @@ object Pipeline {
         sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"),
-        expr("bit_xor(h)").as("checksum"))
+        expr("bit_xor(h)").as("checksum"),
+        // sum mod 2^61: h < 2^60, so the DECIMAL(38,0) accumulator holds
+        // ~10^20 docs per shard before precision loss — exact at any scale
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)")
+          .as("checksum2"))
   }
 
   val pipe_shard_manifest_sql: String =
@@ -359,7 +369,8 @@ object Pipeline {
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
-       |  bit_xor(h) AS checksum
+       |  bit_xor(h) AS checksum,
+       |  CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693952 AS BIGINT) AS checksum2
        |FROM d GROUP BY 1""".stripMargin
 
   /** LENGTH-DISTRIBUTION audit per (lang, power-of-two token bucket) —

@@ -150,40 +150,59 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     })
 
   /** Upload `f` to the SST pool under its content address unless already
-    * there; returns the pool file name. Same tmp+rename atomicity. */
+    * there; returns the pool file name. Same tmp+rename atomicity.
+    *
+    * The dedup-hit path must not TRUST `knownRemote`/`exists`: a concurrent
+    * pool GC (maintenance thread, or a sibling provider sharing the baseDir)
+    * can delete an aged, momentarily-unreferenced pool SST between the check
+    * here and the manifest publish. So a hit counts only if the mtime
+    * refresh demonstrably LANDED (`getFileStatus` after `setTimes` — the
+    * refresh is what re-arms cleanup's age gate); any failure falls through
+    * to a fresh upload. [[upload]] additionally re-verifies every referenced
+    * pool name after the manifest publishes, closing the residual window
+    * where the file vanishes after a successful refresh. */
   private def uploadToPool(f: File): String = {
     val remoteName = s"${md5Of(f)}-${f.length()}.sst"
     val target = new Path(sstPoolDir, remoteName)
-    if (knownRemote.contains(remoteName) || fs.exists(target)) {
-      // dedup hit: refresh the pool file's mtime so cleanup's age gate
-      // keeps protecting it until the manifest that re-references it
-      // publishes (without this, an SST whose only other referencers are
-      // below-cutoff manifests could be swept mid-upload)
-      Try(fs.setTimes(target, System.currentTimeMillis(), -1))
+    val dedupHit = (knownRemote.contains(remoteName) || Try(fs.exists(target)).getOrElse(false)) && {
+      val refreshed = Try {
+        fs.setTimes(target, System.currentTimeMillis(), -1)
+        fs.getFileStatus(target) // throws if the file vanished under us
+      }.isSuccess
+      if (!refreshed) knownRemote.remove(remoteName)
+      refreshed
+    }
+    if (dedupHit) {
       bytesDeduped.addAndGet(f.length())
     } else {
-      fs.mkdirs(sstPoolDir)
-      val tmp = new Path(sstPoolDir, s".$remoteName.${System.nanoTime()}.tmp")
-      val out = fs.create(tmp, true)
-      try {
-        val in = new FileInputStream(f)
-        try {
-          val buf = new Array[Byte](64 * 1024)
-          var n = in.read(buf)
-          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-      } finally out.close()
-      // a concurrent sibling may have published the same content first;
-      // content addressing makes either copy equally correct
-      if (!fs.rename(tmp, target) && !fs.exists(target)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(s"Failed to publish pool SST $target")
-      }
-      Try(fs.delete(tmp, false)) // no-op when the rename won
+      pushToPool(f, remoteName)
       bytesUploaded.addAndGet(f.length())
     }
     knownRemote.add(remoteName)
     remoteName
+  }
+
+  /** Raw pool write (tmp + rename), no dedup check. */
+  private def pushToPool(f: File, remoteName: String): Unit = {
+    val target = new Path(sstPoolDir, remoteName)
+    fs.mkdirs(sstPoolDir)
+    val tmp = new Path(sstPoolDir, s".$remoteName.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val in = new FileInputStream(f)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } finally out.close()
+    // a concurrent sibling may have published the same content first;
+    // content addressing makes either copy equally correct
+    if (!fs.rename(tmp, target) && !fs.exists(target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"Failed to publish pool SST $target")
+    }
+    Try(fs.delete(tmp, false)) // no-op when the rename won
   }
 
   /** Zip `localDir`'s RocksDB files into `state.snapshot.<version>[_<id>]`.
@@ -196,6 +215,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
       incremental: Boolean = false): Unit = {
     val target = snapshotFile(version, ckptId)
     val tmp = new Path(baseDir, s".state.snapshot.$version.${System.nanoTime()}.tmp")
+    var sstRefs: Seq[(File, String)] = Nil
     val out = new ZipOutputStream(fs.create(tmp, true))
     try {
       val files = Option(localDir.listFiles()).getOrElse(Array.empty[File])
@@ -215,8 +235,8 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
         out.closeEntry()
       }
       if (incremental) {
-        val refs = ssts.sortBy(_.getName)
-          .map(f => s"${f.getName}\t${uploadToPool(f)}").mkString("\n")
+        sstRefs = ssts.sortBy(_.getName).map(f => (f, uploadToPool(f))).toSeq
+        val refs = sstRefs.map { case (f, r) => s"${f.getName}\t$r" }.mkString("\n")
         out.putNextEntry(new ZipEntry(SstRefsEntry))
         out.write(refs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.closeEntry()
@@ -226,6 +246,20 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"Failed to publish snapshot $target")
+    }
+    // Post-publish audit: from here the manifest is visible to cleanup's
+    // retained-refs scan, so a pool file that re-materializes now STAYS.
+    // Any reference that vanished between its dedup check and the rename
+    // above (concurrent age-gated GC) is re-uploaded from the still-local
+    // bytes — a published snapshot never points at a missing pool file.
+    sstRefs.foreach { case (f, remote) =>
+      if (!Try(fs.exists(new Path(sstPoolDir, remote))).getOrElse(false)) {
+        logWarning(s"Pool SST $remote vanished before $target published; re-uploading")
+        knownRemote.remove(remote)
+        pushToPool(f, remote)
+        bytesUploaded.addAndGet(f.length())
+        knownRemote.add(remote)
+      }
     }
   }
 

@@ -582,11 +582,12 @@ class CorpusOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val expected = perDoc.groupBy(_._1).map { case (shard, ds) =>
       shard -> ((ds.length.toLong, ds.map(_._4).sum, ds.map(_._3).sum,
         ds.map(_._2).min, ds.map(_._2).max,
-        ds.map(_._5).reduce(_ ^ _)))
+        ds.map(_._5).reduce(_ ^ _),
+        (ds.map(d => BigInt(d._5)).sum mod BigInt(2305843009213693952L)).toLong))
     }
     val got = Pipeline.pipe_shard_manifest(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
     assert(got.keySet === expected.keySet)
     expected.foreach { case (k, e) => assert(got(k) === e, s"shard $k") }
   }

@@ -184,6 +184,33 @@ class SnapshotIncrementalSuite extends AnyFunSuite {
     assert(readAll(r) === readAll(v3))
   }
 
+  test("dedup hit verifies the pool file still exists; a vanished SST re-uploads") {
+    val remote = tmpDir("snap-remote-")
+    val mgr = newMgr(remote)
+    mgr.ensureBaseDir()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new Configuration())
+    val v1 = tmpDir("snap-local1-")
+    write(v1, "000001.sst", "raced" * 20)
+    write(v1, "CURRENT", "c1")
+    mgr.upload(v1, 1, incremental = true)
+    // simulate a concurrent pool GC racing the next commit: the pool file
+    // disappears while this mgr's knownRemote cache still claims it exists
+    poolFiles(remote).foreach { n =>
+      fs.delete(new Path(new Path(remote.toURI.toString), s"sst/$n"), false)
+    }
+    assert(poolFiles(remote).isEmpty)
+    val v2 = tmpDir("snap-local2-")
+    write(v2, "000001.sst", "raced" * 20) // same content -> warm dedup path
+    write(v2, "CURRENT", "c2")
+    mgr.upload(v2, 2, incremental = true)
+    assert(poolFiles(remote).size === 1,
+      "the stale dedup hit fell through to a fresh pool upload")
+    val r = tmpDir("snap-restore-")
+    mgr.download(2, r)
+    assert(readAll(r) === readAll(v2),
+      "the published snapshot references a live pool file")
+  }
+
   test("provider end-to-end: incremental cadence snapshots recover across providers") {
     import StateStoreTestHelper._
     val ckpt = newCheckpointDir()
