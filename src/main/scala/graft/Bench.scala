@@ -114,6 +114,15 @@ object Bench {
     val qs = results.map { case (k, ts, _) =>
       "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
     }.mkString("{", ",", "}")
+    // steady-state number per query: the min over passes. Under host
+    // contention the median inflates while the min stays at the plan's true
+    // cost (every r11/r12 "regression" >1.5x was a contended median whose
+    // min matched the prior round) — round-over-round comparisons read
+    // `steady` for contended-flagged queries instead of reaching into
+    // stats.min by hand (SCALE.md "Bench comparison protocol").
+    val steady = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) ts.min else -1.0)
+    }.mkString("{", ",", "}")
     val stats = results.map { case (k, ts, loads) =>
       if (ts.nonEmpty) {
         val spread = if (ts.min > 0) ts.max / ts.min else 1.0
@@ -133,7 +142,8 @@ object Bench {
         "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"stats":$stats,"failed":$failed,"partial":$partial,"contended":$contended,"sf":"$sfDir"}"""
+    val steadyTotal = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"steady":$steady,"repeats":$repeats,"stats":$stats,"failed":$failed,"partial":$partial,"contended":$contended,"sf":"$sfDir"}"""
     // File first: captured stdout can be truncated mid-line (BENCH_r05 and
     // BENCH_r08 both lost the stdout tail — `"parsed": null`); the file is
     // the complete, archivable artifact regardless of what the pipe kept.
@@ -156,7 +166,7 @@ object Bench {
       .sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val nOk = results.count(_._2.nonEmpty)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,""" +
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"n":$nOk,""" +
       s""""queries":$slowest,"failed":$failed,"partial":$partial,"contended":$contended,""" +
       s""""repeats":$repeats,"full":"$out","sf":"$sfDir"}"""
     // Reaching the driver's tail UNPREFIXED is a build.sbt concern, not a
