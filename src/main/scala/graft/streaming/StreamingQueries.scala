@@ -927,6 +927,155 @@ object StreamingQueries {
 
   val stream_cms_sql: String = graft.operators.TextAnalysis.text_cms_counts_sql
 
+  /** One staged copy of `embeddings` per scale-factor dir for the streaming
+    * embedding entries (same pattern as the documents staging). */
+  private val stagedEmbDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+    val tmp = stagedEmbDirs.getOrElseUpdate(dir, {
+      val t = graft.Staging.tempDir("graft-stream-emb-").toString
+      base.repartition(Chunks).write.mode("overwrite").parquet(t)
+      t
+    })
+    s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
+  /** Streaming SEMANTIC dedup — embedding near-dup state maintained in the
+    * RocksDB provider, the composition a continuously-ingesting corpus
+    * pipeline actually runs (the engine's version of the reference's
+    * flagship TTL'd-dedup-state use-case, reference `README.md:34-104`):
+    * documents arrive as an embedding stream, each is filed to its
+    * random-hyperplane LSH bucket ([[graft.operators.Lsh]], the
+    * [[graft.functions.LshBits]] kernel inside the micro-batch), and a
+    * per-bucket representative list in [[ListState]] decides semantic
+    * duplicates ACROSS micro-batch boundaries by the SemDeDup dominated-pair
+    * rule of [[graft.operators.Dedup.dedup_semantic]]: a vector is dropped
+    * iff some lower-vec_id bucket-mate sits at cosine >= 0.4 (the same
+    * sqrt-free `dot² >= 0.16·|a|²·|b|²` test, doubles accumulated in index
+    * order exactly like [[graft.functions.VecDot]] so the three engines —
+    * processor, batch Spark, DuckDB — agree bit-for-bit).
+    *
+    * The min-id rule makes the verdict a function of the SET of bucket
+    * members, not their arrival order, and a member's `kept` flag is
+    * MONOTONE non-increasing along any arrival order (new members can only
+    * add dominators). The processor therefore emits a verdict row per NEW
+    * member plus a retraction row for any resident member a new lower-id
+    * arrival just dominated, and `bool_and` over the update-mode emissions
+    * recovers the final flag whatever the chunk interleaving — which makes
+    * the batch LSH-bucketed SemDeDup SQL an exact oracle (incremental ≡
+    * batch, the [[stream_cms]]/[[stream_kmv]] property; suite-pinned by a
+    * driver-side recompute in `StreamSemDedupSuite`).
+    *
+    * The final gate rows mirror [[graft.operators.Pipeline.pipe_semdedup]]'s
+    * corpus rollup: join the keep-marks back to `documents` and report
+    * per-language keep/drop totals.
+    *
+    * Scale: state per bucket is its representative list — ~64 vectors by
+    * the adaptive-width target (one bucket never holds the corpus; raise
+    * `spark.graft.lsh.maxBits` past 2^20 buckets for 10^8+ corpora), and
+    * per-arrival work is one 64-dim dot product against each bucket
+    * resident, O(target-bucket) per document with NO shuffle beyond the
+    * one hash-partition on bucket id. The bucket width is pinned at query
+    * build from the reference corpus count (an index parameter — a stream
+    * cannot count itself; production pins it in config exactly like the
+    * persisted-index path). Retraction rows keep emissions O(changes), not
+    * O(state), per batch. */
+  def stream_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val nb = graft.operators.Lsh.numBits(Tables.embeddingsCount(s, dir))
+    val flags = runToTable(s, { s2 =>
+      import s2.implicits._
+      embeddingsStream(s2, dir)
+        .select(graft.operators.Lsh.bucketCol(nb, col("embedding")).as("blk"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .groupByKey(_._1)
+        .transformWithState(new SemDedupProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("vec_id", "kept")
+    }, OutputMode.Update(), "stream_semdedup")
+      .groupBy(col("vec_id"))
+      .agg(expr("bool_and(kept)").as("kept"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(flags.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  private class SemDedupProcessor
+    extends StatefulProcessor[Long, (Long, Long, Array[Float]), (Long, Boolean)] {
+    @transient private var members: ListState[(Long, Array[Float], Boolean)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[(Long, Array[Float], Boolean)](
+        "members", Encoders.product[(Long, Array[Float], Boolean)], TTLConfig.NONE)
+
+    // index-ordered double accumulation — [[graft.functions.VecDot]]'s exact
+    // semantics, so the dominance test matches batch Spark and DuckDB
+    private def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+
+    override def handleInputRows(blk: Long, rows: Iterator[(Long, Long, Array[Float])],
+        timerValues: TimerValues): Iterator[(Long, Boolean)] = {
+      val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+      members.get().foreach(cur += _)
+      val firstNew = cur.length
+      rows.foreach { r => cur += ((r._2, r._3, true)) }
+      val n2 = cur.map(m => dot(m._2, m._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      // dominance pairs involving at least one NEW member, both directions:
+      // old-old pairs were settled in earlier batches (flags never un-drop)
+      var j = firstNew
+      while (j < cur.length) {
+        var i = 0
+        while (i < cur.length) {
+          if (i != j && cur(i)._1 != cur(j)._1) {
+            val (lo, hi) = if (cur(i)._1 < cur(j)._1) (i, j) else (j, i)
+            if (cur(hi)._3) {
+              val d = dot(cur(lo)._2, cur(hi)._2)
+              if (d > 0 && d * d >= 0.16 * n2(lo) * n2(hi)) {
+                // a resident member dominated by a new lower-id arrival
+                // emits a retraction; a new member's flag settles below
+                if (hi < firstNew) out += ((cur(hi)._1, false))
+                cur(hi) = (cur(hi)._1, cur(hi)._2, false)
+              }
+            }
+          }
+          i += 1
+        }
+        j += 1
+      }
+      var k = firstNew
+      while (k < cur.length) { out += ((cur(k)._1, cur(k)._3)); k += 1 }
+      members.put(cur.toArray)
+      out.iterator
+    }
+  }
+
+  val stream_semdedup_sql: String =
+    s"""WITH ${graft.operators.Lsh.paramsDuck},
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
+       |    ${graft.operators.Lsh.bucketDuck} AS blk,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings, params),
+       |pr AS (SELECT a.vec_id ia, b.vec_id ib,
+       |    list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+       |      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+       |    a.n2 n2a, b.n2 n2b
+       |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id),
+       |p AS (SELECT DISTINCT ib FROM pr WHERE dot > 0 AND dot * dot >= 0.16 * n2a * n2b),
+       |m AS (SELECT e.vec_id, (p.ib IS NULL) AS kept FROM e LEFT JOIN p ON e.vec_id = p.ib)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM documents d JOIN m ON d.doc_id = m.vec_id
+       |GROUP BY 1""".stripMargin
+
   /** Watermarked APPEND-mode tumbling-window count — the production
     * streaming shape: the 1-hour watermark closes windows as micro-batches
     * advance, closed windows are emitted exactly once and their state is
@@ -1436,6 +1585,7 @@ object StreamingQueries {
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
     "stream_kmv" -> (stream_kmv(_, _)),
     "stream_cms" -> (stream_cms(_, _)),
+    "stream_semdedup" -> (stream_semdedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1473,5 +1623,6 @@ object StreamingQueries {
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_kmv" -> stream_kmv_sql,
-    "stream_cms" -> stream_cms_sql)
+    "stream_cms" -> stream_cms_sql,
+    "stream_semdedup" -> stream_semdedup_sql)
 }
