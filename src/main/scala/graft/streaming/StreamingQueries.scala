@@ -1076,6 +1076,66 @@ object StreamingQueries {
        |FROM documents d JOIN m ON d.doc_id = m.vec_id
        |GROUP BY 1""".stripMargin
 
+  /** QUANTILE sketch maintained INCREMENTALLY in streaming state — the
+    * per-group bottom-k-by-hash uniform sample
+    * ([[graft.functions.BottomKSample]], the Mergeable Summaries random-
+    * sample route): each event's (hash-of-event_id, per-mille value) pair
+    * folds into a bounded ≤k-pair buffer per event type, whose serialized
+    * form lives in the graft RocksDB provider between micro-batches —
+    * "what are this stream's p50/p90 so far?" answered forever at k·16
+    * bytes of state per group. The sample is a pure order statistic of the
+    * input SET (hash-driven, no RNG), so the incremental build equals the
+    * batch build BIT-FOR-BIT whatever the chunk interleaving — completing
+    * the incremental≡batch sketch family (CMS counts, KMV distincts, now
+    * rank statistics) — and the oracle recomputes the identical sample by
+    * `row_number() OVER (ORDER BY hash)`. Rank selection is positional
+    * integer arithmetic on the sorted sample (no interpolation doubles);
+    * the guarantee is the classic sampling bound (rank error O(1/√k) w.h.p.
+    * at k=[[QuantileK]]), traded for the merge-tree INVARIANCE that
+    * deterministic-compaction sketches (GK/KLL) cannot give an
+    * oracle-checked distributed build. Update-mode re-emissions resolve by
+    * `max_by` on the running count, as [[stream_kmv]]. */
+  private val QuantileK = 256
+
+  def stream_quantile(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.operators.Dedup.h60S("concat('qs:', CAST(event_id AS STRING))", "")
+    runToTable(s, s2 =>
+      events(s2, dir)
+        .select(col("event_type"), expr(h).as("hv"),
+          floor(col("value") * 1000).cast("long").as("mille"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.BottomKSample.of(col("hv"), col("mille"), QuantileK).as("sample"),
+          count(lit(1)).as("n_events")),
+      OutputMode.Update(), "stream_quantile")
+      .groupBy(col("event_type"))
+      .agg(max_by(col("sample"), col("n_events")).as("sample"),
+        max(col("n_events")).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        size(col("sample")).cast("long").as("n_sample"),
+        expr("element_at(sample, CAST(((size(sample) - 1) * 50) DIV 100 + 1 AS INT))")
+          .as("p50_mille"),
+        expr("element_at(sample, CAST(((size(sample) - 1) * 90) DIV 100 + 1 AS INT))")
+          .as("p90_mille"))
+  }
+
+  val stream_quantile_sql: String =
+    s"""WITH h AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS mille,
+       |    CAST(('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM events),
+       |tot AS (SELECT event_type, count(*) AS n_events FROM h GROUP BY 1),
+       |dp AS (SELECT DISTINCT event_type, hv, mille FROM h),
+       |r AS (SELECT event_type, mille,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY hv, mille) AS rn FROM dp),
+       |s AS (SELECT event_type, mille,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY mille) AS mr,
+       |    count(*) OVER (PARTITION BY event_type) AS m
+       |  FROM r WHERE rn <= $QuantileK)
+       |SELECT event_type, n_events, CAST(max(m) AS BIGINT) AS n_sample,
+       |  max(CASE WHEN mr = ((m - 1) * 50) // 100 + 1 THEN mille END) AS p50_mille,
+       |  max(CASE WHEN mr = ((m - 1) * 90) // 100 + 1 THEN mille END) AS p90_mille
+       |FROM s JOIN tot USING (event_type)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Watermarked APPEND-mode tumbling-window count — the production
     * streaming shape: the 1-hour watermark closes windows as micro-batches
     * advance, closed windows are emitted exactly once and their state is
@@ -1586,6 +1646,7 @@ object StreamingQueries {
     "stream_kmv" -> (stream_kmv(_, _)),
     "stream_cms" -> (stream_cms(_, _)),
     "stream_semdedup" -> (stream_semdedup(_, _)),
+    "stream_quantile" -> (stream_quantile(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1624,5 +1685,6 @@ object StreamingQueries {
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_kmv" -> stream_kmv_sql,
     "stream_cms" -> stream_cms_sql,
-    "stream_semdedup" -> stream_semdedup_sql)
+    "stream_semdedup" -> stream_semdedup_sql,
+    "stream_quantile" -> stream_quantile_sql)
 }
