@@ -73,6 +73,30 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
         "BEFORE its exchange — the pass-2 shuffle carries candidate tokens only")
   }
 
+  test("sim_index_persist: loaded-index search runs zero trainer stages") {
+    val df = operators.Similarity.sim_index_persist(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("vec_sum_long"),
+      "the loaded search must contain no Lloyd codebook update — training " +
+        "happened once at index-write time, not per search session")
+    // the only corpus reads are the query rows, filter pushed to parquet;
+    // everything else comes off the persisted index layout
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    val corpusScans = scans.filter(
+      _.metadata.get("Location").exists(_.contains("embeddings")))
+    assert(corpusScans.nonEmpty, "query vectors come from the corpus table")
+    corpusScans.foreach { sc =>
+      assert(sc.metadata.get("PushedFilters").exists(_.contains("LessThan(vec_id,50)")),
+        s"query-side corpus scan must push vec_id < 50 to parquet, " +
+          s"got ${sc.metadata.get("PushedFilters")}")
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-index"))),
+      "search must read the persisted index layout")
+  }
+
   test("text_pmi_bigrams explodes the corpus once (marginals off the checkpointed counts)") {
     // the one corpus scan happens at the eager bigram-count checkpoint;
     // the returned plan must contain NO parquet scan at all — any scan here
