@@ -71,7 +71,7 @@ object TextAnalysis {
     * Scale: pass 1 is one scan + a ≤k-entry map per partition merged to a
     * single row; pass 2 is one scan + a broadcast semi-filter + a
     * ≤k-group aggregate. Nothing ever shuffles the raw token domain. */
-  private val HeavyK = 64
+  private[graft] val HeavyK = 64
 
   def text_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HeavyKeep
