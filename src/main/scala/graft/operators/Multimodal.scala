@@ -555,14 +555,18 @@ object Multimodal {
     val ds = Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       .as[(Long, Array[Byte])]
-    ds.mapPartitions { batch =>
-      batch.map { case (id, textBytes) =>
-        requireAscii(id, textBytes)
-        val bmp = synthesizeBmp(widthFor(id), textBytes)
-        parseBmpPhash(id, bmp)
-      }
-    }.toDF("doc_id", "width", "height", "phash", "band16")
+    ds.mapPartitions(phashPartition).toDF("doc_id", "width", "height", "phash", "band16")
   }
+
+  /** The synthesize→parse→dHash kernel as a partition function, shared by
+    * the batch scan above and the streaming near-dup gate (the decode step
+    * is per-partition stateless either way). */
+  private[graft] def phashPartition(
+      batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, Int, Int, Long, Long)] =
+    batch.map { case (id, textBytes) =>
+      requireAscii(id, textBytes)
+      parseBmpPhash(id, synthesizeBmp(widthFor(id), textBytes))
+    }
 
   /** Parse the BMP (magic, LE header, bottom-up padded rows) and fold the
     * logical-order row-sum profile into the difference hash. */

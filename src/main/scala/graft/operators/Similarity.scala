@@ -1521,17 +1521,16 @@ object Similarity {
     * passes (hash aggs, no sorts); the candidate set is
     * cells ⋈ broadcast(probes) — one row per candidate through the scoring
     * agg, never the whole corpus per query. */
-  /** Query-side subvector table (vec_id < 50): the per-subspace slices,
-    * shared by the in-session and loaded-index IVF×PQ searches. */
-  private def querySubvectors(s: SparkSession, dir: String): DataFrame = {
-    val dim = Tables.embeddingsDim(s, dir)
+  /** Query-side subvector table: the per-subspace slices of a given
+    * (vec_id, embedding) query set — shared by the in-session,
+    * loaded-index, and streaming-serve IVF×PQ searches. */
+  private[graft] def subvectorsOf(q: DataFrame, dim: Int): DataFrame = {
     val sd = dim / PqM
     def sliceLen(m: Int): Int = if (m == PqM - 1) dim - (PqM - 1) * sd else sd
     val slices = (0 until PqM)
       .map(m => s"slice(embedding, ${m * sd + 1}, ${sliceLen(m)})")
       .mkString("array(", ", ", ")")
-    Tables.embeddings(s, dir).filter(col("vec_id") < 50)
-      .select(col("vec_id"), posexplode(expr(slices)).as(Seq("m", "sv")))
+    q.select(col("vec_id"), posexplode(expr(slices)).as(Seq("m", "sv")))
   }
 
   /** The IVF×PQ index BUILD — the trainer stages, shared by
@@ -1591,16 +1590,25 @@ object Similarity {
     * [[NumProbes]] coarse cells per query, ADC-score only the vectors filed
     * there. */
   private def ivfpqSearch(s: SparkSession, dir: String, cent: DataFrame,
+      cellOf: DataFrame, code: DataFrame, assigned: DataFrame): DataFrame =
+    ivfpqSearchFor(Tables.embeddings(s, dir).filter(col("vec_id") < 50),
+      Tables.embeddingsDim(s, dir), cent, cellOf, code, assigned)
+
+  /** The same search for an ARBITRARY query set (vec_id, embedding) —
+    * the entry the streaming serve path calls per micro-batch. Per-query
+    * results are independent, so any partition of the query set unions to
+    * the whole answer (the incremental ≡ batch property the serve gate
+    * leans on). */
+  private[graft] def ivfpqSearchFor(queries: DataFrame, dim: Int, cent: DataFrame,
       cellOf: DataFrame, code: DataFrame, assigned: DataFrame): DataFrame = {
-    val q = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
-      .select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+    val q = queries.select(col("vec_id"), col("embedding"), norm2C.as("n2"))
     val probeCells = q.crossJoin(broadcast(cent))
       .withColumn("cscore", dotC / sqrt(col("n2") * col("cn2")))
       .groupBy(col("vec_id"))
       .agg(slice(array_sort(collect_list(struct((-col("cscore")).as("neg"), col("ccid").as("ccid")))),
         1, NumProbes).as("top"))
       .select(col("vec_id").as("qid"), explode(col("top.ccid")).as("cell"))
-    val tbl = querySubvectors(s, dir)
+    val tbl = subvectorsOf(queries, dim)
       .join(broadcast(code.withColumn("cl", sqrt(VecDot.norm2(col("cv"))))), Seq("m"))
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
         (VecDot.dot(col("cv"), col("sv")) / col("cl")).as("t"))
@@ -1649,8 +1657,11 @@ object Similarity {
     * it at a durable URI is a config change, not a plan change. */
   private val ivfpqIndexDirMemo = new graft.Memo[String]
 
-  def sim_index_persist(s: SparkSession, dir: String): DataFrame = {
-    val idx = ivfpqIndexDirMemo.getOrStage(dir) {
+  /** Train-once, ship-as-data: the persisted IVF×PQ index layout's root
+    * path (built on first call per fixture dir, reused after) — shared by
+    * the batch loaded-index search and the streaming serve path. */
+  private[graft] def persistedIvfpqIndex(s: SparkSession, dir: String): String =
+    ivfpqIndexDirMemo.getOrStage(dir) {
       val (cent, cellOf, code, assigned) = ivfpqIndex(s, dir)
       val p = graft.Staging.tempDir("graft-ivfpq-index-").toString
       cent.write.mode("overwrite").parquet(s"$p/centroids")
@@ -1659,6 +1670,9 @@ object Similarity {
       assigned.write.mode("overwrite").parquet(s"$p/codes")
       p
     }
+
+  def sim_index_persist(s: SparkSession, dir: String): DataFrame = {
+    val idx = persistedIvfpqIndex(s, dir)
     ivfpqSearch(s, dir,
       s.read.parquet(s"$idx/centroids"),
       s.read.parquet(s"$idx/cells"),

@@ -927,6 +927,43 @@ object StreamingQueries {
 
   val stream_cms_sql: String = graft.operators.TextAnalysis.text_cms_counts_sql
 
+  /** Misra-Gries heavy hitters maintained INCREMENTALLY in streaming
+    * state — the fourth mergeable sketch in the incremental≡batch family
+    * (CMS grid, KMV order statistic, bottom-k quantile sample, now the MG
+    * frequency summary): the document stream's tokens fold into ONE
+    * [[graft.functions.HeavyKeep]] buffer held in the graft RocksDB
+    * provider, ≤k counters forever however long the ingest runs. The MG
+    * decrement rule is merge-tree-safe (PODS-2012; `HeavyKeepSuite` pins
+    * the merge regime), so the streaming buffer — merged batch-by-batch
+    * instead of partition-by-partition — carries the SAME no-false-negative
+    * guarantee as the batch pass, and the batch-side exact recount of the
+    * final ≤k candidates then makes the end result exactly the true heavy
+    * set. Same sketch-free oracle as [[graft.operators.TextAnalysis
+    * .text_heavy_hitters]]: candidates-from-stream ∘ recount ≡ batch. */
+  def stream_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HeavyKeep
+    import graft.operators.TextAnalysis.HeavyK
+    val sketch = runToTable(s, s2 =>
+      documentsStream(s2, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .agg(HeavyKeep.of(col("tok"), HeavyK).as("cand"), count(lit(1)).as("total")),
+      OutputMode.Complete(), "stream_heavy_hitters")
+      // complete mode rewrites the single global row per trigger; collapse
+      // to the final emission (total is strictly increasing)
+      .agg(max_by(col("cand"), col("total")).as("cand"), max(col("total")).as("total"))
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .join(broadcast(sketch))
+      .filter(array_contains(col("cand"), col("tok")))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"), min(col("total")).as("total"))
+      .filter(expr(s"cnt * ${HeavyK + 1} > total"))
+      .select(col("tok"), col("cnt"))
+  }
+
+  val stream_heavy_hitters_sql: String =
+    graft.operators.TextAnalysis.text_heavy_hitters_sql
+
   /** One staged copy of `embeddings` per scale-factor dir for the streaming
     * embedding entries (same pattern as the documents staging). */
   private val stagedEmbDirs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1135,6 +1172,145 @@ object StreamingQueries {
        |  max(CASE WHEN mr = ((m - 1) * 90) // 100 + 1 THEN mille END) AS p90_mille
        |FROM s JOIN tot USING (event_type)
        |GROUP BY 1, 2""".stripMargin
+
+  /** STREAMING ANN SERVING against the persisted IVF×PQ index — the
+    * online half of [[graft.operators.Similarity.sim_index_persist]]'s
+    * production story: the index is trained ONCE and written as data
+    * (four parquet tables), and query vectors then arrive as a STREAM,
+    * each micro-batch ADC-scored against the LOADED index inside
+    * `foreachBatch` — zero trainer stages ever run at serve time (the
+    * serve plan is [[graft.operators.Similarity.ivfpqSearchFor]], whose
+    * only corpus-side inputs are the index tables). Per-query results are
+    * independent, so the union of per-batch answers IS the batch answer —
+    * the oracle is the same IVF×PQ SQL as the batch search. Each batch's
+    * output lands in a batch-id-stamped parquet partition (the
+    * [[stream_foreach_batch]] idempotence discipline: a replayed batch
+    * overwrites its own partition).
+    *
+    * Scale: this is micro-batch vector serving on a lake — index I/O per
+    * batch is the probed cells' code rows only, the query side is the
+    * batch's rows, and nothing retrains or reshuffles the corpus; the
+    * steady-state cost of a serving cluster is O(queries × probes), not
+    * O(corpus). */
+  def stream_ann_serve(s0: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val idx = Similarity.persistedIvfpqIndex(s, dir)
+    val dim = Tables.embeddingsDim(s, dir)
+    val outDir = graft.Staging.tempDir("graft-annserve-out-").toString
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    val q = embeddingsStream(s, dir)
+      .filter(col("vec_id") < 50)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        Similarity.ivfpqSearchFor(batch.select(col("vec_id"), col("embedding")), dim,
+            s2.read.parquet(s"$idx/centroids"),
+            s2.read.parquet(s"$idx/cells"),
+            s2.read.parquet(s"$idx/codebook"),
+            s2.read.parquet(s"$idx/codes"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .format("parquet")
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .save(outDir)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).select(col("qid"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic integer-exact training + per-query independence make
+    * the streamed serve equal the one-shot batch search — shared oracle. */
+  lazy val stream_ann_serve_sql: String = graft.operators.Similarity.sim_topk_ivfpq_sql
+
+  /** STREAMING MULTIMODAL near-dup — the image-ingest twin of
+    * [[stream_lsh_dedup]], extending the streaming dedup family to the
+    * binary modalities: images arrive as a document stream, each is
+    * decoded to its [[graft.operators.Multimodal.mm_phash]] difference
+    * hash inside the micro-batch (the per-partition codec kernel — the
+    * only `mapPartitions` family in the engine), banded for Hamming space
+    * (4×15 bits, pigeonhole-exact for d ≤ 3), and a per-bucket resident
+    * list in [[ListState]] emits a near-dup pair the moment the LATER
+    * image of the pair arrives — whatever micro-batch the earlier one
+    * came in. The emitted pair set is a function of the bucket's member
+    * SET (every a<b pair is evaluated exactly once per shared bucket, by
+    * whichever arrival completes it), so incremental ≡ batch under any
+    * chunk interleaving and the batch banded join
+    * ([[graft.operators.Multimodal.mm_phash_dedup]]) is an exact oracle;
+    * cross-band duplicates collapse in the final group-by exactly like
+    * the batch `.distinct()`.
+    *
+    * Scale: state per bucket is its residents' (id, hash) pairs — 16
+    * bytes per image per band, the same data-bounded buckets as the
+    * batch join (dims in the key keep degenerate bands apart); per
+    * arrival work is one `bitCount(xor)` per bucket resident, and
+    * emissions are O(matches). This is the shape of a continuously-
+    * ingesting image pipeline's dedup: no rescan of the corpus, no
+    * shuffle beyond the one hash-partition on bucket id. */
+  def stream_mm_dedup(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, { s2 =>
+      import s2.implicits._
+      documentsStream(s2, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(graft.operators.Multimodal.phashPartition)
+        .toDF("doc_id", "width", "height", "phash", "band16")
+        .withColumn("bi", explode(array((0 to 3).map(lit(_)): _*)))
+        .withColumn("bv", expr("(phash >> (bi * 15)) & 32767"))
+        .select(col("width"), col("height"), col("bi"), col("bv"),
+          col("doc_id"), col("phash"))
+        .as[(Int, Int, Int, Long, Long, Long)]
+        .groupByKey(r => (r._1, r._2, r._3, r._4))
+        .transformWithState(new HammingBucketProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("doc_id_a", "doc_id_b", "hamming")
+    }, OutputMode.Update(), "stream_mm_dedup")
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+
+  lazy val stream_mm_dedup_sql: String = graft.operators.Multimodal.mm_phash_dedup_sql
+
+  /** Per-bucket residents; a pair is emitted by its LATER arrival iff
+    * Hamming ≤ 3 — one xor+popcount per (new, resident) pair. */
+  private[graft] class HammingBucketProcessor
+    extends StatefulProcessor[(Int, Int, Int, Long), (Int, Int, Int, Long, Long, Long), (Long, Long, Int)] {
+    @transient private var members: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[(Long, Long)](
+        "members", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Int, Int, Long),
+        rows: Iterator[(Int, Int, Int, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Int)] = {
+      val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      members.get().foreach(cur += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rows.foreach { r =>
+        val (id, ph) = (r._5, r._6)
+        var i = 0
+        while (i < cur.length) {
+          val (oid, oph) = cur(i)
+          if (oid != id) {
+            val d = java.lang.Long.bitCount(oph ^ ph)
+            if (d <= 3) out += ((math.min(oid, id), math.max(oid, id), d))
+          }
+          i += 1
+        }
+        cur += ((id, ph))
+        fresh += ((id, ph))
+      }
+      fresh.foreach(members.appendValue)
+      out.iterator
+    }
+  }
 
   /** Watermarked APPEND-mode tumbling-window count — the production
     * streaming shape: the 1-hour watermark closes windows as micro-batches
@@ -1548,6 +1724,66 @@ object StreamingQueries {
   val stream_restart_sql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
 
+  /** Mid-stream OFFLINE REPARTITION, gated end-to-end: the [[stream_restart]]
+    * topology (dedup → aggregation, both stateful), but between the stop and
+    * the resume the checkpoint is migrated from 8 to 16 state partitions
+    * with [[graft.state.StateRepartition]] — the operational move Spark
+    * itself cannot make (`shuffle.partitions` is pinned at the first
+    * checkpoint forever, the known trap for a long-lived job whose state
+    * outgrows its day-one sizing). The resumed 16-partition query's
+    * complete-mode answer equals the plain batch answer over the whole
+    * fixture only if every dedup seen-key and agg buffer landed on exactly
+    * the partition the new `HashPartitioning(16)` reads — one misplaced key
+    * double-counts (dedup miss) or splits an aggregate (two rows per key). */
+  def stream_repartition(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val base = Tables.events(s, dir)
+    val stagedParts = {
+      events(s, dir)
+      java.nio.file.Files.list(java.nio.file.Paths.get(stagedDirs(dir)))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toVector.sortBy(_.getFileName.toString)
+    }
+    val inDir = graft.Staging.tempDir("graft-repart-in-")
+    val ckptA = graft.Staging.tempDir("graft-repart-ckptA-").toString
+    val ckptB = graft.Staging.tempDir("graft-repart-ckptB-").toString + "/migrated"
+    val sink = "stream_repartition_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      java.nio.file.Files.copy(p, inDir.resolve(p.getFileName.toString))
+    }
+    def run(sinkName: String, ckptDir: String): Unit = {
+      val q = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, secondHalf) = stagedParts.splitAt(stagedParts.size / 2)
+    feed(firstHalf)
+    run(sink + "_phase1", ckptA) // 8 partitions, then STOP entirely
+    graft.state.StateRepartition.run(s, ckptA, ckptB, 16)
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    feed(secondHalf)
+    run(sink, ckptB) // resumes at 16 from the migrated checkpoint
+    s.table(sink)
+  }
+
+  val stream_repartition_sql: String =
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+
   /** STREAMING funnel — the q28 conversion funnel as an online state
     * machine: per user, a `transformWithState` ValueState carries exactly
     * three timestamps (first view, first in-window click after it, first
@@ -1637,6 +1873,7 @@ object StreamingQueries {
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
+    "stream_repartition" -> (stream_repartition(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
     "stream_chained_agg" -> (stream_chained_agg(_, _)),
     "stream_file_sink" -> (stream_file_sink(_, _)),
@@ -1645,8 +1882,11 @@ object StreamingQueries {
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
     "stream_kmv" -> (stream_kmv(_, _)),
     "stream_cms" -> (stream_cms(_, _)),
+    "stream_heavy_hitters" -> (stream_heavy_hitters(_, _)),
     "stream_semdedup" -> (stream_semdedup(_, _)),
     "stream_quantile" -> (stream_quantile(_, _)),
+    "stream_ann_serve" -> (stream_ann_serve(_, _)),
+    "stream_mm_dedup" -> (stream_mm_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1681,10 +1921,14 @@ object StreamingQueries {
     "stream_file_sink" -> stream_file_sink_sql,
     "stream_foreach_batch" -> stream_foreach_batch_sql,
     "stream_restart" -> stream_restart_sql,
+    "stream_repartition" -> stream_repartition_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_kmv" -> stream_kmv_sql,
     "stream_cms" -> stream_cms_sql,
+    "stream_heavy_hitters" -> stream_heavy_hitters_sql,
     "stream_semdedup" -> stream_semdedup_sql,
-    "stream_quantile" -> stream_quantile_sql)
+    "stream_quantile" -> stream_quantile_sql,
+    "stream_ann_serve" -> stream_ann_serve_sql,
+    "stream_mm_dedup" -> stream_mm_dedup_sql)
 }

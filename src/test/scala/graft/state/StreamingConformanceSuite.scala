@@ -1104,4 +1104,86 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(last === Map("a" -> 101L, "b" -> 2L, "c" -> 10L),
       "handleInitialState seed must compose with subsequent input rows")
   }
+
+  test("Hamming bucket residents pair across micro-batch boundaries " +
+    "(pair set == batch banded join, any interleaving)") {
+    import graft.streaming.StreamingQueries
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60-bit hashes in one dims-bucket; pairs within d<=3 across and within
+    // chunks. Chunk split chosen so pair (1,4) spans batches 1 and 2 and
+    // (2,6) spans 1 and 3 — the cross-batch state the test exists for.
+    val imgs: Seq[(Long, Long)] = Seq(
+      1L -> 0x0F0F0F0F0FL, 2L -> 0x123456789AL, 3L -> 0x0F0F0F0F0CL, // batch 1
+      4L -> 0x0F0F0F0F0EL, 5L -> 0x7FFFFFFFFFL,                      // batch 2
+      6L -> 0x123456788AL, 7L -> 0x0F0F0F0F0FL)                      // batch 3
+    def banded(id: Long, ph: Long): Seq[(Int, Int, Int, Long, Long, Long)] =
+      (0 to 3).map(bi => (8, 8, bi, (ph >> (bi * 15)) & 32767L, id, ph))
+    val expected = (for {
+      (a, pa) <- imgs; (b, pb) <- imgs if a < b
+      shared = (0 to 3).exists(bi => ((pa >> (bi * 15)) & 32767L) == ((pb >> (bi * 15)) & 32767L))
+      d = java.lang.Long.bitCount(pa ^ pb) if shared && d <= 3
+    } yield (a, b, d)).toSet
+    assert(expected.exists { case (a, b, _) => a <= 3 && b >= 4 }, "fixture must span batches")
+
+    val input = MemoryStream[(Int, Int, Int, Long, Long, Long)]
+    val q = input.toDS()
+      .groupByKey(r => (r._1, r._2, r._3, r._4))
+      .transformWithState(new StreamingQueries.HammingBucketProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("a", "b", "d")
+      .writeStream.format("memory").queryName("hamming_sink")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      Seq(imgs.take(3), imgs.slice(3, 5), imgs.drop(5)).foreach { chunk =>
+        input.addData(chunk.flatMap { case (id, ph) => banded(id, ph) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("hamming_sink").as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("Misra-Gries buffer in streaming state keeps the heavy-hitter guarantee " +
+    "across micro-batch merges (compression regime)") {
+    import graft.functions.HeavyKeep
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // vocab 405 >> k=8 so streaming merges actually decrement (the gate
+    // corpus never leaves the exact regime — this is the regime pin)
+    val rows: Seq[String] =
+      (0 until 5).flatMap(i => Seq.fill(200 - 40 * i)(s"h$i")) ++
+        (0 until 400).map(i => s"tail$i")
+    val k = 8
+    val n = rows.size.toLong
+    val trueHeavy = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }.toMap
+
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("tok")
+      .agg(HeavyKeep.of(col("tok"), k).as("cand"), count(lit(1)).as("total"))
+      .writeStream.format("memory").queryName("mg_stream_sink")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      // 7 uneven micro-batches = 7 sequential merges into RocksDB state
+      rows.grouped(rows.size / 7 + 1).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val row = spark.table("mg_stream_sink").collect()(0)
+    val cand = row.getSeq[String](0).toSet
+    assert(row.getLong(1) === n)
+    assert(cand.size <= k, s"streaming summary bounded at k=$k")
+    assert(trueHeavy.keySet.subsetOf(cand),
+      s"streaming merge lost heavies ${trueHeavy.keySet -- cand}")
+    // exact recount on top = exactly the true heavy set (the gate's shape)
+    val recount = rows.filter(cand).groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }.toMap
+    assert(recount === trueHeavy)
+  }
 }
