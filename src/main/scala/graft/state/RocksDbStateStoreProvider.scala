@@ -778,6 +778,10 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
 
     private val cfs = mutable.HashMap.empty[String, CfInfo]
     private val cfKeySchemaJson = mutable.HashMap.empty[String, String]
+    private val cfRegJson = mutable.HashMap.empty[String, String]
+    /** (persisted, registered) key-schema JSON per conflicting CF; thrown at
+      * first use — see the deferred-check note in [[registerCf]]. */
+    private val keySchemaConflicts = mutable.HashMap.empty[String, (String, String)]
 
     /** numKeys per column family, persisted in an internal CF so counts ride
       * both full snapshots and changelog deltas. */
@@ -786,10 +790,19 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         opened.db.createColumnFamilyWithTtl(
           new ColumnFamilyDescriptor(MetaCf.getBytes("UTF-8"), cfOptions()), 0))
 
-    /** Per-CF numKeys plus the key schema each CF was written under, both
-      * persisted in the meta CF (schemas under a `ks:` key prefix). */
+    /** Per-CF numKeys plus the key schema each CF was written under, plus
+      * the full registration record (key/value schemas + encoder spec +
+      * multi-value flag, under a `cfreg:` prefix) — all persisted in the
+      * meta CF. The registration records make the store SELF-DESCRIBING: a
+      * cold reader (the `statestore` data source over a transformWithState
+      * variable, or the offline repartition tool) can iterate a column
+      * family the current session never registered, because Spark's reader
+      * never calls `createColFamilyIfAbsent` — it expects the provider to
+      * recall its own layout (Spark's built-in RocksDB provider persists
+      * the same information in its checkpoint metadata). */
     private val persistedCounts = Map.newBuilder[String, Long]
     private val persistedKeySchemas = mutable.HashMap.empty[String, String]
+    private val persistedCfRegs = mutable.HashMap.empty[String, String]
     if (opened.handles.contains(MetaCf)) {
       val it = opened.db.newIterator(opened.handles(MetaCf))
       try {
@@ -799,13 +812,17 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
           if (k.startsWith(KeySchemaMetaPrefix))
             persistedKeySchemas += k.stripPrefix(KeySchemaMetaPrefix) ->
               new String(it.value(), "UTF-8")
+          else if (k.startsWith(CfRegMetaPrefix))
+            persistedCfRegs += k.stripPrefix(CfRegMetaPrefix) ->
+              new String(it.value(), "UTF-8")
           else persistedCounts += k -> beLong(it.value())
           it.next()
         }
       } finally it.close()
     }
     private val persistedCountsMap: Map[String, Long] = persistedCounts.result()
-    registerCf(DefaultCf, keySchema, valueSchema, keyEncoderSpec, useMultipleValuesPerKey, isInternal = false)
+    registerCf(DefaultCf, keySchema, valueSchema, keyEncoderSpec, useMultipleValuesPerKey,
+      isInternal = false, deferSchemaConflict = true)
 
     private def ttlMs: Long = conf.ttlSecs.toLong * 1000L
     private def strictTtl: Boolean = conf.strictExpire && conf.ttlSecs > 0
@@ -826,7 +843,8 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         cfValueSchema: StructType,
         spec: KeyStateEncoderSpec,
         multiValued: Boolean,
-        isInternal: Boolean): CfInfo = {
+        isInternal: Boolean,
+        deferSchemaConflict: Boolean = false): CfInfo = {
       // Value-schema evolution rides the engine's stateSchemaProvider when
       // one is handed to init. A provider that does not track this column
       // family (e.g. engine-internal families) falls back to raw encoding.
@@ -835,16 +853,28 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       }
       // Key-schema evolution is unsupported (matching Spark's built-in
       // providers): a restart with a changed key layout would otherwise
-      // decode mismatched bytes into garbage rows. Reject it with the
-      // engine's typed error. Field renames and nullability flips don't
-      // change the UnsafeRow layout and are allowed.
+      // decode mismatched bytes into garbage rows. Explicit registrations
+      // (createColFamilyIfAbsent) reject eagerly with the engine's typed
+      // error; the init-time DEFAULT registration defers the throw to FIRST
+      // USE of the family (cfInfo): the `statestore` reader of a
+      // transformWithState variable inits the provider with that variable's
+      // composite schema as the *default* schema, registering (but never
+      // touching) a default family whose layout legitimately differs from
+      // the persisted one — an eager throw there broke those cold reads,
+      // while a restarted query touches its default family in its first
+      // batch, so the protection is equivalent. Field renames and
+      // nullability flips don't change the UnsafeRow layout and are allowed.
       persistedKeySchemas.get(name).foreach { storedJson =>
         val stored = DataType.fromJson(storedJson).asInstanceOf[StructType]
-        if (!sameKeyLayout(stored, cfKeySchema))
-          throw StateStoreErrors.stateStoreKeySchemaNotCompatible(
-            storedJson, cfKeySchema.json)
+        if (!sameKeyLayout(stored, cfKeySchema)) {
+          if (!deferSchemaConflict)
+            throw StateStoreErrors.stateStoreKeySchemaNotCompatible(storedJson, cfKeySchema.json)
+          keySchemaConflicts.put(name, (storedJson, cfKeySchema.json))
+        }
       }
       cfKeySchemaJson.put(name, cfKeySchema.json)
+      cfRegJson.getOrElseUpdate(name,
+        RocksDbStateStoreProvider.cfRegToJson(cfKeySchema, cfValueSchema, spec, multiValued, isInternal))
       val info = CfInfo(name, KeyCodec(spec),
         new ValueCodec(cfValueSchema.length, multiValued, evolution),
         cfValueSchema.length, multiValued, isInternal,
@@ -852,6 +882,15 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       cfs.put(name, info)
       info
     }
+
+    /** Auto-register a column family from its persisted registration record
+      * — the read path for families the current session never created (see
+      * the self-describing note on [[persistedCfRegs]]). */
+    private def autoRegisterPersistedCf(name: String): Option[CfInfo] =
+      persistedCfRegs.get(name).filter(_ => opened.handles.contains(name)).map { json =>
+        val (ks, vs, spec, mv, internal) = RocksDbStateStoreProvider.cfRegFromJson(json)
+        registerCf(name, ks, vs, spec, mv, internal)
+      }
 
     override def createColFamilyIfAbsent(
         name: String,
@@ -889,14 +928,24 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         db.delete(metaHandle, name.getBytes("UTF-8"))
         // likewise the key schema: a re-created CF may legitimately differ
         db.delete(metaHandle, (KeySchemaMetaPrefix + name).getBytes("UTF-8"))
+        db.delete(metaHandle, (CfRegMetaPrefix + name).getBytes("UTF-8"))
         persistedKeySchemas.remove(name)
+        persistedCfRegs.remove(name)
         cfKeySchemaJson.remove(name)
+        cfRegJson.remove(name)
       }
       existed
     }
 
-    private def cfInfo(name: String): CfInfo =
-      cfs.getOrElse(name, throw StateStoreErrors.unsupportedOperationOnMissingColumnFamily("op", name))
+    private def cfInfo(name: String): CfInfo = {
+      keySchemaConflicts.get(name).foreach { case (storedJson, newJson) =>
+        throw StateStoreErrors.stateStoreKeySchemaNotCompatible(storedJson, newJson)
+      }
+      cfs.getOrElse(name, synchronized {
+        cfs.getOrElse(name, autoRegisterPersistedCf(name).getOrElse(
+          throw StateStoreErrors.unsupportedOperationOnMissingColumnFamily("op", name)))
+      })
+    }
 
     private def handle(name: String): ColumnFamilyHandle =
       opened.handles.getOrElse(name,
@@ -1172,6 +1221,17 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
               recordPut(MetaCf, sk, sv)
             }
           }
+          // and its full registration record (same write-once discipline),
+          // so a cold reader can rebuild the codec without the engine
+          // re-registering the family — see the note on persistedCfRegs
+          if (!persistedCfRegs.contains(i.name)) {
+            cfRegJson.get(i.name).foreach { json =>
+              val rk = (CfRegMetaPrefix + i.name).getBytes("UTF-8")
+              val rv = json.getBytes("UTF-8")
+              db.put(metaHandle, rk, rv)
+              recordPut(MetaCf, rk, rv)
+            }
+          }
         }
         val flushOptions = new FlushOptions().setWaitForFlush(true)
         try db.flush(flushOptions, opened.handles.values.toSeq.asJava)
@@ -1330,6 +1390,55 @@ object RocksDbStateStoreProvider {
   /** Meta-CF key prefix under which each column family's key schema JSON is
     * persisted (`ks:<cfName>` → schema), for the restart compatibility check. */
   private[state] val KeySchemaMetaPrefix: String = "ks:"
+
+  /** Meta-CF key prefix for full column-family registration records
+    * (`cfreg:<cfName>` → JSON) — key/value schemas, encoder spec, and the
+    * multi-value flag, enough for a cold reader to rebuild the codec. */
+  private[state] val CfRegMetaPrefix: String = "cfreg:"
+
+  private[state] def cfRegToJson(
+      keySchema: StructType,
+      valueSchema: StructType,
+      spec: KeyStateEncoderSpec,
+      multiValued: Boolean,
+      isInternal: Boolean): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val o = m.createObjectNode()
+    o.put("keySchema", keySchema.json)
+    o.put("valueSchema", valueSchema.json)
+    spec match {
+      case NoPrefixKeyStateEncoderSpec(_) =>
+        o.put("spec", "noPrefix")
+      case PrefixKeyScanStateEncoderSpec(_, n) =>
+        o.put("spec", "prefixScan"); o.put("numColsPrefixKey", n)
+      case RangeKeyScanStateEncoderSpec(_, ordinals) =>
+        o.put("spec", "rangeScan")
+        val arr = o.putArray("orderingOrdinals")
+        ordinals.foreach(arr.add)
+    }
+    o.put("multiValued", multiValued)
+    o.put("isInternal", isInternal)
+    m.writeValueAsString(o)
+  }
+
+  private[state] def cfRegFromJson(json: String)
+      : (StructType, StructType, KeyStateEncoderSpec, Boolean, Boolean) = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val o = m.readTree(json)
+    val ks = DataType.fromJson(o.get("keySchema").asText()).asInstanceOf[StructType]
+    val vs = DataType.fromJson(o.get("valueSchema").asText()).asInstanceOf[StructType]
+    val spec: KeyStateEncoderSpec = o.get("spec").asText() match {
+      case "noPrefix" => NoPrefixKeyStateEncoderSpec(ks)
+      case "prefixScan" => PrefixKeyScanStateEncoderSpec(ks, o.get("numColsPrefixKey").asInt())
+      case "rangeScan" =>
+        val it = o.get("orderingOrdinals").elements()
+        val b = Seq.newBuilder[Int]
+        while (it.hasNext) b += it.next().asInt()
+        RangeKeyScanStateEncoderSpec(ks, b.result())
+      case other => throw new IllegalStateException(s"unknown persisted encoder spec: $other")
+    }
+    (ks, vs, spec, o.get("multiValued").asBoolean(), o.get("isInternal").asBoolean())
+  }
 
   /** Structural equality of key layouts: field names and nullability are
     * ignored (neither affects UnsafeRow encoding); types must match. */

@@ -611,15 +611,19 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       s.commit()
     } finally p1.close()
 
-    // restart with an extra key column: layout change → typed rejection,
-    // not a garbage decode
+    // restart with an extra key column: layout change → typed rejection at
+    // FIRST USE of the family, not a garbage decode (the throw defers past
+    // load so statestore-source readers may init with a variable's schema
+    // as the default without tripping a family they never touch)
     val widened = StructType(Seq(
       StructField("key", StringType, nullable = true),
       StructField("extra", LongType, nullable = true)))
     val p2 = newProvider(ckpt, kSchema = widened,
       keySpec = NoPrefixKeyStateEncoderSpec(widened))
     try {
-      intercept[StateStoreKeySchemaNotCompatible] { p2.getStore(1, None) }
+      intercept[StateStoreKeySchemaNotCompatible] {
+        p2.getStore(1, None).iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+      }
     } finally p2.close()
 
     // restart with a same-type change: type change → typed rejection
@@ -627,7 +631,9 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     val p3 = newProvider(ckpt, kSchema = retyped,
       keySpec = NoPrefixKeyStateEncoderSpec(retyped))
     try {
-      intercept[StateStoreKeySchemaNotCompatible] { p3.getStore(1, None) }
+      intercept[StateStoreKeySchemaNotCompatible] {
+        p3.getStore(1, None).iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+      }
     } finally p3.close()
 
     // a field rename / nullability flip does not change the UnsafeRow
