@@ -10,11 +10,12 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-import org.apache.spark.sql.execution.streaming.state.{KeyStateEncoderSpec, NoPrefixKeyStateEncoderSpec, PrefixKeyScanStateEncoderSpec, StateStoreConf, StateStoreId}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Murmur3Hash, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.execution.streaming.state.{KeyStateEncoderSpec, NoPrefixKeyStateEncoderSpec, PrefixKeyScanStateEncoderSpec, RangeKeyScanStateEncoderSpec, StateSchemaBroadcast, StateSchemaCompatibilityChecker, StateSchemaMetadata, StateStore, StateStoreColFamilySchema, StateStoreConf, StateStoreId, StateStoreProviderId}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 /** Offline state-repartition tool: rewrite a Structured Streaming
@@ -54,11 +55,20 @@ import org.apache.spark.util.SerializableConfiguration
   * Hash-column rule (which prefix of the state key the engine clusters by):
   * `numColsPrefixKey > 0` in the operator metadata → that prefix (session
   * windows); `symmetricHashJoin`'s `*KeyWithIndexToValue` stores → all key
-  * columns but the trailing index; everything else → the full key. Operators
-  * outside the supported set (e.g. `transformWithState`, whose metadata is
-  * v2) and checkpoint format v2 (per-commit state IDs are arrays sized to
-  * the partition count inside Spark's commit log) are rejected loudly
-  * rather than migrated wrong.
+  * columns but the trailing index; everything else → the full key.
+  *
+  * `transformWithState` operators (v2 operator metadata) migrate through a
+  * dedicated path ([[migrateTwsOperator]]): every column family of the tws
+  * store — value/list/map state variables, the engine's internal row
+  * counters, and both timer secondary indexes — is read through the
+  * provider's self-describing registry, routed by the GROUPING key
+  * (extracted per family: the flat key row itself, or the nested "key"
+  * struct of map/timer families) under the same Murmur3 expression
+  * `HashPartitioning` evaluates, and re-imported through the SPI so frame
+  * order, schema-ID prefixes and per-family counters are rebuilt by the
+  * provider itself. TTL-enabled tws state variables and checkpoint format
+  * v2 (per-commit state IDs are arrays sized to the partition count inside
+  * Spark's commit log) are rejected loudly rather than migrated wrong.
   *
   * Caveat (documented, not silent): per-key TTL clocks restart at migration
   * time — the importer re-puts every row, so lazy-mode expiry measures from
@@ -197,40 +207,52 @@ object StateRepartition extends Logging {
     opDirs.foreach { opSt =>
       val opId = opSt.getPath.getName.toLong
       val mdPath = new Path(opSt.getPath, "_metadata/metadata")
-      require(fs.exists(mdPath),
-        s"operator $opId has no _metadata/metadata — cannot determine its stores")
-      val mdLines = readText(fs, mdPath).split("\n", -1)
-      require(mdLines(0).trim == "v1",
-        s"operator $opId metadata is ${mdLines(0).trim}, not v1 — " +
-          "(transformWithState checkpoints are not supported)")
-      val md = mapper.readTree(mdLines(1)).asInstanceOf[ObjectNode]
-      val operatorName = md.get("operatorInfo").get("operatorName").asText()
-      require(SupportedOperators.contains(operatorName),
-        s"operator $opId ($operatorName) is not in the supported set " +
-          s"${SupportedOperators.mkString("{", ",", "}")}")
+      if (!fs.exists(mdPath) && fs.exists(new Path(opSt.getPath, "_metadata/v2"))) {
+        // transformWithState — v2 operator metadata, dedicated migration
+        val recordedProvider = Option(confNode.get(
+          "spark.sql.streaming.stateStore.providerClass")).map(_.asText())
+        require(recordedProvider.contains(classOf[RocksDbStateStoreProvider].getName),
+          s"operator $opId is transformWithState but the checkpoint's recorded provider is " +
+            s"${recordedProvider.getOrElse("<none>")} — tws migration reads the old state " +
+            "through the graft provider's self-describing registry, so only graft-written " +
+            "checkpoints are supported")
+        results ++= migrateTwsOperator(spark, fs, hadoopConf, oldRoot, newRoot, opId,
+          lastBatch, version, oldParts, newParts, importerConf, hadoopBc)
+      } else {
+        require(fs.exists(mdPath),
+          s"operator $opId has no _metadata/metadata — cannot determine its stores")
+        val mdLines = readText(fs, mdPath).split("\n", -1)
+        require(mdLines(0).trim == "v1",
+          s"operator $opId metadata is ${mdLines(0).trim}, not v1")
+        val md = mapper.readTree(mdLines(1)).asInstanceOf[ObjectNode]
+        val operatorName = md.get("operatorInfo").get("operatorName").asText()
+        require(SupportedOperators.contains(operatorName),
+          s"operator $opId ($operatorName) is not in the supported set " +
+            s"${SupportedOperators.mkString("{", ",", "}")}")
 
-      // rewrite numPartitions in the operator metadata
-      val stores = md.get("stateStoreInfo")
-      (0 until stores.size()).foreach { i =>
-        stores.get(i).asInstanceOf[ObjectNode].put("numPartitions", newParts)
-      }
-      mdLines(1) = mapper.writeValueAsString(md)
-      writeText(fs, new Path(newRoot, s"state/$opId/_metadata/metadata"), mdLines.mkString("\n"))
+        // rewrite numPartitions in the operator metadata
+        val stores = md.get("stateStoreInfo")
+        (0 until stores.size()).foreach { i =>
+          stores.get(i).asInstanceOf[ObjectNode].put("numPartitions", newParts)
+        }
+        mdLines(1) = mapper.writeValueAsString(md)
+        writeText(fs, new Path(newRoot, s"state/$opId/_metadata/metadata"), mdLines.mkString("\n"))
 
-      // carry the partition-0 schema file (restart-time compatibility check)
-      val schemaDir = new Path(opSt.getPath, "0/_metadata")
-      if (fs.exists(schemaDir)) {
-        FileUtil.copy(fs, schemaDir, fs, new Path(newRoot, s"state/$opId/0/_metadata"),
-          false, true, hadoopConf)
-      }
+        // carry the partition-0 schema file (restart-time compatibility check)
+        val schemaDir = new Path(opSt.getPath, "0/_metadata")
+        if (fs.exists(schemaDir)) {
+          FileUtil.copy(fs, schemaDir, fs, new Path(newRoot, s"state/$opId/0/_metadata"),
+            false, true, hadoopConf)
+        }
 
-      (0 until stores.size()).foreach { i =>
-        val info = stores.get(i)
-        val storeName = info.get("storeName").asText()
-        val numColsPrefixKey = info.get("numColsPrefixKey").asInt()
-        results += migrateStore(readSession, oldCkpt, newStateRoot, opId, operatorName,
-          storeName, numColsPrefixKey, lastBatch, version, oldParts, newParts,
-          importerConf, hadoopBc)
+        (0 until stores.size()).foreach { i =>
+          val info = stores.get(i)
+          val storeName = info.get("storeName").asText()
+          val numColsPrefixKey = info.get("numColsPrefixKey").asInt()
+          results += migrateStore(readSession, oldCkpt, newStateRoot, opId, operatorName,
+            storeName, numColsPrefixKey, lastBatch, version, oldParts, newParts,
+            importerConf, hadoopBc)
+        }
       }
     }
     logInfo(s"Repartition complete: ${results.map(_.keys).sum} keys across " +
@@ -308,6 +330,256 @@ object StateRepartition extends Logging {
 
     StoreResult(opId, storeName, operatorName, oldParts, newParts, version,
       perPartitionKeys.sum)
+  }
+
+  /** Column-family layout shipped to executors for the tws migration —
+    * plain strings/ints so the task closure stays serialization-trivial. */
+  private case class CfMeta(
+      name: String,
+      keySchemaJson: String,
+      valueSchemaJson: String,
+      specType: String, // "np" | "ps" | "rs"
+      specArgs: Seq[Int],
+      multiValued: Boolean) {
+    @transient lazy val keySchema: StructType =
+      DataType.fromJson(keySchemaJson).asInstanceOf[StructType]
+    @transient lazy val valueSchema: StructType =
+      DataType.fromJson(valueSchemaJson).asInstanceOf[StructType]
+    @transient lazy val spec: KeyStateEncoderSpec = specType match {
+      case "np" => NoPrefixKeyStateEncoderSpec(keySchema)
+      case "ps" => PrefixKeyScanStateEncoderSpec(keySchema, specArgs.head)
+      case "rs" => RangeKeyScanStateEncoderSpec(keySchema, specArgs)
+    }
+  }
+
+  private def cfMetaOf(s: StateStoreColFamilySchema, multiValued: Boolean): CfMeta = {
+    val (t, args) = s.keyStateEncoderSpec match {
+      case Some(NoPrefixKeyStateEncoderSpec(_)) => ("np", Seq.empty[Int])
+      case Some(PrefixKeyScanStateEncoderSpec(_, n)) => ("ps", Seq(n))
+      case Some(RangeKeyScanStateEncoderSpec(_, ords)) => ("rs", ords)
+      case None => ("np", Seq.empty[Int])
+    }
+    CfMeta(s.colFamilyName, s.keySchema.json, s.valueSchema.json, t, args, multiValued)
+  }
+
+  /** Where the grouping key sits inside a tws column family's key row:
+    * value/list/rowCounter families store the flat grouping row itself;
+    * map-state and timer families nest it as a struct field named "key"
+    * (Spark's tws encoder convention). Returns the field ordinal holding
+    * the nested grouping struct, or -1 for "the whole row IS the grouping
+    * row". Loud failure when neither shape matches — routing a family by a
+    * guessed key would scatter state silently. */
+  private def groupFieldOrdinal(keySchema: StructType, groupSchema: StructType): Int = {
+    if (RocksDbStateStoreProvider.sameKeyLayout(keySchema, groupSchema)) return -1
+    val named = keySchema.fields.zipWithIndex.filter { case (f, _) =>
+      f.name == "key" && RocksDbStateStoreProvider.sameKeyLayout(f.dataType, groupSchema)
+    }
+    if (named.length == 1) return named.head._2
+    val structs = keySchema.fields.zipWithIndex.filter { case (f, _) =>
+      RocksDbStateStoreProvider.sameKeyLayout(f.dataType, groupSchema)
+    }
+    require(structs.length == 1,
+      s"cannot locate the grouping key inside key schema ${keySchema.json} " +
+        s"(grouping schema ${groupSchema.json})")
+    structs.head._2
+  }
+
+  /** Migrate one transformWithState operator: every column family of its
+    * single "default" store is redistributed by the GROUPING key — extracted
+    * per family (flat row, or the nested "key" struct of map/timer families)
+    * and hashed with the same Murmur3 expression `HashPartitioning`
+    * evaluates — then re-imported through the SPI (put/putList), so value
+    * framing, schema-ID prefixes and per-family counters are rebuilt by the
+    * provider itself at the new partitioning. Column-family layouts come
+    * from the engine's own v3 state-schema file; the read side leans on the
+    * graft provider's self-describing registry (persisted `cfreg:` records)
+    * plus explicit re-registration for pre-registry checkpoints. */
+  private def migrateTwsOperator(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      hadoopConf: Configuration,
+      oldRoot: Path,
+      newRoot: Path,
+      opId: Long,
+      lastBatch: Long,
+      version: Long,
+      oldParts: Int,
+      newParts: Int,
+      importerConf: StateStoreConf,
+      hadoopBc: org.apache.spark.broadcast.Broadcast[SerializableConfiguration]): Seq[StoreResult] = {
+    val mapper = new ObjectMapper()
+    val mdDir = new Path(oldRoot, s"state/$opId/_metadata/v2")
+    val mdBatches = fs.listStatus(mdDir).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).filter(_ <= lastBatch)
+    require(mdBatches.nonEmpty,
+      s"operator $opId: no v2 operator metadata at or before batch $lastBatch")
+    val mdBatch = mdBatches.max
+    val mdLines = readText(fs, new Path(mdDir, mdBatch.toString)).split("\n", -1)
+    require(mdLines(0).trim == "v2", s"operator $opId: expected v2 metadata, got ${mdLines(0)}")
+    val md = mapper.readTree(mdLines(1)).asInstanceOf[ObjectNode]
+    val operatorName = md.get("operatorInfo").get("operatorName").asText()
+    require(operatorName == "transformWithStateExec",
+      s"operator $opId ($operatorName): unsupported v2-metadata operator")
+    val stores = md.get("stateStoreInfo")
+    require(stores.size() == 1 && stores.get(0).get("storeName").asText() == "default",
+      s"operator $opId: expected a single 'default' store")
+
+    // state variables: ListState families are multi-valued; TTL not supported
+    val props = mapper.readTree(md.get("operatorPropertiesJson").asText())
+    val varTypes = mutable.HashMap.empty[String, String]
+    val varsNode = props.get("stateVariables")
+    (0 until varsNode.size()).foreach { i =>
+      val v = varsNode.get(i)
+      require(!v.get("ttlEnabled").asBoolean(),
+        s"operator $opId: state variable ${v.get("stateName").asText()} has TTL enabled — " +
+          "TTL secondary-index families are not supported by the repartition tool")
+      varTypes.put(v.get("stateName").asText(), v.get("stateVariableType").asText())
+    }
+
+    // column-family layouts from the engine's own v3 schema file(s)
+    val storeInfo = stores.get(0).asInstanceOf[ObjectNode]
+    val schemaPathsNode = storeInfo.get("stateSchemaFilePaths")
+    val schemaPaths = (0 until schemaPathsNode.size()).map(schemaPathsNode.get(_).asText())
+    require(schemaPaths.nonEmpty, s"operator $opId: no state schema files recorded")
+    // providerId points at a scratch dir: only readSchemaFile(stream) is used
+    val checker = new StateSchemaCompatibilityChecker(
+      StateStoreProviderId(
+        StateStoreId(graft.Staging.tempDir("graft-tws-schema-").toString, opId, 0),
+        java.util.UUID.randomUUID()),
+      hadoopConf, schemaPaths.map(new Path(_)).toList, None)
+    // one schema file = one consistent layout per family. Multiple files
+    // mean the query evolved its value schemas across restarts; picking
+    // "newest per family" from readSchemaFiles()'s unordered map would be
+    // a guess, so reject loudly (resume the query once on the OLD
+    // partition count to compact its schema history, then migrate).
+    require(schemaPaths.size == 1,
+      s"operator $opId records ${schemaPaths.size} state schema files (value-schema " +
+        "evolution across restarts) — repartitioning multi-schema tws checkpoints is " +
+        "not supported")
+    val cfSchemas: Seq[StateStoreColFamilySchema] =
+      checker.readSchemaFiles().values.flatten.toSeq
+    val cfMetas: IndexedSeq[CfMeta] = cfSchemas.map { s =>
+      cfMetaOf(s, multiValued = varTypes.get(s.colFamilyName).contains("ListState"))
+    }.toIndexedSeq
+    val defaultMeta = cfMetas.find(_.name == "default").getOrElse(
+      throw new IllegalStateException(s"operator $opId: schema file lists no 'default' family"))
+    val groupSchemaJson = defaultMeta.keySchemaJson
+    val groupOrdinals: IndexedSeq[Int] = {
+      val g = DataType.fromJson(groupSchemaJson).asInstanceOf[StructType]
+      cfMetas.map(m => groupFieldOrdinal(m.keySchema, g))
+    }
+
+    // schema-ID-aware value codecs on both sides (tws values carry the
+    // 2-byte schema-ID prefix when evolution is active)
+    val schemaMeta = StateSchemaMetadata.createStateSchemaMetadata(
+      oldRoot.toString, hadoopConf, schemaPaths.toList)
+    val schemaBc = StateSchemaBroadcast(spark.sparkContext.broadcast(schemaMeta))
+
+    // ---- copy the schema files; rewrite the operator metadata (partition
+    // count + schema paths re-pointed into the new checkpoint)
+    val oldSchemaDir = new Path(oldRoot, s"state/$opId/_stateSchema")
+    val newSchemaDir = new Path(newRoot, s"state/$opId/_stateSchema")
+    FileUtil.copy(fs, oldSchemaDir, fs, newSchemaDir, false, true, hadoopConf)
+    val newPaths = storeInfo.putArray("stateSchemaFilePaths")
+    schemaPaths.foreach { p =>
+      val name = new Path(p).getName
+      newPaths.add(fs.makeQualified(new Path(newSchemaDir, s"default/$name")).toString)
+    }
+    storeInfo.put("numPartitions", newParts)
+    mdLines(1) = mapper.writeValueAsString(md)
+    writeText(fs, new Path(newRoot, s"state/$opId/_metadata/v2/$mdBatch"), mdLines.mkString("\n"))
+
+    // ---- distributed move: read old partitions -> shuffle by new pid -> import
+    val oldStateRoot = new Path(oldRoot, "state").toString
+    val newStateRoot = new Path(newRoot, "state").toString
+    val nCf = cfMetas.length
+    val reads = spark.sparkContext.parallelize(0 until oldParts, oldParts).flatMap { pid =>
+      val defM = cfMetas.find(_.name == "default").get
+      val provider = new RocksDbStateStoreProvider()
+      provider.init(
+        StateStoreId(oldStateRoot, opId, pid, "default"),
+        defM.keySchema, defM.valueSchema, defM.spec,
+        useColumnFamilies = true, importerConf, hadoopBc.value.value,
+        useMultipleValuesPerKey = false, stateSchemaProvider = Some(schemaBc))
+      val out = mutable.ArrayBuffer.empty[(Int, (Int, Array[Byte], Array[Array[Byte]]))]
+      try {
+        val store = provider.getReadStore(version, None).asInstanceOf[StateStore]
+        cfMetas.foreach { m =>
+          store.createColFamilyIfAbsent(m.name, m.keySchema, m.valueSchema, m.spec,
+            m.multiValued, isInternal = m.name.startsWith("$"))
+        }
+        val g = DataType.fromJson(groupSchemaJson).asInstanceOf[StructType]
+        val hashExpr = new Murmur3Hash(
+          g.fields.zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable)
+          }.toIndexedSeq)
+        def route(ci: Int, keyRow: UnsafeRow): Int = {
+          val ord = groupOrdinals(ci)
+          val groupRow: InternalRow = if (ord < 0) keyRow else keyRow.getStruct(ord, g.length)
+          val h = hashExpr.eval(groupRow).asInstanceOf[Int]
+          ((h % newParts) + newParts) % newParts
+        }
+        cfMetas.zipWithIndex.foreach { case (m, ci) =>
+          val it = store.iterator(m.name)
+          try {
+            it.foreach { pair =>
+              val key = pair.key.copy()
+              val values: Array[Array[Byte]] =
+                if (m.multiValued) store.valuesIterator(key, m.name).map(_.getBytes).toArray
+                else Array(pair.value.getBytes)
+              out += ((route(ci, key), (ci, key.getBytes, values)))
+            }
+          } finally it.close()
+        }
+      } finally provider.close()
+      out.iterator
+    }
+
+    val exact = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = newParts
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val perPartCounts = reads.partitionBy(exact).mapPartitionsWithIndex { (pid, rows) =>
+      val defM = cfMetas.find(_.name == "default").get
+      val provider = new RocksDbStateStoreProvider()
+      provider.init(
+        StateStoreId(newStateRoot, opId, pid, "default"),
+        defM.keySchema, defM.valueSchema, defM.spec,
+        useColumnFamilies = true, importerConf, hadoopBc.value.value,
+        useMultipleValuesPerKey = false, stateSchemaProvider = Some(schemaBc))
+      try {
+        val store = provider.getStore(version - 1, None)
+        cfMetas.foreach { m =>
+          store.createColFamilyIfAbsent(m.name, m.keySchema, m.valueSchema, m.spec,
+            m.multiValued, isInternal = m.name.startsWith("$"))
+        }
+        val counts = new Array[Long](nCf)
+        rows.foreach { case (_, (ci, kb, vbs)) =>
+          val m = cfMetas(ci)
+          val key = new UnsafeRow(m.keySchema.length)
+          key.pointTo(kb, kb.length)
+          if (m.multiValued) {
+            val vals = vbs.map { b =>
+              val r = new UnsafeRow(m.valueSchema.length); r.pointTo(b, b.length); r
+            }
+            store.putList(key, vals, m.name)
+          } else {
+            val v = new UnsafeRow(m.valueSchema.length)
+            v.pointTo(vbs(0), vbs(0).length)
+            store.put(key, v, m.name)
+          }
+          counts(ci) += 1
+        }
+        val committed = store.commit()
+        assert(committed == version, s"tws importer committed $committed, expected $version")
+        Iterator.single(counts)
+      } finally provider.close()
+    }.collect()
+
+    cfMetas.zipWithIndex.map { case (m, ci) =>
+      StoreResult(opId, m.name, operatorName, oldParts, newParts, version,
+        perPartCounts.map(_(ci)).sum)
+    }
   }
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {

@@ -1784,6 +1784,113 @@ object StreamingQueries {
   val stream_repartition_sql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
 
+  /** Mid-stream offline repartition of a transformWithState checkpoint —
+    * [[stream_repartition]]'s harder sibling: the stateful operator here is
+    * a custom [[StatefulProcessor]] holding a ValueState (per-user event
+    * count) AND a MapState (per-user per-type counts), so the migration
+    * must move EVERY column family of the tws store — the flat-keyed value
+    * family, the composite-prefix-keyed map family, and the engine's
+    * internal families — onto the new `HashPartitioning(16)` placement.
+    * The resumed query's final counters equal the plain batch GROUP BY
+    * only if every family landed on the partition the resumed operator
+    * reads: a misplaced value-state row resets a user's count mid-stream,
+    * a misplaced map row forks a (user, type) counter in two. */
+  def stream_tws_repartition(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val base = Tables.events(s, dir)
+    val stagedParts = {
+      events(s, dir)
+      java.nio.file.Files.list(java.nio.file.Paths.get(stagedDirs(dir)))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toVector.sortBy(_.getFileName.toString)
+    }
+    val inDir = graft.Staging.tempDir("graft-twsrepart-in-")
+    val ckptA = graft.Staging.tempDir("graft-twsrepart-ckptA-").toString
+    val ckptB = graft.Staging.tempDir("graft-twsrepart-ckptB-").toString + "/migrated"
+    val outDir = graft.Staging.tempDir("graft-twsrepart-out-").toString
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      java.nio.file.Files.copy(p, inDir.resolve(p.getFileName.toString))
+    }
+    // update-mode memory sinks refuse checkpoint recovery — egress through
+    // foreachBatch with phase/batch-stamped parquet partitions instead
+    // (the stream_foreach_batch idempotence discipline)
+    def run(phase: Int, ckptDir: String): Unit = {
+      import s.implicits._
+      val q = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new UserTypeCountProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n", "total")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("part", lit(phase * 1000 + batchId))
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("part")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, secondHalf) = stagedParts.splitAt(stagedParts.size / 2)
+    feed(firstHalf)
+    run(1, ckptA) // 8 partitions, then STOP entirely
+    graft.state.StateRepartition.run(s, ckptA, ckptB, 16)
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    feed(secondHalf)
+    run(2, ckptB) // resumes at 16 from the migrated checkpoint
+    // update-mode emissions only cover keys touched in each batch: a
+    // (user, type) finished in phase 1 appears only in phase-1 output.
+    // Counts are monotone per key, so max over all emissions IS the final
+    // image — and it is only correct if the migrated ValueState/MapState
+    // rows resumed on the right partitions (a misplaced row restarts its
+    // counter, and the max surfaces the stale pre-migration value).
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+  }
+
+  val stream_tws_repartition_sql: String =
+    "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+
+  /** ValueState total + MapState per-type counts per user; emits the
+    * running (type, count, total) for every type touched in the batch. */
+  private class UserTypeCountProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, String, Long, Long)] {
+    @transient private var total: ValueState[Long] = _
+    @transient private var byType: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long]("byType", Encoders.STRING,
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
+      var t = if (total.exists()) total.get() else 0L
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        t += 1
+        byType.updateValue(r._2,
+          (if (byType.containsKey(r._2)) byType.getValue(r._2) else 0L) + 1L)
+        touched += r._2
+      }
+      total.update(t)
+      touched.iterator.map(et => (user, et, byType.getValue(et), t))
+    }
+  }
+
   /** STREAMING funnel — the q28 conversion funnel as an online state
     * machine: per user, a `transformWithState` ValueState carries exactly
     * three timestamps (first view, first in-window click after it, first
@@ -1874,6 +1981,7 @@ object StreamingQueries {
     "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
     "stream_repartition" -> (stream_repartition(_, _)),
+    "stream_tws_repartition" -> (stream_tws_repartition(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
     "stream_chained_agg" -> (stream_chained_agg(_, _)),
     "stream_file_sink" -> (stream_file_sink(_, _)),
@@ -1922,6 +2030,7 @@ object StreamingQueries {
     "stream_foreach_batch" -> stream_foreach_batch_sql,
     "stream_restart" -> stream_restart_sql,
     "stream_repartition" -> stream_repartition_sql,
+    "stream_tws_repartition" -> stream_tws_repartition_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_kmv" -> stream_kmv_sql,

@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -33,6 +33,27 @@ class StateRepartitionSuite extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def ckpt(): String = Files.createTempDirectory("graft-repart-ckpt-").toString
+
+  /** Processing-time-mode queries self-schedule batches, so stop() can
+    * interrupt one mid-commit, leaving a dangling offsets entry that the
+    * tool's in-flight guard (correctly) refuses. Apply the guard's own
+    * documented remedy: drop offsets entries past the last commit. */
+  private def dropInFlightOffsets(ckptDir: String): Unit = {
+    def ids(sub: String): Set[Long] = {
+      val d = java.nio.file.Paths.get(ckptDir, sub)
+      val it = Files.list(d).iterator()
+      var s = Set.empty[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.forall(_.isDigit)) s += n.toLong
+      }
+      s
+    }
+    val last = ids("commits").max
+    ids("offsets").filter(_ > last).foreach { b =>
+      Files.delete(java.nio.file.Paths.get(ckptDir, "offsets", b.toString))
+    }
+  }
 
   private def runBatch(df: DataFrame, name: String, mode: OutputMode, ckptDir: String): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -265,6 +286,195 @@ class StateRepartitionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!newFiles.contains("3.delta"), "stock provider must not have written the resume")
   }
 
+  test("transformWithState value+map state: 4 to 8 partitions, counters continue") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new StateRepartitionSuite.ValueMapProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("k", "tag", "n", "total")
+    val seen = new scala.collection.concurrent.TrieMap[(String, String), Long]()
+    val totals = new scala.collection.concurrent.TrieMap[String, Long]()
+    def run(ckptDir: String): Unit = {
+      val q = counted.writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            seen.updateWith(k)(p => Some(math.max(p.getOrElse(0L), r.getLong(2))))
+            totals.updateWith(r.getString(0))(p => Some(math.max(p.getOrElse(0L), r.getLong(3))))
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val oldCkpt = ckpt()
+    input.addData(("a", 1), ("a", 2), ("b", 3))
+    run(oldCkpt)
+    input.addData(("a", 2), ("c", 5))
+    run(oldCkpt)
+    assert(totals.toMap === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+
+    val newCkpt = ckpt() + "/moved"
+    val summary = StateRepartition.run(spark, oldCkpt, newCkpt, 8).collect()
+    val byCf = summary.map(r => r.getAs[String]("storeName") -> r.getAs[Long]("keys")).toMap
+    assert(byCf("total") === 3L, s"value-state rows moved: $byCf")
+    assert(byCf("byTag") === 4L, s"map-state rows moved: $byCf")
+    assert(summary.forall(_.getAs[Int]("newPartitions") == 8))
+    assert(summary.forall(_.getAs[String]("operatorName") == "transformWithStateExec"))
+
+    // resumed counters continue from the migrated values at 8 partitions
+    input.addData(("a", 1), ("b", 2), ("d", 9))
+    run(newCkpt)
+    assert(totals.toMap === Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    assert(seen.toMap === Map(
+      ("a", "odd") -> 2L, ("a", "even") -> 2L,
+      ("b", "odd") -> 1L, ("b", "even") -> 1L,
+      ("c", "odd") -> 1L, ("d", "odd") -> 1L))
+  }
+
+  test("transformWithState list state: append order survives the migration") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val listed = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new StateRepartitionSuite.ListEchoProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("k", "joined")
+    val last = new scala.collection.concurrent.TrieMap[String, String]()
+    def run(ckptDir: String): Unit = {
+      val q = listed.writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r => last.put(r.getString(0), r.getString(1)))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val oldCkpt = ckpt()
+    input.addData(("a", 3), ("a", 1), ("b", 7))
+    run(oldCkpt)
+    input.addData(("a", 4))
+    run(oldCkpt)
+    assert(last("a") === "3,1,4")
+
+    val newCkpt = ckpt() + "/moved"
+    StateRepartition.run(spark, oldCkpt, newCkpt, 8)
+    input.addData(("a", 1), ("b", 5))
+    run(newCkpt)
+    // appended AFTER the earlier elements in their original order — a
+    // frame-order scramble in the migration shows up here
+    assert(last("a") === "3,1,4,1")
+    assert(last("b") === "7,5")
+  }
+
+  test("transformWithState timers migrate with their keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val q0 = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new StateRepartitionSuite.TimerRegisteringProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("k", "n")
+    val oldCkpt = ckpt()
+    val q = q0.writeStream.format("memory").queryName("tws_repart_timer")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", oldCkpt).start()
+    // proc-time mode self-schedules batches (including empty ones racing
+    // ahead of addData): wait for the sink row, then one more commit
+    def waitForData(): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def seen: Boolean = spark.table("tws_repart_timer").count() >= 3
+      while (!seen) {
+        assert(System.nanoTime() < deadline, "timed out waiting for sink rows")
+        Thread.sleep(100)
+      }
+      val commits = java.nio.file.Paths.get(oldCkpt, "commits")
+      def lastCommit: Long = {
+        val it = Files.list(commits).iterator()
+        var m = -1L
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.forall(_.isDigit)) m = math.max(m, n.toLong)
+        }
+        m
+      }
+      val seenAt = lastCommit
+      while (lastCommit <= seenAt) {
+        assert(System.nanoTime() < deadline, "timed out waiting for a post-data commit")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(("a", 1), ("b", 2), ("c", 3))
+      waitForData()
+    } finally q.stop()
+
+    def timers(ckptDir: String): Set[(String, Long)] = spark.read.format("statestore")
+      .option("operatorId", "0").option("readRegisteredTimers", "true").load(ckptDir)
+      .selectExpr("key.value AS k", "expiration_timestamp_ms AS ts")
+      .as[(String, Long)].collect().toSet
+
+    dropInFlightOffsets(oldCkpt)
+    val before = timers(oldCkpt)
+    assert(before.map(_._1) === Set("a", "b", "c"))
+
+    val newCkpt = ckpt() + "/moved"
+    val summary = StateRepartition.run(spark, oldCkpt, newCkpt, 8).collect()
+    val byCf = summary.map(r => r.getAs[String]("storeName") -> r.getAs[Long]("keys")).toMap
+    assert(byCf("$procTimers_keyToTimestamp") === 3L, s"timer index migrated: $byCf")
+    assert(byCf("$procTimers_timestampToKey") === 3L, s"timer range index migrated: $byCf")
+    assert(timers(newCkpt) === before, "registered timers identical after the move")
+  }
+
+  test("transformWithState with TTL-enabled state is rejected loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val df = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new StateRepartitionSuite.TtlValueProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("k", "n")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val oldCkpt = ckpt()
+    val q = df.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", oldCkpt)
+      .foreachBatch { (b: DataFrame, _: Long) => seen.addAndGet(b.count()); () }
+      .start()
+    try {
+      input.addData(("a", 1))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (seen.get() < 1) {
+        assert(System.nanoTime() < deadline, "timed out waiting for the TTL batch")
+        Thread.sleep(100)
+      }
+      // one more commit so the data batch is durably committed
+      val commits = java.nio.file.Paths.get(oldCkpt, "commits")
+      def lastCommit: Long = {
+        val it = Files.list(commits).iterator()
+        var m = -1L
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.forall(_.isDigit)) m = math.max(m, n.toLong)
+        }
+        m
+      }
+      val seenAt = lastCommit
+      while (lastCommit <= seenAt) {
+        assert(System.nanoTime() < deadline, "timed out waiting for a post-data commit")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    dropInFlightOffsets(oldCkpt)
+    val e = intercept[IllegalArgumentException] {
+      StateRepartition.run(spark, oldCkpt, ckpt() + "/x", 8)
+    }
+    assert(e.getMessage.contains("TTL"))
+  }
+
   test("refuses an in-flight batch and a missing state dir") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -286,5 +496,76 @@ class StateRepartitionSuite extends AnyFunSuite with BeforeAndAfterAll {
       StateRepartition.run(spark, "/nonexistent/ckpt", ckpt() + "/y", 8)
     }
     assert(e2.getMessage.contains("does not exist"))
+  }
+}
+
+object StateRepartitionSuite {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  /** ValueState per-key total + MapState per-tag counts. */
+  class ValueMapProcessor extends StatefulProcessor[String, (String, Int), (String, String, Long, Long)] {
+    @transient private var total: ValueState[Long] = _
+    @transient private var byTag: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+      byTag = getHandle.getMapState[String, Long]("byTag", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[(String, String, Long, Long)] = {
+      var t = if (total.exists()) total.get() else 0L
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        t += 1
+        val tag = if (r._2 % 2 == 0) "even" else "odd"
+        byTag.updateValue(tag, (if (byTag.containsKey(tag)) byTag.getValue(tag) else 0L) + 1L)
+        touched += tag
+      }
+      total.update(t)
+      touched.iterator.map(tag => (key, tag, byTag.getValue(tag), t))
+    }
+  }
+
+  /** Appends every value to ListState and echoes the joined list. */
+  class ListEchoProcessor extends StatefulProcessor[String, (String, Int), (String, String)] {
+    @transient private var l: ListState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      l = getHandle.getListState[Int]("vals", Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[(String, String)] = {
+      rows.foreach(r => l.appendValue(r._2))
+      Iterator.single((key, l.get().mkString(",")))
+    }
+  }
+
+  /** Registers one far-future processing-time timer per key. */
+  class TimerRegisteringProcessor extends StatefulProcessor[String, (String, Int), (String, Long)] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      val c = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(c)
+      if (!getHandle.listTimers().hasNext) {
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + 24L * 3600 * 1000)
+      }
+      Iterator.single((key, c))
+    }
+  }
+
+  /** A TTL-enabled value state — the configuration the repartition tool
+    * must refuse (TTL secondary-index families are not migrated). */
+  class TtlValueProcessor extends StatefulProcessor[String, (String, Int), (String, Long)] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofHours(1)))
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      val c = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(c)
+      Iterator.single((key, c))
+    }
   }
 }
