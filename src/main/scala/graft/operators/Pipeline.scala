@@ -373,6 +373,133 @@ object Pipeline {
        |  CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693952 AS BIGINT) AS checksum2
        |FROM d GROUP BY 1""".stripMargin
 
+  /** SNAPSHOT RECONCILIATION — the incremental-ingest diff between two
+    * corpus snapshots: every document classified `added` / `removed` /
+    * `changed` by comparing 64-bit content fingerprints, never the bytes.
+    * This is the audit an incremental 100 TB export runs before publishing:
+    * how much of the previous snapshot does today's crawl invalidate, and
+    * is the delta the expected shape? The fixture derives both snapshots
+    * deterministically from `documents` (the OLD snapshot lacks the
+    * `doc_id % 19 = 0` docs and carries a half-length prior revision of
+    * the `doc_id % 17 = 3` docs; the NEW snapshot lacks `doc_id % 23 = 5`)
+    * — in production they are two table versions of the same lake path.
+    *
+    * Scale: both sides project to (doc_id, fingerprint, length) BEFORE the
+    * join, so the shuffle carries ~20 bytes per document instead of the
+    * text; the full-outer join keys on doc_id — the primary key both
+    * snapshots are naturally bucketed/sorted by (`src_bucketed` proves the
+    * shuffle-free layout) — and `changed` is one 8-byte compare per doc.
+    * Output is the delta only (unchanged rows drop), which is what the
+    * downstream incremental dedup/index jobs consume. Hash-compare equals
+    * byte-compare up to xxhash64 collision — the standard reconciliation
+    * trade (rsync/lakeFS), and the fixture is deterministic so the gate
+    * cannot flake on it. */
+  def pipe_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val oldRev = when(expr("doc_id % 17 = 3"),
+      expr("substr(text, 1, greatest(length(text) div 2, 1))")).otherwise(col("text"))
+    val snapOld = d.filter(expr("doc_id % 19 != 0"))
+      .select(col("doc_id"), xxhash64(oldRev).as("h_old"),
+        length(oldRev).as("chars_old"))
+    val snapNew = d.filter(expr("doc_id % 23 != 5"))
+      .select(col("doc_id"), xxhash64(col("text")).as("h_new"),
+        length(col("text")).as("chars_new"))
+    snapOld.join(snapNew, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("doc_id"), col("change"), col("chars_old"), col("chars_new"))
+  }
+
+  /** Oracle compares the text directly — the classification hash-compare
+    * stands in for at scale. */
+  val pipe_snapshot_diff_sql: String =
+    """WITH snap_old AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 3
+      |      THEN substr(text, 1, greatest(length(text) // 2, 1))
+      |      ELSE text END AS text
+      |  FROM documents WHERE doc_id % 19 <> 0),
+      |snap_new AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 5),
+      |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.text <> n.text THEN 'changed' END AS change,
+      |    CAST(length(o.text) AS INT) AS chars_old,
+      |    CAST(length(n.text) AS INT) AS chars_new
+      |  FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, change, chars_old, chars_new
+      |FROM j WHERE change IS NOT NULL""".stripMargin
+
+  /** DISTRIBUTION-DRIFT report between the same two snapshots
+    * [[pipe_snapshot_diff]] reconciles — the monitoring op a continuously
+    * re-exported corpus runs alongside the diff: the diff says WHICH
+    * documents changed, the drift report says whether the corpus'
+    * token distribution MOVED (a mix shift a trained model will feel).
+    * Reference vocabulary = the OLD snapshot's top-[[DriftVocabK]] tokens
+    * (count DESC, token ASC — deterministic through ties); each vocab
+    * token's mass is reported in integer ppm of its snapshot's total
+    * token count, plus the absolute per-token drift. The ppm products run
+    * in DECIMAL(38,0) (HUGEINT oracle) so a 10^13-token corpus cannot
+    * wrap BIGINT (the q44 discipline).
+    *
+    * Scale: each snapshot is scanned once into a map-side-combined token
+    * count; totals are aggregates OVER those counts (vocabulary-sized,
+    * never a second corpus scan) carried as broadcast 1-row joins; the
+    * vocabulary is a bounded top-K (TakeOrderedAndProject → broadcast), so
+    * nothing downstream of the two aggregates touches corpus-scale data. */
+  private val DriftVocabK = 100
+
+  def pipe_drift_report(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val oldRev = when(expr("doc_id % 17 = 3"),
+      expr("substr(text, 1, greatest(length(text) div 2, 1))")).otherwise(col("text"))
+    val oldCnt = d.filter(expr("doc_id % 19 != 0"))
+      .select(explode(split(trim(oldRev), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_old"))
+    val newCnt = d.filter(expr("doc_id % 23 != 5"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_new"))
+    val vocab = oldCnt.orderBy(col("n_old").desc, col("tok").asc).limit(DriftVocabK)
+      .select(col("tok"))
+    val totOld = oldCnt.agg(sum(col("n_old")).as("t_old"))
+    val totNew = newCnt.agg(sum(col("n_new")).as("t_new"))
+    broadcast(vocab)
+      .join(oldCnt, Seq("tok"), "left")
+      .join(newCnt, Seq("tok"), "left")
+      .crossJoin(broadcast(totOld)).crossJoin(broadcast(totNew))
+      .withColumn("ppm_old",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * coalesce(n_old, 0) div t_old"))
+      .withColumn("ppm_new",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * coalesce(n_new, 0) div t_new"))
+      .select(col("tok"), col("ppm_old"), col("ppm_new"),
+        abs(col("ppm_old") - col("ppm_new")).as("drift_ppm"))
+  }
+
+  val pipe_drift_report_sql: String =
+    s"""WITH snap_old AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 3
+       |      THEN substr(text, 1, greatest(length(text) // 2, 1))
+       |      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 19 <> 0),
+       |snap_new AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 5),
+       |oc AS (SELECT tok, count(*) AS n_old FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM snap_old)
+       |  GROUP BY 1),
+       |nc AS (SELECT tok, count(*) AS n_new FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM snap_new)
+       |  GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(n_old) FROM oc) AS t_old,
+       |    (SELECT sum(n_new) FROM nc) AS t_new),
+       |vocab AS (SELECT tok FROM oc ORDER BY n_old DESC, tok ASC LIMIT $DriftVocabK)
+       |SELECT v.tok,
+       |  CAST((CAST(1000000 AS HUGEINT) * coalesce(n_old, 0)) // t_old AS BIGINT) AS ppm_old,
+       |  CAST((CAST(1000000 AS HUGEINT) * coalesce(n_new, 0)) // t_new AS BIGINT) AS ppm_new,
+       |  CAST(abs((CAST(1000000 AS HUGEINT) * coalesce(n_old, 0)) // t_old -
+       |    (CAST(1000000 AS HUGEINT) * coalesce(n_new, 0)) // t_new) AS BIGINT) AS drift_ppm
+       |FROM vocab v LEFT JOIN oc USING (tok) LEFT JOIN nc USING (tok) CROSS JOIN tot""".stripMargin
+
   /** LENGTH-DISTRIBUTION audit per (lang, power-of-two token bucket) —
     * the histogram a sequence-packing/curriculum design reads first: where
     * the corpus' tokens actually live by document length (a corpus whose
@@ -1151,6 +1278,8 @@ object Pipeline {
     "pipe_pack" -> (pipe_pack(_, _)),
     "pipe_length_buckets" -> (pipe_length_buckets(_, _)),
     "pipe_shard_manifest" -> (pipe_shard_manifest(_, _)),
+    "pipe_snapshot_diff" -> (pipe_snapshot_diff(_, _)),
+    "pipe_drift_report" -> (pipe_drift_report(_, _)),
     "pipe_sample_stratified" -> (pipe_sample_stratified(_, _)),
     "pipe_mix_weights" -> (pipe_mix_weights(_, _)),
     "pipe_mix_apply" -> (pipe_mix_apply(_, _)),
@@ -1178,6 +1307,8 @@ object Pipeline {
     "pipe_pack" -> pipe_pack_sql,
     "pipe_length_buckets" -> pipe_length_buckets_sql,
     "pipe_shard_manifest" -> pipe_shard_manifest_sql,
+    "pipe_snapshot_diff" -> pipe_snapshot_diff_sql,
+    "pipe_drift_report" -> pipe_drift_report_sql,
     "pipe_sample_stratified" -> pipe_sample_stratified_sql,
     "pipe_mix_weights" -> pipe_mix_weights_sql,
     "pipe_mix_apply" -> pipe_mix_apply_sql,

@@ -1634,6 +1634,37 @@ object Similarity {
     ivfpqSearch(s, dir, cent, cellOf, code, assigned)
   }
 
+  /** FILE new vectors into an existing IVF×PQ index — the INSERT path of
+    * the index lifecycle (train once → persist → serve → ingest): each
+    * vector is coarse-assigned to its nearest loaded centroid and PQ-coded
+    * against the loaded codebooks, with the EXACT tie-break discipline of
+    * the trainer's own final assignment pass, so rows filed incrementally
+    * are bit-identical to rows the one-shot build would produce. No
+    * retraining anywhere — centroids and codebooks are read-only inputs.
+    * Per-vector work is independent of every other vector (one broadcast
+    * of k centroids + PqM·PqK codewords), so any partition of the arrival
+    * stream unions to the batch answer — the incremental≡batch property
+    * the streaming gate pins. Output: the index rows to append, one
+    * (cell, code) per (vector, subspace). */
+  private[graft] def ivfpqFileFor(vectors: DataFrame, dim: Int,
+      cent: DataFrame, code: DataFrame): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("embedding"), norm2C.as("n2"))
+    val cellOf = e.crossJoin(broadcast(cent))
+      .withColumn("cscore", dotC / sqrt(col("n2") * col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("ccid"), struct(col("cscore"), -col("ccid"))).as("cell"))
+    val subs = subvectorsOf(vectors, dim)
+      .withColumn("sn2", VecDot.norm2(col("sv")))
+    val filed = subs
+      .join(broadcast(code.withColumn("cn2", VecDot.norm2(col("cv")))), Seq("m"))
+      .withColumn("cscore",
+        VecDot.dot(col("cv"), col("sv")) / sqrt(col("sn2") * col("cn2")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("cid"))
+    cellOf.join(filed, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("m"), col("cid"))
+  }
+
   /** PERSISTED-INDEX search — the production deployment shape a 100 TB ANN
     * corpus actually runs: the IVF×PQ index is trained ONCE, written as
     * DATA (four parquet tables: `centroids` = the coarse quantizer,
@@ -1684,8 +1715,13 @@ object Similarity {
     * integer-exact training) — the oracle is shared. */
   lazy val sim_index_persist_sql: String = sim_topk_ivfpq_sql
 
-  val sim_topk_ivfpq_sql: String =
-    s"""WITH $cellsDuck,
+  /** The IVF×PQ index BUILD as DuckDB CTEs — everything up to the filed
+    * index tables `cellof` (coarse assignment) and `assigned` (PQ codes),
+    * with `cscored`/`c2` exposed for the search suffix. Shared by the
+    * in-session search oracle, the persisted-index oracle, and the
+    * streaming index-update oracle. */
+  private[graft] lazy val ivfpqIndexCtesDuck: String =
+    s"""$cellsDuck,
       |dims AS (SELECT max(len(embedding)) AS d,
       |    CAST(max(len(embedding)) // $PqM AS BIGINT) AS sd FROM embeddings),
       |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dims),
@@ -1700,8 +1736,6 @@ object Similarity {
       |    ccid ASC) AS crank
       |  FROM e CROSS JOIN cent),
       |cellof AS (SELECT vec_id, ccid AS cell FROM cscored WHERE crank = 1),
-      |probes AS (SELECT vec_id AS qid, ccid AS cell FROM cscored
-      |  WHERE vec_id < 50 AND crank <= $NumProbes),
       |sq AS (SELECT vec_id, m,
       |    embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)] AS sv,
       |    list_transform(embedding[(m*sd+1):(CASE WHEN m = $PqM - 1 THEN d ELSE (m+1)*sd END)],
@@ -1718,7 +1752,12 @@ object Similarity {
       |    / sqrt(sq.sn2 * list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
       |    cid ASC) AS r
       |  FROM sq JOIN c2 USING (m)),
-      |assigned AS (SELECT vec_id, m, cid FROM s_f WHERE r = 1),
+      |assigned AS (SELECT vec_id, m, cid FROM s_f WHERE r = 1)""".stripMargin
+
+  val sim_topk_ivfpq_sql: String =
+    s"""WITH $ivfpqIndexCtesDuck,
+      |probes AS (SELECT vec_id AS qid, ccid AS cell FROM cscored
+      |  WHERE vec_id < 50 AND crank <= $NumProbes),
       |tbl AS (SELECT sq.vec_id AS qid, c2.m AS m, c2.cid AS cid,
       |    list_sum(list_transform(range(1, len(cv)+1), i ->
       |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))

@@ -850,10 +850,11 @@ object TextAnalysis {
     merges.result().toDF("round", "winner", "n")
   }
 
-  /** Oracle: the identical rounds unrolled as MATERIALIZED CTEs (DuckDB
-    * would otherwise re-inline each round's corpus once per reference —
-    * the round-7–9 gate-starvation failure mode). */
-  val text_bpe_train_sql: String = {
+  /** The unrolled training rounds as MATERIALIZED CTEs (DuckDB would
+    * otherwise re-inline each round's corpus once per reference — the
+    * round-7–9 gate-starvation failure mode), shared by the train oracle
+    * and the persisted-tokenizer encode oracle. Yields `win1..winN`. */
+  private val bpeTrainCtes: String = {
     val rounds = (1 to BpeTrainRounds).map { r =>
       val pairs =
         s"""p$r AS (SELECT pair, count(*) AS n FROM (
@@ -869,14 +870,86 @@ object TextAnalysis {
         else ""
       s"$pairs,\n$win$next"
     }.mkString(",\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT w FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
        |  WHERE length(w) >= 2),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val text_bpe_train_sql: String =
+    s"""WITH $bpeTrainCtes
        |${(1 to BpeTrainRounds)
         .map(r => s"SELECT $r AS round, pair AS winner, n FROM win$r")
         .mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** TRAIN-ONCE, SHIP-AS-DATA tokenizer — the [[text_bpe_train]] merge
+    * table written to parquet ONCE per corpus (HuggingFace's `merges.txt`
+    * artifact re-expressed as a lake table, the tokenizer twin of
+    * [[graft.operators.Similarity.sim_index_persist]]'s ANN index), then
+    * the whole corpus ENCODED against the LOADED table with ZERO trainer
+    * stages in the encode plan. The merge chain is applied IN-PLAN: the
+    * loaded table collapses to a single round-ordered array (an 8-row — at
+    * production scale 50k-row — aggregate, broadcast to every task) and
+    * each word folds through it with `aggregate(ms, w, replace(...))` —
+    * the marker alphabet is the trainer's own ('0' + round - 1), so the
+    * encoding is byte-identical to what the trainer's final segmentation
+    * would produce. Output per document: word count and symbol counts
+    * before/after, i.e. the corpus-compression audit a tokenizer rollout
+    * ships.
+    *
+    * Plan shape (pinned in `PlanShapeSuite`): one corpus scan + one scan
+    * of the merges layout, no pair-count aggregates, no trainer
+    * checkpoints — training cost is paid once at write time, exactly like
+    * a production vocabulary. Deterministic training (total order on
+    * winners) makes the persisted table — and therefore the loaded
+    * encode — reproducible, so the oracle retrains in SQL and applies the
+    * same fold. */
+  private val bpeMergesDirMemo = new graft.Memo[String]
+
+  /** The persisted merge-table layout's root path (trained and written on
+    * first call per fixture dir, reused after). */
+  private[graft] def persistedBpeMerges(s: SparkSession, dir: String): String =
+    bpeMergesDirMemo.getOrStage(dir) {
+      val p = graft.Staging.tempDir("graft-bpe-merges-").toString
+      text_bpe_train(s, dir).write.mode("overwrite").parquet(s"$p/merges")
+      p
+    }
+
+  def text_bpe_persist(s: SparkSession, dir: String): DataFrame = {
+    val idx = persistedBpeMerges(s, dir)
+    val merges = s.read.parquet(s"$idx/merges")
+      .agg(array_sort(collect_list(struct(col("round"), col("winner")))).as("ms"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .crossJoin(broadcast(merges))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x)")
+          .as("sym_before"),
+        expr("aggregate(transform(ws, w -> length(" +
+          "aggregate(ms, w, (acc, m) -> replace(acc, m.winner, chr(47 + m.round))))), " +
+          "0, (a, x) -> a + x)").as("sym_after"))
+  }
+
+  /** Oracle: retrain via the shared unrolled CTEs, then apply the same
+    * 8-merge fold per word (winners cross-joined in as columns — one row). */
+  val text_bpe_persist_sql: String = {
+    val winCols = (1 to BpeTrainRounds)
+      .map(r => s"(SELECT pair FROM win$r) AS m$r").mkString(", ")
+    val applied = (1 to BpeTrainRounds).foldLeft("w") { (acc, r) =>
+      s"replace($acc, m$r, '${('0' + (r - 1)).toChar}')"
+    }
+    s"""WITH $bpeTrainCtes,
+       |wins AS (SELECT $winCols),
+       |d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws, wins.*
+       |      FROM documents, wins)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS INT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS INT) AS sym_before,
+       |  CAST(COALESCE(list_sum(list_transform(ws, w -> length($applied))), 0) AS INT) AS sym_after
+       |FROM d""".stripMargin
   }
 
   /** Per-document top-3 TF-IDF-style terms: term frequency weighted by
@@ -1281,6 +1354,7 @@ object TextAnalysis {
     "text_oov_rate" -> text_oov_rate _,
     "text_bpe_encode" -> text_bpe_encode _,
     "text_bpe_train" -> text_bpe_train _,
+    "text_bpe_persist" -> text_bpe_persist _,
     "text_tfidf_top" -> text_tfidf_top _,
     "text_bpe_pairs" -> text_bpe_pairs _,
     "text_ngram_top" -> text_ngram_top _,
@@ -1309,6 +1383,7 @@ object TextAnalysis {
     "text_oov_rate" -> text_oov_rate_sql,
     "text_bpe_encode" -> text_bpe_encode_sql,
     "text_bpe_train" -> text_bpe_train_sql,
+    "text_bpe_persist" -> text_bpe_persist_sql,
     "text_tfidf_top" -> text_tfidf_top_sql,
     "text_bpe_pairs" -> text_bpe_pairs_sql,
     "text_ngram_top" -> text_ngram_top_sql,

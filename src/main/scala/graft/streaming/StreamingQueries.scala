@@ -1231,6 +1231,58 @@ object StreamingQueries {
     * the streamed serve equal the one-shot batch search — shared oracle. */
   lazy val stream_ann_serve_sql: String = graft.operators.Similarity.sim_topk_ivfpq_sql
 
+  /** Streaming ANN index UPDATE — the INSERT half of the persisted-index
+    * lifecycle ([[stream_ann_serve]] is the query half): vectors arrive as
+    * a multi-batch stream and each micro-batch files its arrivals into the
+    * LOADED index (coarse cell + PQ codes via
+    * [[graft.operators.Similarity.ivfpqFileFor]] — centroids and codebooks
+    * read-only, zero retraining), appending the new index rows partitioned
+    * by batch. Per-vector filing is a pure function of the loaded index,
+    * so the union of all batches equals the one-shot build's own
+    * `cells`/`codes` tables row-for-row — the oracle retrains in SQL and
+    * reads the filed assignment off the full build. At 100 TB this is the
+    * continuous-ingest path of a vector store: the expensive trainer ran
+    * once; keeping the index current costs one broadcast join per batch
+    * and appends O(arrivals) rows, never touching existing index data. */
+  def stream_index_update(s0: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val idx = Similarity.persistedIvfpqIndex(s, dir)
+    val dim = Tables.embeddingsDim(s, dir)
+    val outDir = graft.Staging.tempDir("graft-idxupd-out-").toString
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    val q = embeddingsStream(s, dir)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        Similarity.ivfpqFileFor(batch.select(col("vec_id"), col("embedding")), dim,
+            s2.read.parquet(s"$idx/centroids"),
+            s2.read.parquet(s"$idx/codebook"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .format("parquet")
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .save(outDir)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).select(col("vec_id"), col("cell"), col("m"), col("cid"))
+  }
+
+  /** The filed rows of the one-shot SQL build, keyed per (vector,
+    * subspace) — incremental filing must reproduce them exactly. */
+  lazy val stream_index_update_sql: String =
+    s"""WITH ${graft.operators.Similarity.ivfpqIndexCtesDuck}
+       |SELECT cellof.vec_id, cell, CAST(m AS INT) AS m, cid
+       |FROM cellof JOIN assigned USING (vec_id)""".stripMargin
+
   /** STREAMING MULTIMODAL near-dup — the image-ingest twin of
     * [[stream_lsh_dedup]], extending the streaming dedup family to the
     * binary modalities: images arrive as a document stream, each is
@@ -1994,6 +2046,7 @@ object StreamingQueries {
     "stream_semdedup" -> (stream_semdedup(_, _)),
     "stream_quantile" -> (stream_quantile(_, _)),
     "stream_ann_serve" -> (stream_ann_serve(_, _)),
+    "stream_index_update" -> (stream_index_update(_, _)),
     "stream_mm_dedup" -> (stream_mm_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
@@ -2039,5 +2092,6 @@ object StreamingQueries {
     "stream_semdedup" -> stream_semdedup_sql,
     "stream_quantile" -> stream_quantile_sql,
     "stream_ann_serve" -> stream_ann_serve_sql,
+    "stream_index_update" -> stream_index_update_sql,
     "stream_mm_dedup" -> stream_mm_dedup_sql)
 }

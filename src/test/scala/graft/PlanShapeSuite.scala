@@ -97,6 +97,22 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       "search must read the persisted index layout")
   }
 
+  test("text_bpe_persist: loaded-merges encode runs zero trainer stages") {
+    val df = TextAnalysis.text_bpe_persist(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      "no trainer checkpoint may appear in the encode plan — training " +
+        "happened once at merge-table write time")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.count(_.metadata.get("Location").exists(_.contains("documents"))) === 1,
+      "the encode pass scans the corpus exactly once")
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-bpe-merges"))),
+      "the merge table must come off the persisted layout, not a trainer stage")
+  }
+
   test("text_pmi_bigrams explodes the corpus once (marginals off the checkpointed counts)") {
     // the one corpus scan happens at the eager bigram-count checkpoint;
     // the returned plan must contain NO parquet scan at all — any scan here

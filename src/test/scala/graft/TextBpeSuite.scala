@@ -44,6 +44,25 @@ class TextBpeSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"winner '$winner' must not reappear as a round-2 pair")
   }
 
+  test("persisted-merge encode equals a from-scratch Scala application of the merge table") {
+    val merges = operators.TextAnalysis.text_bpe_train(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), ('0' + (r.getInt(0) - 1)).toChar.toString))
+    val got = operators.TextAnalysis.text_bpe_persist(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    assert(docs.length === got.size, "one encode row per document")
+    docs.foreach { r =>
+      val ws = "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector
+      val before = ws.map(_.length).sum
+      val after = ws.map(w =>
+        merges.foldLeft(w) { case (acc, (p, m)) => acc.replace(p, m) }.length).sum
+      val (nw, sb, sa) = got(r.getLong(0))
+      assert(nw === ws.length && sb === before && sa === after,
+        s"doc ${r.getLong(0)}: got ($nw,$sb,$sa), expected (${ws.length},$before,$after)")
+    }
+  }
+
   test("replace merges leftmost-non-overlapping like a sequential tokenizer") {
     // pin the engine-shared semantics the operator relies on: 'aaa' under
     // winner 'aa' segments as [aa][a], never the overlapping middle pair
