@@ -449,18 +449,25 @@ object Pipeline {
     * never a second corpus scan) carried as broadcast 1-row joins; the
     * vocabulary is a bounded top-K (TakeOrderedAndProject → broadcast), so
     * nothing downstream of the two aggregates touches corpus-scale data. */
-  private val DriftVocabK = 100
+  private[graft] val DriftVocabK = 100
 
-  def pipe_drift_report(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  /** The OLD snapshot's token counts (tok, n_old) — the published
+    * distribution both the batch drift report and the streaming drift
+    * monitor compare against. */
+  private[graft] def driftOldCounts(s: SparkSession, dir: String): DataFrame = {
     val oldRev = when(expr("doc_id % 17 = 3"),
       expr("substr(text, 1, greatest(length(text) div 2, 1))")).otherwise(col("text"))
-    val oldCnt = d.filter(expr("doc_id % 19 != 0"))
+    Tables.documents(s, dir).filter(expr("doc_id % 19 != 0"))
       .select(explode(split(trim(oldRev), "\\s+")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_old"))
-    val newCnt = d.filter(expr("doc_id % 23 != 5"))
-      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("n_new"))
+  }
+
+  /** Assemble the drift report from the old counts and a NEW-snapshot
+    * count table (tok, n_new) — shared by the batch op (one aggregate) and
+    * the streaming monitor (counts off RocksDB state). */
+  private[graft] def driftReportFrom(s: SparkSession, dir: String,
+      newCnt: DataFrame): DataFrame = {
+    val oldCnt = driftOldCounts(s, dir)
     val vocab = oldCnt.orderBy(col("n_old").desc, col("tok").asc).limit(DriftVocabK)
       .select(col("tok"))
     val totOld = oldCnt.agg(sum(col("n_old")).as("t_old"))
@@ -475,6 +482,13 @@ object Pipeline {
         expr("CAST(1000000 AS DECIMAL(38,0)) * coalesce(n_new, 0) div t_new"))
       .select(col("tok"), col("ppm_old"), col("ppm_new"),
         abs(col("ppm_old") - col("ppm_new")).as("drift_ppm"))
+  }
+
+  def pipe_drift_report(s: SparkSession, dir: String): DataFrame = {
+    val newCnt = Tables.documents(s, dir).filter(expr("doc_id % 23 != 5"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_new"))
+    driftReportFrom(s, dir, newCnt)
   }
 
   val pipe_drift_report_sql: String =

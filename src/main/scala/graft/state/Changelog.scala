@@ -81,10 +81,28 @@ object Changelog {
     new Iterator[Record] {
       private var nextRec: Record = _
       private var done = false
+      private var recCount = 0L
       private def advance(): Unit = {
         if (done) return
+        // EOF at a record BOUNDARY is the legitimate end of the stream; EOF
+        // inside a record — or a DEFLATE stream cut short ("Unexpected end
+        // of ZLIB input stream", the only message-bearing EOFException on
+        // this path; DataInputStream's clean EOF carries none) — is a
+        // truncated/corrupt changelog and must be LOUD (replaying a
+        // half-applied batch as if complete silently loses state) — the
+        // distinction StateFsck's chain soundness check pins.
+        val op =
+          try data.readUnsignedByte()
+          catch {
+            case e: EOFException if e.getMessage == null =>
+              done = true; data.close(); return
+            case e: EOFException =>
+              done = true
+              data.close()
+              throw new java.io.IOException(
+                s"changelog truncated (after $recCount complete records)", e)
+          }
         try {
-          val op = data.readUnsignedByte()
           val cfBytes = new Array[Byte](data.readUnsignedShort())
           data.readFully(cfBytes)
           val key = new Array[Byte](data.readInt())
@@ -93,8 +111,13 @@ object Changelog {
             val v = new Array[Byte](data.readInt()); data.readFully(v); v
           } else null
           nextRec = Record(op, new String(cfBytes, "UTF-8"), key, value)
+          recCount += 1
         } catch {
-          case _: EOFException => done = true; data.close()
+          case e: EOFException =>
+            done = true
+            data.close()
+            throw new java.io.IOException(
+              s"changelog truncated mid-record (after $recCount complete records)", e)
         }
       }
       advance()

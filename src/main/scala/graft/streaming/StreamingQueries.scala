@@ -855,6 +855,34 @@ object StreamingQueries {
        |  CAST(count(*) AS BIGINT) AS n_docs
        |FROM bands GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Streaming DISTRIBUTION-DRIFT monitor — the incremental twin of
+    * [[graft.operators.Pipeline.pipe_drift_report]]: the NEW corpus
+    * arrives as a document stream and its per-token counts accumulate in
+    * RocksDB state (the canonical streaming count aggregation — partial
+    * aggregation per micro-batch before the shuffle, so a frequent token
+    * costs one row per partition per batch, not one per occurrence), while
+    * the LAST PUBLISHED snapshot's distribution is a static reference. At
+    * any point — here, end of stream — the state joins against the
+    * reference vocabulary to answer "has the mix moved since we last
+    * exported?", in the same integer ppm. Counts are order-independent, so
+    * the incremental report equals the batch report whatever the chunk
+    * interleaving — the oracle is shared. Update-mode re-emissions resolve
+    * by `max` (a token's running count is strictly increasing). State is
+    * one counter per distinct token — the vocabulary, not the corpus. */
+  def stream_drift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val newCnt = runToTable(s, s2 =>
+      documentsStream(s2, dir)
+        .filter(expr("doc_id % 23 != 5"))
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_new")),
+      OutputMode.Update(), "stream_drift")
+      .groupBy(col("tok")).agg(max(col("n_new")).as("n_new"))
+    Pipeline.driftReportFrom(s, dir, newCnt)
+  }
+
+  lazy val stream_drift_sql: String = graft.operators.Pipeline.pipe_drift_report_sql
+
   /** KMV distinct-count sketch maintained INCREMENTALLY in streaming
     * state: the document stream's shingle hashes fold into the bounded
     * [[graft.functions.KMinDistinct]] aggregate per language, whose
@@ -2041,6 +2069,7 @@ object StreamingQueries {
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
     "stream_kmv" -> (stream_kmv(_, _)),
+    "stream_drift" -> (stream_drift(_, _)),
     "stream_cms" -> (stream_cms(_, _)),
     "stream_heavy_hitters" -> (stream_heavy_hitters(_, _)),
     "stream_semdedup" -> (stream_semdedup(_, _)),
@@ -2087,6 +2116,7 @@ object StreamingQueries {
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_kmv" -> stream_kmv_sql,
+    "stream_drift" -> stream_drift_sql,
     "stream_cms" -> stream_cms_sql,
     "stream_heavy_hitters" -> stream_heavy_hitters_sql,
     "stream_semdedup" -> stream_semdedup_sql,
