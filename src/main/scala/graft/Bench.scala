@@ -99,7 +99,12 @@ object Bench {
     // one PASS of many queries instead — each affected query gets one
     // inflated pass against two clean ones, which is exactly the
     // max/min>2x signature the contended flag catches.
+    // Optional comma-separated allowlist for local iteration on a few
+    // queries (unset = the full suite, the driver's configuration).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val passResults: Seq[Seq[Option[(Double, Double)]]] = (1 to repeats).map { p =>
       System.err.println(s"[bench] pass $p/$repeats")
       names.map { name =>
@@ -147,7 +152,10 @@ object Bench {
     // File first: captured stdout can be truncated mid-line (BENCH_r05 and
     // BENCH_r08 both lost the stdout tail — `"parsed": null`); the file is
     // the complete, archivable artifact regardless of what the pipe kept.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // A filtered run is a local probe — never let it clobber the committed
+    // full-suite artifact.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/BENCH_ONLY.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     println(json)
