@@ -73,11 +73,12 @@ object StateFsck extends Logging {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: StateFsck <checkpointDir>")
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length == 1, "usage: StateFsck [--deep] <checkpointDir>")
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
-    val report = run(spark, args(0))
+    val report = run(spark, pos(0), deep = flags.contains("--deep"))
     report.show(1000, truncate = false)
     val bad = report.filter("NOT (covered AND zipErrors = 0 AND missingPoolRefs = 0 " +
       "AND badPoolSizes = 0 AND deltaErrors = 0)").count()
@@ -88,8 +89,12 @@ object StateFsck extends Logging {
   }
 
   /** Verify every store under `ckptDir` against its last committed batch.
-    * Returns one row per (operator, partition, store). */
-  def run(spark: SparkSession, ckptDir: String): DataFrame = {
+    * Returns one row per (operator, partition, store). `deep = true` also
+    * re-hashes every referenced pool SST against its content-address name
+    * (md5) — catches same-length bitrot the metadata check cannot; costs
+    * one full read of the referenced pool bytes, so it is the
+    * weekly-audit mode, not the pre-flight mode. */
+  def run(spark: SparkSession, ckptDir: String, deep: Boolean = false): DataFrame = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val root = new Path(ckptDir)
     val fs = root.getFileSystem(hadoopConf)
@@ -106,7 +111,7 @@ object StateFsck extends Logging {
     val reports = spark.sparkContext
       .parallelize(stores, slices)
       .map { case (op, part, name, dir) =>
-        verifyStore(serConf.value, new Path(dir), op, part, name, required)
+        verifyStore(serConf.value, new Path(dir), op, part, name, required, deep)
       }
       .collect()
     import spark.implicits._
@@ -155,7 +160,8 @@ object StateFsck extends Logging {
       op: Long,
       part: Int,
       name: String,
-      required: Long): StoreReport = {
+      required: Long,
+      deep: Boolean = false): StoreReport = {
     val fs = baseDir.getFileSystem(hadoopConf)
     val mgr = new SnapshotManager(baseDir, hadoopConf)
     val snaps = mgr.listVersions().distinct.sorted
@@ -190,7 +196,7 @@ object StateFsck extends Logging {
           covered = true
           chainLength = chain.size
           chainDeltas = chain
-          if (baseV > 0) verifySnapshotZip(fs, mgr, baseDir, baseV, Some(baseId), issues)
+          if (baseV > 0) verifySnapshotZip(fs, mgr, baseDir, baseV, Some(baseId), issues, deep)
         case scala.util.Failure(e) =>
           issues += s"v2 lineage walk from ($required, $startId) broke: ${e.getMessage}"
       }
@@ -203,7 +209,7 @@ object StateFsck extends Logging {
           covered = true
           chainLength = (required - s).toInt
           chainDeltas = ((s + 1) to required).map(v => (v, None: Option[String]))
-          if (s > 0) verifySnapshotZip(fs, mgr, baseDir, s, None, issues)
+          if (s > 0) verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
         case None =>
           issues += s"version $required unrecoverable: snapshots at " +
             s"[${snaps.mkString(",")}], deltas at [${deltas.mkString(",")}]"
@@ -213,7 +219,7 @@ object StateFsck extends Logging {
     // ---- 2. every OTHER retained snapshot zip streams clean too (v1 names;
     // v2 histories verify the recovery-path snapshot above)
     if (!v2) snaps.filter(s => covered && s != 0 && !chainTouches(s, chainDeltas, required))
-      .foreach(s => verifySnapshotZip(fs, mgr, baseDir, s, None, issues))
+      .foreach(s => verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep))
 
     // ---- 3. full-read the recovery chain's changelogs
     var deltaErrors = 0
@@ -233,7 +239,8 @@ object StateFsck extends Logging {
 
     val zipErrors = issues.count(_.startsWith("snapshot "))
     val missingRefs = issues.count(_.startsWith("pool ref missing"))
-    val badSizes = issues.count(_.startsWith("pool ref size"))
+    val badSizes = issues.count(i =>
+      i.startsWith("pool ref size") || i.startsWith("pool ref corrupt"))
     StoreReport(op, part, name, snaps.size, deltas.size, required,
       covered, chainLength, zipErrors, missingRefs, badSizes, deltaErrors,
       issues.mkString("; "))
@@ -256,7 +263,8 @@ object StateFsck extends Logging {
       baseDir: Path,
       version: Long,
       ckptId: Option[String],
-      issues: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      issues: scala.collection.mutable.ArrayBuffer[String],
+      deep: Boolean = false): Unit = {
     val file = mgr.snapshotFile(version, ckptId)
     val refs = scala.collection.mutable.ArrayBuffer.empty[String]
     val read = Try {
@@ -291,6 +299,25 @@ object StateFsck extends Logging {
           if (expected.exists(_ != st.getLen)) {
             issues += s"pool ref size mismatch: $remote is ${st.getLen} B, " +
               s"name promises ${expected.get} B"
+          } else if (deep) {
+            val wantMd5 = remote.stripSuffix(".sst").split("-").dropRight(1).mkString("-")
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val read = Try {
+              val in = fs.open(p)
+              try {
+                val buf = new Array[Byte](64 * 1024)
+                var n = in.read(buf)
+                while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+            }
+            read.failed.foreach(e =>
+              issues += s"pool ref corrupt: $remote unreadable: ${e.getMessage}")
+            if (read.isSuccess) {
+              val got = md.digest().map("%02x".format(_)).mkString
+              if (got != wantMd5) {
+                issues += s"pool ref corrupt: $remote content md5 $got, name promises $wantMd5"
+              }
+            }
           }
       }
     }

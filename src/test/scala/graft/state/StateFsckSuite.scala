@@ -140,6 +140,57 @@ class StateFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("deltaErrors") === 1, r.toString)
   }
 
+  test("deep mode re-hashes pool SSTs: same-length bitrot caught only by --deep") {
+    val (ckpt, storeDir, _) = synthCheckpoint()
+    val pool = Paths.get(storeDir.toString, "sst")
+    val sst = Files.list(pool).filter(_.toString.endsWith(".sst")).iterator().next()
+    Files.deleteIfExists(pool.resolve("." + sst.getFileName.toString + ".crc"))
+    val bytes = Files.readAllBytes(sst)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x55).toByte // same length
+    Files.write(sst, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+    assert(clean(reportRows(StateFsck.run(spark, ckpt)).head),
+      "metadata-only fsck cannot see same-length bitrot")
+    val rDeep = reportRows(StateFsck.run(spark, ckpt, deep = true)).head
+    assert(!clean(rDeep))
+    assert(rDeep.getAs[Int]("badPoolSizes") === 1, rDeep.toString)
+    assert(rDeep.getAs[String]("issues").contains("pool ref corrupt"))
+  }
+
+  /** v2 (checkpoint IDs): snapshot and delta names carry commit ids; the
+    * recovery walk follows each delta's lineage header, not version
+    * arithmetic. */
+  private def synthV2Checkpoint(): (String, Path, SnapshotManager) = {
+    val ckpt = Files.createTempDirectory("graft-fsck-v2-").toString
+    Files.createDirectories(Paths.get(ckpt, "commits"))
+    Files.write(Paths.get(ckpt, "commits", "0"), "v1\n{}".getBytes("UTF-8"))
+    Files.write(Paths.get(ckpt, "commits", "1"), "v1\n{}".getBytes("UTF-8"))
+    val storeDir = new Path(s"$ckpt/state/0/0")
+    val mgr = new SnapshotManager(storeDir, new Configuration())
+    mgr.ensureBaseDir()
+    val local = Files.createTempDirectory("graft-fsck-v2db-").toFile
+    Files.write(local.toPath.resolve("000009.sst"), ("v2-sst-" * 64).getBytes("UTF-8"))
+    Files.write(local.toPath.resolve("CURRENT"), "MANIFEST-000001".getBytes("UTF-8"))
+    mgr.upload(local, 1, Some("aaa111"), incremental = true)
+    val deltaLocal = Files.createTempFile("graft-fsck-v2delta-", ".tmp").toFile
+    val w = new Changelog.Writer(deltaLocal, lineage = Some("aaa111"))
+    w.put("default", Array[Byte](1), Array[Byte](2))
+    w.close()
+    mgr.uploadDelta(deltaLocal, 2, Some("bbb222"))
+    (ckpt, storeDir, mgr)
+  }
+
+  test("v2 checkpoint: the lineage walk covers snapshot+delta and breaks loudly") {
+    val (ckpt, storeDir, _) = synthV2Checkpoint()
+    val r = reportRows(StateFsck.run(spark, ckpt)).head
+    assert(clean(r), r.toString)
+    assert(r.getAs[Int]("chainLength") === 1)
+    // remove the base snapshot the walk lands on -> uncovered
+    Files.delete(Paths.get(storeDir.toString, "state.snapshot.1_aaa111"))
+    val r2 = reportRows(StateFsck.run(spark, ckpt)).head
+    assert(!r2.getAs[Boolean]("covered"), r2.toString)
+    assert(r2.getAs[String]("issues").contains("lineage walk"))
+  }
+
   test("Changelog.read: EOF mid-record is loud, EOF at a boundary is clean") {
     val f = Files.createTempFile("graft-fsck-chlog-", ".delta").toFile
     val w = new Changelog.Writer(f)
