@@ -100,5 +100,38 @@ object GraftExtensions {
         "rows (map-side combined; ragged dims are a hard error)") { args =>
       arity("vec_sum_long", args, 1)
       graft.functions.VecSumLong(args(0))
+    },
+    fn("lsh_bits",
+      "lsh_bits(vec, nbits) - random-hyperplane LSH bucket of a float/double array: " +
+        "nbits exact integer-quantized sign tests against the engine's fixed " +
+        "prefix-stable +-1 hyperplane family") { args =>
+      arity("lsh_bits", args, 2)
+      val nb = intLit(args(1), "lsh_bits", "nbits")
+      graft.functions.LshBits(args(0), graft.operators.Lsh.weightsFor(nb), nb)
+    },
+    fn("substr_hashes",
+      "substr_hashes(text, winLen) - 60-bit md5 hashes of every stride-1 winLen-char " +
+        "window (one pass; the ExactSubstr dedup kernel)") { args =>
+      arity("substr_hashes", args, 2)
+      graft.functions.SubstrHashes(args(0), intLit(args(1), "substr_hashes", "winLen"))
+    },
+    fn("heavy_keep",
+      "heavy_keep(token, k) - aggregate: Misra-Gries heavy-hitter candidates " +
+        "(<= k survivors; mergeable, so the bound holds under any merge tree)") { args =>
+      arity("heavy_keep", args, 2)
+      graft.functions.HeavyKeep(args(0), intLit(args(1), "heavy_keep", "k"))
+    },
+    fn("kmin_distinct",
+      "kmin_distinct(hash, k) - aggregate: the k smallest distinct BIGINT hashes " +
+        "(the KMV distinct-count sketch buffer)") { args =>
+      arity("kmin_distinct", args, 2)
+      graft.functions.KMinDistinct(args(0), intLit(args(1), "kmin_distinct", "k"))
+    },
+    fn("bottomk_sample",
+      "bottomk_sample(hash, value, k) - aggregate: values of the k smallest distinct " +
+        "hashes (a deterministic uniform sample; the quantile-sketch buffer)") { args =>
+      arity("bottomk_sample", args, 3)
+      graft.functions.BottomKSample(args(0), args(1),
+        intLit(args(2), "bottomk_sample", "k"))
     })
 }

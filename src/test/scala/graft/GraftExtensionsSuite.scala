@@ -80,6 +80,53 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1).getSeq[Long](1) === Seq(5L, 7L))
   }
 
+  test("lsh_bits from SQL matches the operator's bucketCol") {
+    import org.apache.spark.sql.functions._
+    val vec = Seq(0.9f, -0.3f, 0.2f, -0.8f)
+    val viaSql = spark.sql(
+      s"SELECT lsh_bits(array(${vec.mkString("F,")}F), 8) AS b")
+      .collect().head.getLong(0)
+    val viaCol = spark.range(1)
+      .select(operators.Lsh.bucketCol(8,
+        lit(vec.toArray).cast("array<float>")).as("b"))
+      .collect().head.getLong(0)
+    assert(viaSql === viaCol)
+  }
+
+  test("substr_hashes from SQL matches the Column helper") {
+    import org.apache.spark.sql.functions._
+    val txt = "abcdefghijklmnop"
+    val viaSql = spark.sql(s"SELECT substr_hashes('$txt', 5) AS h")
+      .collect().head.getSeq[Long](0)
+    val viaCol = spark.range(1)
+      .select(functions.SubstrHashes.of(lit(txt), 5).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql === viaCol)
+    assert(viaSql.length === txt.length - 5 + 1)
+  }
+
+  test("heavy_keep aggregates from SQL: the frequent token survives") {
+    val r = spark.sql(
+      """SELECT heavy_keep(t, 2) AS hh FROM VALUES
+        |  ('a'), ('a'), ('a'), ('b'), ('c'), ('a') AS v(t)""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(r.contains("a"))
+    assert(r.length <= 2)
+  }
+
+  test("kmin_distinct and bottomk_sample aggregate from SQL") {
+    val km = spark.sql(
+      """SELECT kmin_distinct(h, 3) AS sk FROM VALUES
+        |  (50L), (10L), (30L), (10L), (40L), (20L) AS v(h)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(km === Seq(10L, 20L, 30L))
+    val bk = spark.sql(
+      """SELECT bottomk_sample(h, x, 2) AS s FROM VALUES
+        |  (50L, 500L), (10L, 100L), (30L, 300L) AS v(h, x)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(bk === Seq(100L, 300L))
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b c', 1 + 2)").collect()
