@@ -25,7 +25,7 @@ object TextAnalysis {
   private[operators] val tokens: Column = split(trim(col("text")), "\\s+")
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
-  private[operators] def sqlStopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[graft] def sqlStopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   def text_stats(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
@@ -137,6 +137,25 @@ object TextAnalysis {
 
   /** Quality signals: stopword density, short-doc flag, repetition rate —
     * the usual cheap pre-training corpus filters. All integer arithmetic. */
+  /** (token count, quality class) as reusable columns over a `text`
+    * column — the same integer per-mille classification as
+    * [[text_quality]], shared with the streaming corpus gate (quality is a
+    * pure function of the text, so every copy of an exact duplicate
+    * classifies identically — the property that makes the streamed
+    * first-arrival dedup equal the batch representative choice). */
+  private[graft] def nTokensCol: Column = size(tokens)
+
+  private[graft] def qualityClassCol: Column = {
+    val nTok = size(tokens)
+    val stopPm = (size(filter(tokens, t => t.isin(stopwords: _*)))
+      .cast("long") * 1000 / nTok).cast("long")
+    val uniqPm = (size(array_distinct(tokens)).cast("long") * 1000 / nTok).cast("long")
+    when(nTok < 20, "too_short")
+      .when(stopPm > 150, "stopword_heavy")
+      .when(uniqPm < 400, "repetitive")
+      .otherwise("ok")
+  }
+
   def text_quality(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(tokens)
     val stopHits = size(filter(tokens, t => t.isin(stopwords: _*)))

@@ -855,6 +855,58 @@ object StreamingQueries {
        |  CAST(count(*) AS BIGINT) AS n_docs
        |FROM bands GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Streaming CORPUS MATERIALIZATION — the end-to-end ingest pipeline a
+    * continuously-crawling corpus build runs, as ONE chained stateful
+    * query: each arriving document is quality-classified in the
+    * micro-batch (stateless — the [[graft.operators.TextAnalysis]] integer
+    * per-mille rules), exact duplicates are dropped ACROSS micro-batch
+    * boundaries (fingerprint set in RocksDB state), and the surviving
+    * corpus rolls up to per-quality-class doc/token totals (second
+    * stateful operator — the dedup→agg chaining shape, state in the same
+    * provider). Quality class and token count are pure functions of the
+    * normalized text, so every copy of a duplicate scores identically and
+    * the totals are independent of WHICH copy arrived first — the
+    * incremental build equals the batch build whatever the chunk
+    * interleaving, and the oracle is one DISTINCT + GROUP BY. Update-mode
+    * re-emissions resolve by `max_by` on the running doc count (strictly
+    * increasing per class). This is the composition the primitive gates
+    * exist for: what a 100 TB/day ingest actually deploys. */
+  def stream_corpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    runToTable(s, s2 =>
+      documentsStream(s2, dir)
+        .select(md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"),
+          TextAnalysis.nTokensCol.cast("long").as("n_tokens"),
+          TextAnalysis.qualityClassCol.as("quality_class"))
+        .dropDuplicates("fp")
+        .groupBy(col("quality_class"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens")),
+      OutputMode.Update(), "stream_corpus")
+      .groupBy(col("quality_class"))
+      .agg(max_by(struct(col("n_docs"), col("sum_tokens")), col("n_docs")).as("a"))
+      .select(col("quality_class"), col("a.n_docs").as("n_docs"),
+        col("a.sum_tokens").as("sum_tokens"))
+  }
+
+  val stream_corpus_sql: String =
+    s"""WITH q AS (SELECT
+       |    md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> t IN ${graft.operators.TextAnalysis.sqlStopList})) AS stop_hits,
+       |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS uniq
+       |  FROM documents),
+       |cls AS (SELECT fp, n_tokens,
+       |    CASE WHEN n_tokens < 20 THEN 'too_short'
+       |         WHEN (stop_hits * 1000) // n_tokens > 150 THEN 'stopword_heavy'
+       |         WHEN (uniq * 1000) // n_tokens < 400 THEN 'repetitive'
+       |         ELSE 'ok' END AS quality_class
+       |  FROM q),
+       |d AS (SELECT DISTINCT fp, n_tokens, quality_class FROM cls)
+       |SELECT quality_class, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM d GROUP BY 1""".stripMargin
+
   /** Streaming DISTRIBUTION-DRIFT monitor — the incremental twin of
     * [[graft.operators.Pipeline.pipe_drift_report]]: the NEW corpus
     * arrives as a document stream and its per-token counts accumulate in
@@ -2070,6 +2122,7 @@ object StreamingQueries {
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
     "stream_kmv" -> (stream_kmv(_, _)),
     "stream_drift" -> (stream_drift(_, _)),
+    "stream_corpus" -> (stream_corpus(_, _)),
     "stream_cms" -> (stream_cms(_, _)),
     "stream_heavy_hitters" -> (stream_heavy_hitters(_, _)),
     "stream_semdedup" -> (stream_semdedup(_, _)),
@@ -2117,6 +2170,7 @@ object StreamingQueries {
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_kmv" -> stream_kmv_sql,
     "stream_drift" -> stream_drift_sql,
+    "stream_corpus" -> stream_corpus_sql,
     "stream_cms" -> stream_cms_sql,
     "stream_heavy_hitters" -> stream_heavy_hitters_sql,
     "stream_semdedup" -> stream_semdedup_sql,
