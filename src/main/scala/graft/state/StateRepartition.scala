@@ -596,3 +596,49 @@ object StateRepartition extends Logging {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 }
+
+/** Offline checkpoint COMPACTION — squash a changelog-chained checkpoint
+  * into ONE full snapshot per (operator, partition, store) at the last
+  * committed version, partition count unchanged.
+  *
+  * Why an operator reaches for this: under changelog checkpointing a
+  * long-stopped query's recovery cost is its delta-chain length (the
+  * cadence snapshot only happens while maintenance runs), and
+  * [[StateFsck]]'s `chainLength` column is exactly the number a restart
+  * will replay. Compaction resets it to zero offline: the output
+  * checkpoint recovers with one snapshot download per store, no replay.
+  * It is [[StateRepartition]] at the same width — the same distributed
+  * read-through-the-engine / re-import-through-the-SPI pass, whose
+  * importer always publishes full snapshots — so it inherits the
+  * provider-migration property too (a stock HDFSBacked checkpoint comes
+  * out as a compacted graft checkpoint). The old checkpoint is left
+  * untouched; it IS the rollback plan.
+  */
+object StateCompact extends Logging {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: StateCompact <oldCheckpointDir> <newCheckpointDir>")
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    run(spark, args(0), args(1)).show(100, truncate = false)
+  }
+
+  /** Compact `oldCkpt` into `newCkpt` (same partition count). */
+  def run(spark: SparkSession, oldCkpt: String, newCkpt: String): DataFrame = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val oldRoot = new Path(oldCkpt)
+    val fs = oldRoot.getFileSystem(hadoopConf)
+    val offsetsDir = new Path(oldRoot, "offsets")
+    require(fs.exists(offsetsDir), s"$oldCkpt has no offsets log")
+    val last = fs.listStatus(offsetsDir).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    val lines = {
+      val in = fs.open(new Path(offsetsDir, last.toString))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }.split("\n", -1)
+    val conf = new ObjectMapper().readTree(lines(1)).get("conf")
+    val parts = conf.get("spark.sql.shuffle.partitions").asText().toInt
+    StateRepartition.run(spark, oldCkpt, newCkpt, parts)
+  }
+}

@@ -87,8 +87,17 @@ class PartitionInvarianceSuite extends AnyFunSuite with BeforeAndAfterAll {
                               // ratio must be bit-identical at any width
     "sim_label_separability", // exact-integer label statistics + pair join:
                               // VecSumLong merge order must not matter
-    "dedup_source_overlap")   // distinct presence sets + capped pair join:
+    "dedup_source_overlap",   // distinct presence sets + capped pair join:
                               // containment counts must survive any shuffle
+    "pipe_snapshot_diff",     // full-outer fingerprint reconciliation:
+                              // added/removed/changed classification must
+                              // not depend on join task placement
+    "pipe_drift_report",      // two token-count aggregates + top-K vocab +
+                              // broadcast totals: ppm floors must survive
+                              // any combine order
+    "text_bpe_persist")       // persisted-merge encode: the broadcast-array
+                              // fold must give identical symbol counts at
+                              // any split placement (trainer memoized once)
 
   private def runWith(parts: Int, splitMb: Int, name: String): Seq[String] = {
     val s = spark.newSession()

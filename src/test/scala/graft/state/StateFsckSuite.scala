@@ -191,6 +191,51 @@ class StateFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[String]("issues").contains("lineage walk"))
   }
 
+  test("StateCompact squashes the delta chain: fsck chainLength drops to 0, resume equality holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val df = input.toDF().toDF("k", "v")
+      .dropDuplicates("k", "v")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v").as("total"))
+    val oldCkpt = Files.createTempDirectory("graft-compact-ckpt-").toString
+    def runBatch(name: String, ckpt: String): Unit = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData(("a", 1), ("b", 2))
+    runBatch("compact_p1", oldCkpt)
+    input.addData(("a", 3), ("c", 4))
+    runBatch("compact_p2", oldCkpt)
+
+    // changelog checkpointing (default on) leaves a delta chain to replay
+    val before = reportRows(StateFsck.run(spark, oldCkpt))
+    assert(before.forall(clean), before.mkString("\n"))
+    assert(before.exists(_.getAs[Int]("chainLength") > 0),
+      "fixture must actually have a delta chain to squash")
+
+    val newCkpt = Files.createTempDirectory("graft-compact-out-").toString + "/moved"
+    val summary = StateCompact.run(spark, oldCkpt, newCkpt).collect()
+    assert(summary.nonEmpty)
+    assert(summary.forall(_.getAs[Long]("version") === 2L))
+    assert(summary.forall(_.getAs[Int]("newPartitions") === 2),
+      "compaction keeps the partition count")
+
+    val after = reportRows(StateFsck.run(spark, newCkpt))
+    assert(after.forall(clean), after.mkString("\n"))
+    assert(after.forall(_.getAs[Int]("chainLength") === 0),
+      s"every store must recover from one full snapshot: $after")
+    assert(after.forall(_.getAs[Int]("deltas") === 0))
+
+    // resumed answer equals the uninterrupted run
+    input.addData(("a", 4), ("d", 9))
+    runBatch("compact_resumed", newCkpt)
+    val got = spark.table("compact_resumed")
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 8L), ("b", 2L), ("c", 4L), ("d", 9L)))
+  }
+
   test("Changelog.read: EOF mid-record is loud, EOF at a boundary is clean") {
     val f = Files.createTempFile("graft-fsck-chlog-", ".delta").toFile
     val w = new Changelog.Writer(f)
