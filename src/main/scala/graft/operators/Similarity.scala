@@ -1002,6 +1002,81 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
 
+  /** PREDICATE-FILTERED IVF search — the filtered-vector-search shape a
+    * production index actually serves ([[sim_topk_filtered]] is the exact
+    * brute-force anchor; this is the same predicate on the INDEX path):
+    * probe the top [[NumProbes]] cells, then apply the metadata predicate
+    * (here `label != qlabel`) to the probed candidates BEFORE ranking —
+    * post-filtering, the strategy single-index deployments use (the
+    * alternative, one index per predicate value, is a layout decision this
+    * engine expresses as `partitionBy`). The structural consequence a
+    * deployment must monitor — a selective predicate thins the probed
+    * cells and can return fewer than k hits where brute force would fill
+    * the list — is part of the gate's output: `rank` carries per-query
+    * result cardinality, so the oracle pins the exact filtered-recall
+    * behavior, not an idealized one.
+    *
+    * Scale: identical to [[sim_topk_ivf]] (the filter is one more
+    * predicate on the probed-candidate join, evaluated before the cosine)
+    * — candidate work per query stays probed-cells-sized; the label rides
+    * the index rows (5 small ints per vector in the persisted layout). */
+  def sim_topk_ivf_filtered(s: SparkSession, dir: String): DataFrame = {
+    val k = numCells(Tables.embeddingsCount(s, dir))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), norm2C.as("n2"))
+    val cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("qe"), col("n2").as("cn2"))
+    def cellScores(side: DataFrame): DataFrame = side
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore", dotC / sqrt(col("n2") * col("cn2")))
+    val cells = cellScores(e)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("embedding"), col("n2"), col("cid")),
+        struct(col("cscore"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.label"), col("m.embedding"), col("m.n2"), col("m.cid"))
+    val q = e.filter(col("vec_id") < 10)
+    val probeCids = cellScores(q)
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("cscore")).as("neg"), col("cid").as("cid")))),
+        1, NumProbes).as("top"))
+      .select(col("vec_id"), explode(col("top.cid")).as("cid"))
+    val probes = q.join(probeCids, "vec_id")
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("n2").as("qn2"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos", dotC / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"), col("rank"))
+  }
+
+  val sim_topk_ivf_filtered_sql: String =
+    s"""WITH $cellsDuck,
+      |e AS (SELECT vec_id, label, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id cid, embedding ce, n2 cn2 FROM e, ncells WHERE vec_id < k),
+      |scored AS (SELECT e.vec_id, e.label, e.embedding, e.n2, cent.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(ce)+1), i ->
+      |        CAST(ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / sqrt(e.n2 * cn2) DESC,
+      |      cid ASC) AS crank
+      |  FROM e CROSS JOIN cent),
+      |cells AS (SELECT vec_id, label, embedding, n2, cid FROM scored WHERE crank = 1),
+      |probes AS (SELECT vec_id qid, label qlabel, embedding qe, n2 qn2, cid
+      |  FROM scored WHERE vec_id < 10 AND crank <= $NumProbes),
+      |s AS (SELECT qid, vec_id, label,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_sum(list_transform(range(1, len(qe)+1), i ->
+      |        CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / sqrt(n2 * qn2) DESC,
+      |      vec_id ASC) AS rank
+      |  FROM probes JOIN cells USING (cid) WHERE vec_id != qid AND label != qlabel)
+      |SELECT qid, vec_id AS neighbor_id, label AS neighbor_label, CAST(rank AS INT) AS rank
+      |FROM s WHERE rank <= 5""".stripMargin
+
   /** IVF with a TRAINED coarse quantizer: [[sim_topk_ivf]]'s training-free
     * quantizer (the K lowest-vec_id vectors) is the baseline; this entry runs
     * k-means-style Lloyd iterations so cells adapt to the data distribution —
@@ -2024,6 +2099,7 @@ object Similarity {
     "sim_topk_rerank" -> sim_topk_rerank _,
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
+    "sim_topk_ivf_filtered" -> sim_topk_ivf_filtered _,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained _,
     "sim_ivf_balance" -> sim_ivf_balance _,
     "sim_range" -> sim_range _,
@@ -2054,6 +2130,7 @@ object Similarity {
     "sim_topk_rerank" -> sim_topk_rerank_sql,
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
+    "sim_topk_ivf_filtered" -> sim_topk_ivf_filtered_sql,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained_sql,
     "sim_ivf_balance" -> sim_ivf_balance_sql,
     "sim_range" -> sim_range_sql,
