@@ -82,10 +82,11 @@ object Bench {
     // and the streaming one-off (events staging + micro-batch machinery) —
     // so measured times are steady-state rather than charging family warmup
     // to whichever member sorts first.
-    // stream_limit stages the unsorted events dir; stream_watermark stages
-    // the ts-ordered dir (both one-offs shared by their whole family)
-    Seq("q1_pricing_summary", "dedup_ngram_jaccard", "stream_limit",
-        "stream_watermark").foreach { w =>
+    // stream_agg stages the unsorted events dir; stream_watermark the
+    // ts-ordered dir; stream_limit the globally-sorted dir (one-offs each
+    // shared by their whole family)
+    Seq("q1_pricing_summary", "dedup_ngram_jaccard", "stream_agg",
+        "stream_watermark", "stream_limit").foreach { w =>
       val warm0 = System.nanoTime()
       runOnce(spark, sfDir, w, timeoutSecs)
       System.err.println(f"[bench] warmup $w (discarded): ${(System.nanoTime() - warm0) / 1e9}%.2f s")

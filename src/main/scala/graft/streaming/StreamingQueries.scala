@@ -2080,9 +2080,57 @@ object StreamingQueries {
 
   /** Streaming global limit (append mode); which rows land is
     * non-deterministic, so this entry is rows-only checked. */
+  /** A third staged copy for the LIMIT gate: globally (ts, event_id)-SORTED
+    * chunks — each chunk is a disjoint ascending ts-range (the
+    * [[eventsOrdered]] quantile bounds) sorted within, one file per chunk,
+    * explicit-mtime sequenced. With one file per trigger and a
+    * smaller-than-split-size chunk, each micro-batch scans ONE ordered
+    * partition, so streaming `limit(n)` consumes rows in exact global
+    * (ts, event_id) order — which turns the inherently arrival-order-
+    * defined limit operator into a DETERMINISTIC set (the lowest n by the
+    * total order) with a plain SQL oracle. Staging sorts chunk-locally
+    * (range-split first), never the whole table in one task. */
+  private val stagedSortedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsSorted(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+    val tmp = stagedSortedDirs.getOrElseUpdate(dir, {
+      val t = graft.Staging.tempDir("graft-stream-sorted-").toString
+      val b = base.withColumn("tsl", col("ts").cast("long"))
+      val qs = b.stat.approxQuantile("tsl",
+        (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.01).map(_.toLong)
+      val bounds = (Long.MinValue +: qs :+ Long.MaxValue).toSeq
+      val seen = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+      var tick = System.currentTimeMillis() - 3600000L
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        b.filter(col("tsl") > lo && col("tsl") <= hi)
+          .coalesce(1).sortWithinPartitions(col("tsl"), col("event_id")).drop("tsl")
+          .write.mode("append").parquet(t)
+        val dirP = java.nio.file.Paths.get(t)
+        val parts = java.nio.file.Files.list(dirP).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
+          .toVector
+        parts.foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(
+            p, java.nio.file.attribute.FileTime.fromMillis(tick))
+          seen += p
+        }
+        tick += 60000L
+      }
+      t
+    })
+    s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
+  /** Streaming LIMIT over the sorted staging: the emitted set is exactly
+    * the 100 lowest events by (ts, event_id) — a total order, so the
+    * formerly rows-only gate carries a full DuckDB oracle. */
   def stream_limit(s: SparkSession, dir: String): DataFrame =
-    runToTable(s, s2 => events(s2, dir).limit(100).select(col("event_id")),
+    runToTable(s, s2 => eventsSorted(s2, dir).limit(100).select(col("event_id")),
       OutputMode.Append(), "stream_limit")
+
+  val stream_limit_sql: String =
+    "SELECT event_id FROM events ORDER BY ts ASC, event_id ASC LIMIT 100"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_agg" -> (stream_agg(_, _)),
@@ -2133,6 +2181,7 @@ object StreamingQueries {
     "stream_limit" -> (stream_limit(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "stream_limit" -> stream_limit_sql,
     "stream_agg" -> stream_agg_sql,
     "stream_union" -> stream_union_sql,
     "stream_static_join" -> stream_static_join_sql,
