@@ -97,6 +97,13 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       "search must read the persisted index layout")
   }
 
+  test("pipe_drift_report: one scan per snapshot (counts reused across vocab/totals/join)") {
+    assert(executedScans(Pipeline.pipe_drift_report(spark, sfDir)) === 2,
+      "each snapshot's token counts must feed the vocabulary, its total " +
+        "and the report join through one reused exchange — not re-scan " +
+        "the corpus per consumer")
+  }
+
   test("text_bpe_persist: loaded-merges encode runs zero trainer stages") {
     val df = TextAnalysis.text_bpe_persist(spark, sfDir)
     df.collect()
