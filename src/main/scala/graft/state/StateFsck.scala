@@ -53,7 +53,11 @@ import org.apache.spark.util.SerializableConfiguration
 object StateFsck extends Logging {
 
   /** One store's verification result. `issues` is a human-readable
-    * summary of everything counted to its left (empty = clean). */
+    * summary of everything counted to its left (empty = clean).
+    * `orphanPoolFiles`/`orphanPoolBytes` are INFORMATIONAL (not part of
+    * `clean`): pool SSTs referenced by no retained snapshot — either GC
+    * debt awaiting the age-gated sweep or bytes a retention script should
+    * reclaim; a growing number is the leak signal to alert on. */
   case class StoreReport(
       operatorId: Long,
       partition: Int,
@@ -67,6 +71,8 @@ object StateFsck extends Logging {
       missingPoolRefs: Int,
       badPoolSizes: Int,
       deltaErrors: Int,
+      orphanPoolFiles: Int,
+      orphanPoolBytes: Long,
       issues: String) {
     def clean: Boolean =
       covered && zipErrors == 0 && missingPoolRefs == 0 && badPoolSizes == 0 && deltaErrors == 0
@@ -237,13 +243,51 @@ object StateFsck extends Logging {
       }
     }
 
+    // ---- 4. orphan accounting: pool SSTs no retained snapshot references
+    val poolDir = new Path(baseDir, "sst")
+    val poolFiles = Try(fs.listStatus(poolDir).toSeq
+      .filter(_.getPath.getName.endsWith(".sst"))).getOrElse(Nil)
+    val (orphanN, orphanB) =
+      if (poolFiles.isEmpty) (0, 0L)
+      else {
+        val referenced = Try(fs.listStatus(baseDir).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("state.snapshot.")))
+          .getOrElse(Nil)
+          .flatMap(n => Try(refsOfZip(fs, new Path(baseDir, n))).getOrElse(Nil))
+          .toSet
+        val orphans = poolFiles.filterNot(f => referenced(f.getPath.getName))
+        (orphans.size, orphans.map(_.getLen).sum)
+      }
+
     val zipErrors = issues.count(_.startsWith("snapshot "))
     val missingRefs = issues.count(_.startsWith("pool ref missing"))
     val badSizes = issues.count(i =>
       i.startsWith("pool ref size") || i.startsWith("pool ref corrupt"))
     StoreReport(op, part, name, snaps.size, deltas.size, required,
       covered, chainLength, zipErrors, missingRefs, badSizes, deltaErrors,
-      issues.mkString("; "))
+      orphanN, orphanB, issues.mkString("; "))
+  }
+
+  /** Just the incremental manifest's remote names from one snapshot zip
+    * (empty for full zips); stops at the manifest entry. */
+  private def refsOfZip(fs: FileSystem, file: Path): Seq[String] = {
+    val in = new ZipInputStream(fs.open(file))
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var entry: ZipEntry = in.getNextEntry
+      while (entry != null) {
+        if (entry.getName == SnapshotManager.SstRefsEntry) {
+          val bos = new java.io.ByteArrayOutputStream()
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) bos.write(buf, 0, n); n = in.read(buf) }
+          return new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", 2)(1))
+        }
+        in.closeEntry()
+        entry = in.getNextEntry
+      }
+      Nil
+    } finally in.close()
   }
 
   private def deltaExistsPlain(fs: FileSystem, baseDir: Path, v: Long): Boolean =

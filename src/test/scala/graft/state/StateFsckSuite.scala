@@ -140,6 +140,17 @@ class StateFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("deltaErrors") === 1, r.toString)
   }
 
+  test("an unreferenced pool SST is reported as orphan bytes, not an error") {
+    val (ckpt, storeDir, _) = synthCheckpoint()
+    val pool = Paths.get(storeDir.toString, "sst")
+    Files.write(pool.resolve("deadbeef00000000deadbeef00000000-64.sst"),
+      new Array[Byte](64))
+    val r = reportRows(StateFsck.run(spark, ckpt)).head
+    assert(clean(r), "orphans are GC debt, not corruption — the store stays clean")
+    assert(r.getAs[Int]("orphanPoolFiles") === 1, r.toString)
+    assert(r.getAs[Long]("orphanPoolBytes") === 64L, r.toString)
+  }
+
   test("deep mode re-hashes pool SSTs: same-length bitrot caught only by --deep") {
     val (ckpt, storeDir, _) = synthCheckpoint()
     val pool = Paths.get(storeDir.toString, "sst")
