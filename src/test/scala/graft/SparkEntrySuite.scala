@@ -82,11 +82,13 @@ class SparkEntrySuite extends AnyFunSuite with BeforeAndAfterAll {
       s"gate outputs with engine-ambiguous numeric types:\n  ${banned.mkString("\n  ")}")
   }
 
-  test("rows-only entries are the one designed exception") {
-    // q9_distinct_approx graduated to a full oracle in round 7 (2% tolerance
-    // flag); only the non-deterministic streaming limit remains rows-only.
+  test("every gate entry carries a full oracle — zero rows-only entries") {
+    // q9_distinct_approx graduated to a full oracle in round 7; stream_limit
+    // — the last rows-only holdout — graduated in round 13 (globally-sorted
+    // staging makes the emitted set the lowest-100 total order). Any new
+    // oracle-less entry is a regression of the correctness bar.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("stream_limit"),
+    assert(rowsOnly.isEmpty,
       s"unexpected rows-only (weaker-checked) gate entries: $rowsOnly")
   }
 }
