@@ -776,12 +776,19 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       }
     }
 
-    private val cfs = mutable.HashMap.empty[String, CfInfo]
-    private val cfKeySchemaJson = mutable.HashMap.empty[String, String]
-    private val cfRegJson = mutable.HashMap.empty[String, String]
+    // Concurrent: cfInfo's fast path reads these WITHOUT the store lock
+    // (only the auto-registration slow path synchronizes), and the provider
+    // documents unsynchronized read paths elsewhere (native-ref counting) —
+    // a plain HashMap read racing registerCf's put is a resize/partial-
+    // publication hazard. TrieMap gives lock-free reads with safe
+    // publication of the CfInfo it returns.
+    private val cfs = scala.collection.concurrent.TrieMap.empty[String, CfInfo]
+    private val cfKeySchemaJson = scala.collection.concurrent.TrieMap.empty[String, String]
+    private val cfRegJson = scala.collection.concurrent.TrieMap.empty[String, String]
     /** (persisted, registered) key-schema JSON per conflicting CF; thrown at
       * first use — see the deferred-check note in [[registerCf]]. */
-    private val keySchemaConflicts = mutable.HashMap.empty[String, (String, String)]
+    private val keySchemaConflicts =
+      scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
     /** numKeys per column family, persisted in an internal CF so counts ride
       * both full snapshots and changelog deltas. */

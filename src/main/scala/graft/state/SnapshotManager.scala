@@ -161,7 +161,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     * to a fresh upload. [[upload]] additionally re-verifies every referenced
     * pool name after the manifest publishes, closing the residual window
     * where the file vanishes after a successful refresh. */
-  private def uploadToPool(f: File): String = {
+  private def uploadToPool(f: File): (String, Boolean) = {
     val remoteName = s"${md5Of(f)}-${f.length()}.sst"
     val target = new Path(sstPoolDir, remoteName)
     val dedupHit = (knownRemote.contains(remoteName) || Try(fs.exists(target)).getOrElse(false)) && {
@@ -179,7 +179,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
       bytesUploaded.addAndGet(f.length())
     }
     knownRemote.add(remoteName)
-    remoteName
+    (remoteName, dedupHit)
   }
 
   /** Raw pool write (tmp + rename), no dedup check. */
@@ -215,7 +215,7 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
       incremental: Boolean = false): Unit = {
     val target = snapshotFile(version, ckptId)
     val tmp = new Path(baseDir, s".state.snapshot.$version.${System.nanoTime()}.tmp")
-    var sstRefs: Seq[(File, String)] = Nil
+    var sstRefs: Seq[(File, String, Boolean)] = Nil
     val out = new ZipOutputStream(fs.create(tmp, true))
     try {
       val files = Option(localDir.listFiles()).getOrElse(Array.empty[File])
@@ -235,8 +235,11 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
         out.closeEntry()
       }
       if (incremental) {
-        sstRefs = ssts.sortBy(_.getName).map(f => (f, uploadToPool(f))).toSeq
-        val refs = sstRefs.map { case (f, r) => s"${f.getName}\t$r" }.mkString("\n")
+        sstRefs = ssts.sortBy(_.getName).map { f =>
+          val (r, wasDedup) = uploadToPool(f)
+          (f, r, wasDedup)
+        }.toSeq
+        val refs = sstRefs.map { case (f, r, _) => s"${f.getName}\t$r" }.mkString("\n")
         out.putNextEntry(new ZipEntry(SstRefsEntry))
         out.write(refs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.closeEntry()
@@ -252,11 +255,16 @@ final class SnapshotManager(baseDir: Path, hadoopConf: Configuration) extends Lo
     // Any reference that vanished between its dedup check and the rename
     // above (concurrent age-gated GC) is re-uploaded from the still-local
     // bytes — a published snapshot never points at a missing pool file.
-    sstRefs.foreach { case (f, remote) =>
+    sstRefs.foreach { case (f, remote, wasDedup) =>
       if (!Try(fs.exists(new Path(sstPoolDir, remote))).getOrElse(false)) {
         logWarning(s"Pool SST $remote vanished before $target published; re-uploading")
         knownRemote.remove(remote)
         pushToPool(f, remote)
+        // the earlier dedup credit described a hit that did not hold —
+        // retract it so uploaded+deduped still sums to bytes considered
+        // once per file (a vanished FRESH upload keeps both counts: two
+        // physical uploads genuinely shipped)
+        if (wasDedup) bytesDeduped.addAndGet(-f.length())
         bytesUploaded.addAndGet(f.length())
         knownRemote.add(remote)
       }

@@ -183,6 +183,9 @@ object StateFsck extends Logging {
     var covered = false
     var chainLength = 0
     var chainDeltas: Seq[(Long, Option[String])] = Nil
+    // refs already extracted by the verify pass, keyed by snapshot file
+    // name — the orphan step reuses them instead of re-streaming the zips
+    val refsSeen = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     if (v2) {
       val startId = (mgr.idsAt(required, snapshot = true) ++
         mgr.idsAt(required, snapshot = false)).max
@@ -202,7 +205,10 @@ object StateFsck extends Logging {
           covered = true
           chainLength = chain.size
           chainDeltas = chain
-          if (baseV > 0) verifySnapshotZip(fs, mgr, baseDir, baseV, Some(baseId), issues, deep)
+          if (baseV > 0) {
+            refsSeen(mgr.snapshotFile(baseV, Some(baseId)).getName) =
+              verifySnapshotZip(fs, mgr, baseDir, baseV, Some(baseId), issues, deep)
+          }
         case scala.util.Failure(e) =>
           issues += s"v2 lineage walk from ($required, $startId) broke: ${e.getMessage}"
       }
@@ -215,7 +221,10 @@ object StateFsck extends Logging {
           covered = true
           chainLength = (required - s).toInt
           chainDeltas = ((s + 1) to required).map(v => (v, None: Option[String]))
-          if (s > 0) verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
+          if (s > 0) {
+            refsSeen(mgr.snapshotFile(s, None).getName) =
+              verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
+          }
         case None =>
           issues += s"version $required unrecoverable: snapshots at " +
             s"[${snaps.mkString(",")}], deltas at [${deltas.mkString(",")}]"
@@ -225,7 +234,10 @@ object StateFsck extends Logging {
     // ---- 2. every OTHER retained snapshot zip streams clean too (v1 names;
     // v2 histories verify the recovery-path snapshot above)
     if (!v2) snaps.filter(s => covered && s != 0 && !chainTouches(s, chainDeltas, required))
-      .foreach(s => verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep))
+      .foreach { s =>
+        refsSeen(mgr.snapshotFile(s, None).getName) =
+          verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
+      }
 
     // ---- 3. full-read the recovery chain's changelogs
     var deltaErrors = 0
@@ -253,7 +265,8 @@ object StateFsck extends Logging {
         val referenced = Try(fs.listStatus(baseDir).toSeq
           .map(_.getPath.getName).filter(_.startsWith("state.snapshot.")))
           .getOrElse(Nil)
-          .flatMap(n => Try(refsOfZip(fs, new Path(baseDir, n))).getOrElse(Nil))
+          .flatMap(n => refsSeen.getOrElse(n,
+            Try(refsOfZip(fs, new Path(baseDir, n))).getOrElse(Nil)))
           .toSet
         val orphans = poolFiles.filterNot(f => referenced(f.getPath.getName))
         (orphans.size, orphans.map(_.getLen).sum)
@@ -308,7 +321,7 @@ object StateFsck extends Logging {
       version: Long,
       ckptId: Option[String],
       issues: scala.collection.mutable.ArrayBuffer[String],
-      deep: Boolean = false): Unit = {
+      deep: Boolean = false): Seq[String] = {
     val file = mgr.snapshotFile(version, ckptId)
     val refs = scala.collection.mutable.ArrayBuffer.empty[String]
     val read = Try {
@@ -365,5 +378,6 @@ object StateFsck extends Logging {
           }
       }
     }
+    refs.toSeq
   }
 }

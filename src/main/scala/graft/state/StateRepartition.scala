@@ -501,7 +501,16 @@ object StateRepartition extends Logging {
         defM.keySchema, defM.valueSchema, defM.spec,
         useColumnFamilies = true, importerConf, hadoopBc.value.value,
         useMultipleValuesPerKey = false, stateSchemaProvider = Some(schemaBc))
-      val out = mutable.ArrayBuffer.empty[(Int, (Int, Array[Byte], Array[Array[Byte]]))]
+      // STREAM the partition's state through the shuffle writer — never
+      // buffer it: the provider (and each family's native iterator) stays
+      // open until its rows are consumed and closes at exhaustion, with a
+      // task-completion listener as the failure-path net. Buffering here
+      // would make the tool OOM on exactly the oversized partitions it
+      // exists to rescue (the v1 path streams for the same reason).
+      val closedP = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit = if (closedP.compareAndSet(false, true)) provider.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       try {
         val store = provider.getReadStore(version, None).asInstanceOf[StateStore]
         cfMetas.foreach { m =>
@@ -519,20 +528,27 @@ object StateRepartition extends Logging {
           val h = hashExpr.eval(groupRow).asInstanceOf[Int]
           ((h % newParts) + newParts) % newParts
         }
-        cfMetas.zipWithIndex.foreach { case (m, ci) =>
+        val rows = cfMetas.zipWithIndex.iterator.flatMap { case (m, ci) =>
           val it = store.iterator(m.name)
-          try {
-            it.foreach { pair =>
+          new Iterator[(Int, (Int, Array[Byte], Array[Array[Byte]]))] {
+            private var open = true
+            override def hasNext: Boolean = {
+              val h = open && it.hasNext
+              if (!h && open) { open = false; it.close() }
+              h
+            }
+            override def next(): (Int, (Int, Array[Byte], Array[Array[Byte]])) = {
+              val pair = it.next()
               val key = pair.key.copy()
               val values: Array[Array[Byte]] =
                 if (m.multiValued) store.valuesIterator(key, m.name).map(_.getBytes).toArray
                 else Array(pair.value.getBytes)
-              out += ((route(ci, key), (ci, key.getBytes, values)))
+              (route(ci, key), (ci, key.getBytes, values))
             }
-          } finally it.close()
+          }
         }
-      } finally provider.close()
-      out.iterator
+        rows ++ { closeOnce(); Iterator.empty }
+      } catch { case t: Throwable => closeOnce(); throw t }
     }
 
     val exact = new org.apache.spark.Partitioner {

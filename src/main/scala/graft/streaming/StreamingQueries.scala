@@ -37,16 +37,21 @@ object StreamingQueries {
   /** One staged copy of `events` per scale-factor dir, shared by every
     * streaming entry (staging writes the table once; each query then gets
     * its own file-stream over it with column pruning at the stream scan). */
-  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedDirs = new graft.Memo[String]
+
+  /** The shared staged chunk dir (staged once per fixture dir; Memo so a
+    * racing first pair of gates cannot both run the staging write). */
+  private def eventsStagedDir(s: SparkSession, dir: String): String =
+    stagedDirs.getOrStage(dir) {
+      val t = graft.Staging.tempDir("graft-stream-in-").toString
+      Tables.events(s, dir).repartition(Chunks).write.mode("overwrite").parquet(t)
+      t
+    }
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
-    val tmp = stagedDirs.getOrElseUpdate(dir, {
-      val t = graft.Staging.tempDir("graft-stream-in-").toString
-      base.repartition(Chunks).write.mode("overwrite").parquet(t)
-      t
-    })
-    s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+    s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1")
+      .parquet(eventsStagedDir(s, dir))
   }
 
   /** CHAINED stateful operators — two event-time window aggregations in one
@@ -98,40 +103,53 @@ object StreamingQueries {
     * "windows closed under the final watermark" — a set a batch oracle can
     * compute. Chunk boundaries are approximate quantiles; only the ORDER
     * matters to the semantics, not the split points. */
-  private val stagedOrderedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedOrderedDirs = new graft.Memo[String]
+  private val stagedSortedDirs = new graft.Memo[String]
+
+  /** Stage events as [[Chunks]] ascending disjoint ts-range parquet files,
+    * one per chunk, mtime-sequenced. Arrival order is enforced by EXPLICIT
+    * mtimes (FileStreamSource consumes in mtime order): each chunk's part
+    * file gets a timestamp one minute after the previous chunk's, set with
+    * setLastModifiedTime rather than relying on write-time clocks —
+    * filesystems with coarse mtime granularity (HDFS: 1 s; some object
+    * stores) could otherwise tie or reorder chunks and the watermark would
+    * race ahead. `sortedWithin = true` additionally sorts each chunk by
+    * (ts, event_id), making the whole staged sequence one GLOBAL total
+    * order (the [[stream_limit]] oracle's premise); the range split happens
+    * first either way, so no single task ever sorts the whole table. */
+  private def stageEventChunks(
+      s: SparkSession, dir: String, sortedWithin: Boolean): String = {
+    val t = graft.Staging.tempDir(
+      if (sortedWithin) "graft-stream-sorted-" else "graft-stream-ord-").toString
+    val b = Tables.events(s, dir).withColumn("tsl", col("ts").cast("long"))
+    val qs = b.stat.approxQuantile("tsl",
+      (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.01).map(_.toLong)
+    val bounds = (Long.MinValue +: qs :+ Long.MaxValue).toSeq
+    val seen = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+    var tick = System.currentTimeMillis() - 3600000L // past-dated: no future mtimes
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      val chunk = b.filter(col("tsl") > lo && col("tsl") <= hi).coalesce(1)
+      val shaped =
+        if (sortedWithin) chunk.sortWithinPartitions(col("tsl"), col("event_id"))
+        else chunk
+      shaped.drop("tsl").write.mode("append").parquet(t)
+      val dirP = java.nio.file.Paths.get(t)
+      val parts = java.nio.file.Files.list(dirP).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
+        .toVector
+      parts.foreach { p =>
+        java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(tick))
+        seen += p
+      }
+      tick += 60000L
+    }
+    t
+  }
 
   private def eventsOrdered(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
-    val tmp = stagedOrderedDirs.getOrElseUpdate(dir, {
-      val t = graft.Staging.tempDir("graft-stream-ord-").toString
-      val b = base.withColumn("tsl", col("ts").cast("long"))
-      val qs = b.stat.approxQuantile("tsl",
-        (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.01).map(_.toLong)
-      val bounds = (Long.MinValue +: qs :+ Long.MaxValue).toSeq
-      // Arrival order is enforced by EXPLICIT mtimes (FileStreamSource
-      // consumes in mtime order): each chunk's part files get a timestamp
-      // one minute after the previous chunk's, set with setLastModifiedTime
-      // rather than relying on write-time clocks — filesystems with coarse
-      // mtime granularity (HDFS: 1 s; some object stores) could otherwise
-      // tie or reorder chunks and the watermark would race ahead.
-      val seen = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
-      var tick = System.currentTimeMillis() - 3600000L // past-dated: no future mtimes
-      bounds.sliding(2).foreach { case Seq(lo, hi) =>
-        b.filter(col("tsl") > lo && col("tsl") <= hi).drop("tsl")
-          .coalesce(1).write.mode("append").parquet(t)
-        val dir = java.nio.file.Paths.get(t)
-        val parts = java.nio.file.Files.list(dir).iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
-          .toVector
-        parts.foreach { p =>
-          java.nio.file.Files.setLastModifiedTime(
-            p, java.nio.file.attribute.FileTime.fromMillis(tick))
-          seen += p
-        }
-        tick += 60000L
-      }
-      t
-    })
+    val tmp = stagedOrderedDirs.getOrStage(dir)(stageEventChunks(s, dir, sortedWithin = false))
     s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
@@ -783,15 +801,15 @@ object StreamingQueries {
 
   /** One staged copy of `documents` per scale-factor dir for the streaming
     * corpus-ingestion entries (same pattern as the events staging). */
-  private val stagedDocDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedDocDirs = new graft.Memo[String]
 
   private def documentsStream(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
-    val tmp = stagedDocDirs.getOrElseUpdate(dir, {
+    val tmp = stagedDocDirs.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-stream-docs-").toString
       base.repartition(Chunks).write.mode("overwrite").parquet(t)
       t
-    })
+    }
     s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
@@ -1046,15 +1064,15 @@ object StreamingQueries {
 
   /** One staged copy of `embeddings` per scale-factor dir for the streaming
     * embedding entries (same pattern as the documents staging). */
-  private val stagedEmbDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedEmbDirs = new graft.Memo[String]
 
   private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
-    val tmp = stagedEmbDirs.getOrElseUpdate(dir, {
+    val tmp = stagedEmbDirs.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-stream-emb-").toString
       base.repartition(Chunks).write.mode("overwrite").parquet(t)
       t
-    })
+    }
     s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
@@ -1819,8 +1837,7 @@ object StreamingQueries {
     // The shared staged dir provides the chunk files; feed them through a
     // fresh input dir in two halves so the checkpoint sees a true stop.
     val stagedParts = {
-      events(s, dir) // ensure the shared staging exists
-      java.nio.file.Files.list(java.nio.file.Paths.get(stagedDirs(dir)))
+      java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
         .iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-"))
         .toVector.sortBy(_.getFileName.toString)
@@ -1876,8 +1893,7 @@ object StreamingQueries {
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     val base = Tables.events(s, dir)
     val stagedParts = {
-      events(s, dir)
-      java.nio.file.Files.list(java.nio.file.Paths.get(stagedDirs(dir)))
+      java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
         .iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-"))
         .toVector.sortBy(_.getFileName.toString)
@@ -1936,8 +1952,7 @@ object StreamingQueries {
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     val base = Tables.events(s, dir)
     val stagedParts = {
-      events(s, dir)
-      java.nio.file.Files.list(java.nio.file.Paths.get(stagedDirs(dir)))
+      java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
         .iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-"))
         .toVector.sortBy(_.getFileName.toString)
@@ -2090,44 +2105,24 @@ object StreamingQueries {
     * defined limit operator into a DETERMINISTIC set (the lowest n by the
     * total order) with a plain SQL oracle. Staging sorts chunk-locally
     * (range-split first), never the whole table in one task. */
-  private val stagedSortedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-
   private def eventsSorted(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
-    val tmp = stagedSortedDirs.getOrElseUpdate(dir, {
-      val t = graft.Staging.tempDir("graft-stream-sorted-").toString
-      val b = base.withColumn("tsl", col("ts").cast("long"))
-      val qs = b.stat.approxQuantile("tsl",
-        (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.01).map(_.toLong)
-      val bounds = (Long.MinValue +: qs :+ Long.MaxValue).toSeq
-      val seen = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
-      var tick = System.currentTimeMillis() - 3600000L
-      bounds.sliding(2).foreach { case Seq(lo, hi) =>
-        b.filter(col("tsl") > lo && col("tsl") <= hi)
-          .coalesce(1).sortWithinPartitions(col("tsl"), col("event_id")).drop("tsl")
-          .write.mode("append").parquet(t)
-        val dirP = java.nio.file.Paths.get(t)
-        val parts = java.nio.file.Files.list(dirP).iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
-          .toVector
-        parts.foreach { p =>
-          java.nio.file.Files.setLastModifiedTime(
-            p, java.nio.file.attribute.FileTime.fromMillis(tick))
-          seen += p
-        }
-        tick += 60000L
-      }
-      t
-    })
+    val tmp = stagedSortedDirs.getOrStage(dir)(stageEventChunks(s, dir, sortedWithin = true))
     s.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(tmp)
   }
 
   /** Streaming LIMIT over the sorted staging: the emitted set is exactly
     * the 100 lowest events by (ts, event_id) — a total order, so the
-    * formerly rows-only gate carries a full DuckDB oracle. */
+    * formerly rows-only gate carries a full DuckDB oracle. The one-split-
+    * per-chunk premise is ENFORCED, not assumed: the query session pins
+    * `maxPartitionBytes` above any chunk size, so a chunk file can never
+    * split into multiple scan partitions (whose shuffle into the global
+    * limit would not preserve the sort) at any scale factor. */
   def stream_limit(s: SparkSession, dir: String): DataFrame =
-    runToTable(s, s2 => eventsSorted(s2, dir).limit(100).select(col("event_id")),
-      OutputMode.Append(), "stream_limit")
+    runToTable(s, { s2 =>
+      s2.conf.set("spark.sql.files.maxPartitionBytes", (1L << 40).toString)
+      eventsSorted(s2, dir).limit(100).select(col("event_id"))
+    }, OutputMode.Append(), "stream_limit")
 
   val stream_limit_sql: String =
     "SELECT event_id FROM events ORDER BY ts ASC, event_id ASC LIMIT 100"
