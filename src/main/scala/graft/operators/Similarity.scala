@@ -1077,6 +1077,70 @@ object Similarity {
       |SELECT qid, vec_id AS neighbor_id, label AS neighbor_label, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 5""".stripMargin
 
+  /** EMBEDDING-SPACE drift between two corpus snapshots — the vector twin
+    * of the token drift monitor ([[graft.operators.Pipeline]]
+    * `pipe_drift_report`; same old/new fixture discipline, `vec_id` keyed):
+    * per label, the cosine between the snapshots' exact integer centroid
+    * SUM vectors, in floored micro-units. Counts cancel in cosine, so the
+    * [[graft.functions.VecSumLong]] sum over 2^20-quantized components IS
+    * the centroid for cosine purposes — integer-exact accumulation under
+    * any partitioning (the [[sim_topk_ivf_trained]] discipline), with the
+    * final cosine one fixed-order double expression both engines evaluate
+    * identically. This is the drift a re-embedded or re-crawled corpus
+    * shows first: a label whose centroid swings while the token mix holds
+    * means the ENCODER or the within-class content moved — the signal that
+    * invalidates a trained ANN index and SemDeDup thresholds.
+    *
+    * Scale: two map-side-combined per-label aggregates over one quantized
+    * projection each (the shuffle carries one dim-length BIGINT vector per
+    * label per partition), then a label-count-sized join — nothing
+    * corpus-scale past the scans. */
+  def sim_drift_embedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+        .as("qe"))
+    def side(pred: String, tag: String): DataFrame = e.filter(expr(pred))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        graft.functions.VecSumLong.of(col("qe")).as(s"c_$tag"))
+    side("vec_id % 19 != 0", "old").join(side("vec_id % 23 != 5", "new"), "label")
+      .withColumn("cos", VecDot.dot(col("c_old"), col("c_new")) /
+        sqrt(VecDot.norm2(col("c_old")) * VecDot.norm2(col("c_new"))))
+      .select(col("label"), col("n_old"), col("n_new"),
+        expr("CAST(floor(cos * 1000000) AS BIGINT)").as("cos_micro"))
+  }
+
+  /** Single-pass oracle: both snapshots' per-(label, component) sums come
+    * out of ONE FILTER aggregate — one corpus pass instead of two.
+    * lazy: QScale is declared further down the object; an eager val here
+    * would interpolate its pre-initialization 0 into the SQL. */
+  lazy val sim_drift_embedding_sql: String =
+    s"""WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+      |idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dims),
+      |e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |sums AS MATERIALIZED (SELECT label, idx.i,
+      |    sum(qe[idx.i]) FILTER (WHERE vec_id % 19 <> 0) AS so,
+      |    sum(qe[idx.i]) FILTER (WHERE vec_id % 23 <> 5) AS sn
+      |  FROM e CROSS JOIN idx WHERE idx.i <= len(qe) GROUP BY label, idx.i),
+      |c AS (SELECT label,
+      |    list(CAST(coalesce(so, 0) AS BIGINT) ORDER BY i) AS c_old,
+      |    list(CAST(coalesce(sn, 0) AS BIGINT) ORDER BY i) AS c_new
+      |  FROM sums GROUP BY label),
+      |n AS (SELECT label,
+      |    count(*) FILTER (WHERE vec_id % 19 <> 0) AS n_old,
+      |    count(*) FILTER (WHERE vec_id % 23 <> 5) AS n_new
+      |  FROM e GROUP BY label)
+      |SELECT label, n_old, n_new,
+      |  CAST(floor(1000000 *
+      |    list_sum(list_transform(range(1, len(c_old)+1), i ->
+      |      CAST(c_old[i] AS DOUBLE) * CAST(c_new[i] AS DOUBLE)))
+      |    / sqrt(list_sum(list_transform(c_old, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+      |           list_sum(list_transform(c_new, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |  ) AS BIGINT) AS cos_micro
+      |FROM c JOIN n USING (label)""".stripMargin
+
   /** IVF with a TRAINED coarse quantizer: [[sim_topk_ivf]]'s training-free
     * quantizer (the K lowest-vec_id vectors) is the baseline; this entry runs
     * k-means-style Lloyd iterations so cells adapt to the data distribution —
@@ -2100,6 +2164,7 @@ object Similarity {
     "sim_topk_lsh" -> sim_topk_lsh _,
     "sim_topk_ivf" -> sim_topk_ivf _,
     "sim_topk_ivf_filtered" -> sim_topk_ivf_filtered _,
+    "sim_drift_embedding" -> sim_drift_embedding _,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained _,
     "sim_ivf_balance" -> sim_ivf_balance _,
     "sim_range" -> sim_range _,
@@ -2131,6 +2196,7 @@ object Similarity {
     "sim_topk_lsh" -> sim_topk_lsh_sql,
     "sim_topk_ivf" -> sim_topk_ivf_sql,
     "sim_topk_ivf_filtered" -> sim_topk_ivf_filtered_sql,
+    "sim_drift_embedding" -> sim_drift_embedding_sql,
     "sim_topk_ivf_trained" -> sim_topk_ivf_trained_sql,
     "sim_ivf_balance" -> sim_ivf_balance_sql,
     "sim_range" -> sim_range_sql,
