@@ -1094,7 +1094,13 @@ object Similarity {
     * Scale: two map-side-combined per-label aggregates over one quantized
     * projection each (the shuffle carries one dim-length BIGINT vector per
     * label per partition), then a label-count-sized join — nothing
-    * corpus-scale past the scans. */
+    * corpus-scale past the scans.
+    *
+    * Zero-side behavior (pinned): a label with NO vectors in one snapshot
+    * has no drift to report — the inner join drops it here, and the oracle
+    * filters `n_old > 0 AND n_new > 0` to state the same rule (a FILTERed
+    * aggregate would otherwise keep it with an all-zero centroid and a
+    * divide-by-zero cosine). */
   def sim_drift_embedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
@@ -1139,7 +1145,8 @@ object Similarity {
       |    / sqrt(list_sum(list_transform(c_old, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
       |           list_sum(list_transform(c_new, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |  ) AS BIGINT) AS cos_micro
-      |FROM c JOIN n USING (label)""".stripMargin
+      |FROM c JOIN n USING (label)
+      |WHERE n_old > 0 AND n_new > 0""".stripMargin
 
   /** IVF with a TRAINED coarse quantizer: [[sim_topk_ivf]]'s training-free
     * quantizer (the K lowest-vec_id vectors) is the baseline; this entry runs

@@ -57,7 +57,10 @@ object StateFsck extends Logging {
     * `orphanPoolFiles`/`orphanPoolBytes` are INFORMATIONAL (not part of
     * `clean`): pool SSTs referenced by no retained snapshot — either GC
     * debt awaiting the age-gated sweep or bytes a retention script should
-    * reclaim; a growing number is the leak signal to alert on. */
+    * reclaim; a growing number is the leak signal to alert on. When any
+    * retained snapshot zip fails to stream, its reference list is unknown,
+    * so orphan counts are suppressed to 0 for the store (the zipError
+    * already fails `clean`) instead of reporting phantom orphans. */
   case class StoreReport(
       operatorId: Long,
       partition: Int,
@@ -80,11 +83,16 @@ object StateFsck extends Logging {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
-    require(pos.length == 1, "usage: StateFsck [--deep] <checkpointDir>")
+    require(pos.length == 1,
+      "usage: StateFsck [--deep] [--parallelism=N] <checkpointDir>")
+    val parallelism = flags.collectFirst {
+      case f if f.startsWith("--parallelism=") => f.stripPrefix("--parallelism=").toInt
+    }.getOrElse(0)
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
-    val report = run(spark, pos(0), deep = flags.contains("--deep"))
+    val report = run(spark, pos(0), deep = flags.contains("--deep"),
+      parallelism = parallelism)
     report.show(1000, truncate = false)
     val bad = report.filter("NOT (covered AND zipErrors = 0 AND missingPoolRefs = 0 " +
       "AND badPoolSizes = 0 AND deltaErrors = 0)").count()
@@ -99,8 +107,11 @@ object StateFsck extends Logging {
     * re-hashes every referenced pool SST against its content-address name
     * (md5) — catches same-length bitrot the metadata check cannot; costs
     * one full read of the referenced pool bytes, so it is the
-    * weekly-audit mode, not the pre-flight mode. */
-  def run(spark: SparkSession, ckptDir: String, deep: Boolean = false): DataFrame = {
+    * weekly-audit mode, not the pre-flight mode. `parallelism` caps the
+    * task count; 0 (default) = one task per store, so a 10k-store fsck
+    * spreads over the whole cluster. */
+  def run(spark: SparkSession, ckptDir: String, deep: Boolean = false,
+      parallelism: Int = 0): DataFrame = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val root = new Path(ckptDir)
     val fs = root.getFileSystem(hadoopConf)
@@ -113,7 +124,8 @@ object StateFsck extends Logging {
     require(stores.nonEmpty, s"no state stores under $ckptDir/state")
 
     val serConf = new SerializableConfiguration(hadoopConf)
-    val slices = math.max(1, math.min(stores.size, 64))
+    val slices =
+      if (parallelism > 0) math.min(parallelism, stores.size) else stores.size
     val reports = spark.sparkContext
       .parallelize(stores, slices)
       .map { case (op, part, name, dir) =>
@@ -231,13 +243,26 @@ object StateFsck extends Logging {
       }
     }
 
-    // ---- 2. every OTHER retained snapshot zip streams clean too (v1 names;
-    // v2 histories verify the recovery-path snapshot above)
-    if (!v2) snaps.filter(s => covered && s != 0 && !chainTouches(s, chainDeltas, required))
-      .foreach { s =>
-        refsSeen(mgr.snapshotFile(s, None).getName) =
-          verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
+    // ---- 2. every OTHER retained snapshot zip streams clean too. v1:
+    // version-named zips off the chain; v2: every (version, id) sibling —
+    // including non-recovery-path siblings, which would otherwise only
+    // surface as misleading orphan counts when corrupt.
+    if (v2) {
+      snaps.filter(_ != 0).foreach { s =>
+        mgr.idsAt(s, snapshot = true).foreach { id =>
+          val n = mgr.snapshotFile(s, Some(id)).getName
+          if (!refsSeen.contains(n)) {
+            refsSeen(n) = verifySnapshotZip(fs, mgr, baseDir, s, Some(id), issues, deep)
+          }
+        }
       }
+    } else {
+      snaps.filter(s => covered && s != 0 && !chainTouches(s, chainDeltas, required))
+        .foreach { s =>
+          refsSeen(mgr.snapshotFile(s, None).getName) =
+            verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
+        }
+    }
 
     // ---- 3. full-read the recovery chain's changelogs
     var deltaErrors = 0
@@ -262,14 +287,28 @@ object StateFsck extends Logging {
     val (orphanN, orphanB) =
       if (poolFiles.isEmpty) (0, 0L)
       else {
+        // a zip that cannot stream has UNKNOWN references: record the issue
+        // (it fails `clean` as a zipError) and suppress orphan counts for
+        // the whole store rather than report its pool files as orphans
+        var refsUnknown = false
         val referenced = Try(fs.listStatus(baseDir).toSeq
           .map(_.getPath.getName).filter(_.startsWith("state.snapshot.")))
           .getOrElse(Nil)
-          .flatMap(n => refsSeen.getOrElse(n,
-            Try(refsOfZip(fs, new Path(baseDir, n))).getOrElse(Nil)))
+          .flatMap { n =>
+            refsSeen.get(n).getOrElse {
+              Try(refsOfZip(fs, new Path(baseDir, n))).recoverWith { case e =>
+                refsUnknown = true
+                issues += s"snapshot $n unreadable during orphan accounting: ${e.getMessage}"
+                scala.util.Failure(e)
+              }.getOrElse(Nil)
+            }
+          }
           .toSet
-        val orphans = poolFiles.filterNot(f => referenced(f.getPath.getName))
-        (orphans.size, orphans.map(_.getLen).sum)
+        if (refsUnknown || issues.exists(_.contains("unreadable"))) (0, 0L)
+        else {
+          val orphans = poolFiles.filterNot(f => referenced(f.getPath.getName))
+          (orphans.size, orphans.map(_.getLen).sum)
+        }
       }
 
     val zipErrors = issues.count(_.startsWith("snapshot "))

@@ -653,7 +653,17 @@ object StateCompact extends Logging {
       val in = fs.open(new Path(offsetsDir, last.toString))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }.split("\n", -1)
-    val conf = new ObjectMapper().readTree(lines(1)).get("conf")
+    // operator-facing CLI: fail with a message naming the file and the
+    // missing key, not a bare NPE, when the offsets metadata line is absent
+    // or malformed (e.g. an unexpected log layout)
+    val offsetsFile = new Path(offsetsDir, last.toString)
+    require(lines.length >= 2 && lines(1).trim.startsWith("{"),
+      s"$offsetsFile: line 2 is not the offsets metadata JSON — unexpected log layout")
+    val meta = new ObjectMapper().readTree(lines(1))
+    val conf = meta.get("conf")
+    require(conf != null && conf.get("spark.sql.shuffle.partitions") != null,
+      s"$offsetsFile: offsets metadata has no conf.'spark.sql.shuffle.partitions' entry — " +
+        "cannot determine the checkpoint's partition count")
     val parts = conf.get("spark.sql.shuffle.partitions").asText().toInt
     StateRepartition.run(spark, oldCkpt, newCkpt, parts)
   }

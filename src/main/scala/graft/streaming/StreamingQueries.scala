@@ -130,7 +130,7 @@ object StreamingQueries {
     bounds.sliding(2).foreach { case Seq(lo, hi) =>
       val chunk = b.filter(col("tsl") > lo && col("tsl") <= hi).coalesce(1)
       val shaped =
-        if (sortedWithin) chunk.sortWithinPartitions(col("tsl"), col("event_id"))
+        if (sortedWithin) chunk.sortWithinPartitions(col("ts"), col("event_id"))
         else chunk
       shaped.drop("tsl").write.mode("append").parquet(t)
       val dirP = java.nio.file.Paths.get(t)
