@@ -1461,7 +1461,19 @@ object RocksDbStateStoreProvider {
 
   /** Injectable wall clock so TTL tests are deterministic (the reference used
     * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`). */
-  @volatile private[state] var clock: () => Long = () => System.currentTimeMillis()
+  @volatile private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
+  /** Run `body` with the strict-TTL clock swapped for `c`, restoring the
+    * wall clock after — the deterministic-expiry harness the oracle-checked
+    * TTL gates use (JVM-global like the clock itself: callers must not
+    * overlap two swapped-clock regions, which the sequential gate runner
+    * guarantees). Only strict-TTL deadline probes consult the clock, so
+    * concurrent non-TTL queries are unaffected by a swap. */
+  private[graft] def withTtlClock[T](c: () => Long)(body: => T): T = {
+    val prev = clock
+    clock = c
+    try body finally clock = prev
+  }
 
   /** SQL-UI metrics: real RocksDB sizes + per-batch changelog volume. */
   private[state] val MetricMemtableSize =

@@ -59,21 +59,26 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * `transformWithState` operators (v2 operator metadata) migrate through a
   * dedicated path ([[migrateTwsOperator]]): every column family of the tws
-  * store — value/list/map state variables, the engine's internal row
-  * counters, and both timer secondary indexes — is read through the
+  * store — value/list/map state variables (TTL'd or not), the engine's
+  * internal row counters, both timer secondary indexes, and the TTL
+  * secondary indexes (`$ttl_`/`$min_`/`$count_`) — is read through the
   * provider's self-describing registry, routed by the GROUPING key
-  * (extracted per family: the flat key row itself, or the nested "key"
-  * struct of map/timer families) under the same Murmur3 expression
+  * (extracted per family along the field path [[groupFieldPath]] resolves:
+  * the flat key row itself, the nested "key" struct of map/timer families,
+  * or the `elementKey` of TTL index rows) under the same Murmur3 expression
   * `HashPartitioning` evaluates, and re-imported through the SPI so frame
   * order, schema-ID prefixes and per-family counters are rebuilt by the
-  * provider itself. TTL-enabled tws state variables and checkpoint format
-  * v2 (per-commit state IDs are arrays sized to the partition count inside
-  * Spark's commit log) are rejected loudly rather than migrated wrong.
+  * provider itself. Native tws TTL deadlines (wall-clock `expirationMs` in
+  * wrapped values and index rows) are byte-carried, so per-key expiry
+  * schedules survive the migration unchanged. Checkpoint format v2
+  * (per-commit state IDs are arrays sized to the partition count inside
+  * Spark's commit log) is rejected loudly rather than migrated wrong.
   *
-  * Caveat (documented, not silent): per-key TTL clocks restart at migration
-  * time — the importer re-puts every row, so lazy-mode expiry measures from
-  * the migration, and strict-mode deadlines (internal CF, not exposed
-  * through the `statestore` source) are not carried over.
+  * Caveat (documented, not silent): for v1-metadata operators migrating the
+  * REFERENCE-style provider TTL, per-key strict-mode deadlines live in an
+  * internal CF the `statestore` source does not expose — the importer
+  * re-puts every row, so those clocks restart at migration time (lazy-mode
+  * expiry likewise measures from the migration).
   */
 object StateRepartition extends Logging {
 
@@ -362,26 +367,48 @@ object StateRepartition extends Logging {
     CfMeta(s.colFamilyName, s.keySchema.json, s.valueSchema.json, t, args, multiValued)
   }
 
-  /** Where the grouping key sits inside a tws column family's key row:
-    * value/list/rowCounter families store the flat grouping row itself;
-    * map-state and timer families nest it as a struct field named "key"
-    * (Spark's tws encoder convention). Returns the field ordinal holding
-    * the nested grouping struct, or -1 for "the whole row IS the grouping
-    * row". Loud failure when neither shape matches — routing a family by a
-    * guessed key would scatter state silently. */
-  private def groupFieldOrdinal(keySchema: StructType, groupSchema: StructType): Int = {
-    if (RocksDbStateStoreProvider.sameKeyLayout(keySchema, groupSchema)) return -1
-    val named = keySchema.fields.zipWithIndex.filter { case (f, _) =>
-      f.name == "key" && RocksDbStateStoreProvider.sameKeyLayout(f.dataType, groupSchema)
+  /** Where the grouping key sits inside a tws column family's key row, as a
+    * FIELD PATH (empty = the whole row IS the grouping row):
+    *
+    *  - value/list/rowCounter families store the flat grouping row itself
+    *    (`Nil`);
+    *  - map-state and timer families nest it as a struct field named "key"
+    *    (Spark's tws encoder convention — `Seq(i)`);
+    *  - TTL secondary indexes (`$ttl_<name>`) key by
+    *    `(expirationMs, elementKey)` where `elementKey` is the primary
+    *    family's key row — the grouping row itself for value/list state
+    *    (`Seq(1)`), or the map family's `(key, userKey)` composite for
+    *    map state (`Seq(1, 0)`); `$min_`/`$count_` (list-TTL) key by the
+    *    grouping row directly (`Nil`).
+    *
+    * Resolution at each struct level: exact layout match wins, then a field
+    * named "key" with matching layout, then a unique layout-matching field,
+    * then a unique recursively-resolvable struct field. Loud failure when
+    * no (or more than one) location matches — routing a family by a guessed
+    * key would scatter state silently. */
+  private def groupFieldPath(keySchema: StructType, groupSchema: StructType): Seq[Int] = {
+    def resolve(st: StructType): Seq[Seq[Int]] = {
+      if (RocksDbStateStoreProvider.sameKeyLayout(st, groupSchema)) return Seq(Nil)
+      val named = st.fields.zipWithIndex.filter { case (f, _) =>
+        f.name == "key" && RocksDbStateStoreProvider.sameKeyLayout(f.dataType, groupSchema)
+      }
+      if (named.length == 1) return Seq(Seq(named.head._2))
+      val direct = st.fields.zipWithIndex.filter { case (f, _) =>
+        RocksDbStateStoreProvider.sameKeyLayout(f.dataType, groupSchema)
+      }
+      if (direct.length == 1) return Seq(Seq(direct.head._2))
+      if (direct.length > 1) return direct.map(d => Seq(d._2)).toSeq
+      st.fields.zipWithIndex.flatMap {
+        case (f, i) if f.dataType.isInstanceOf[StructType] =>
+          resolve(f.dataType.asInstanceOf[StructType]).map(i +: _)
+        case _ => Nil
+      }.toSeq
     }
-    if (named.length == 1) return named.head._2
-    val structs = keySchema.fields.zipWithIndex.filter { case (f, _) =>
-      RocksDbStateStoreProvider.sameKeyLayout(f.dataType, groupSchema)
-    }
-    require(structs.length == 1,
+    val found = resolve(keySchema)
+    require(found.length == 1,
       s"cannot locate the grouping key inside key schema ${keySchema.json} " +
-        s"(grouping schema ${groupSchema.json})")
-    structs.head._2
+        s"(grouping schema ${groupSchema.json}): ${found.length} candidate locations")
+    found.head
   }
 
   /** Migrate one transformWithState operator: every column family of its
@@ -424,15 +451,19 @@ object StateRepartition extends Logging {
     require(stores.size() == 1 && stores.get(0).get("storeName").asText() == "default",
       s"operator $opId: expected a single 'default' store")
 
-    // state variables: ListState families are multi-valued; TTL not supported
+    // state variables: ListState families are multi-valued. TTL-enabled
+    // variables are fully supported: their `$ttl_`/`$min_`/`$count_`
+    // secondary-index families route by the grouping key nested in their
+    // key rows (see [[groupFieldPath]]) and their deadline payloads —
+    // wall-clock expirationMs in both the wrapped primary values and the
+    // index rows — are byte-carried, so per-key TTL clocks survive the
+    // migration unchanged (the resumed query keeps expiring on the
+    // original schedule).
     val props = mapper.readTree(md.get("operatorPropertiesJson").asText())
     val varTypes = mutable.HashMap.empty[String, String]
     val varsNode = props.get("stateVariables")
     (0 until varsNode.size()).foreach { i =>
       val v = varsNode.get(i)
-      require(!v.get("ttlEnabled").asBoolean(),
-        s"operator $opId: state variable ${v.get("stateName").asText()} has TTL enabled — " +
-          "TTL secondary-index families are not supported by the repartition tool")
       varTypes.put(v.get("stateName").asText(), v.get("stateVariableType").asText())
     }
 
@@ -464,9 +495,9 @@ object StateRepartition extends Logging {
     val defaultMeta = cfMetas.find(_.name == "default").getOrElse(
       throw new IllegalStateException(s"operator $opId: schema file lists no 'default' family"))
     val groupSchemaJson = defaultMeta.keySchemaJson
-    val groupOrdinals: IndexedSeq[Int] = {
+    val groupPaths: IndexedSeq[Seq[Int]] = {
       val g = DataType.fromJson(groupSchemaJson).asInstanceOf[StructType]
-      cfMetas.map(m => groupFieldOrdinal(m.keySchema, g))
+      cfMetas.map(m => groupFieldPath(m.keySchema, g))
     }
 
     // schema-ID-aware value codecs on both sides (tws values carry the
@@ -523,8 +554,15 @@ object StateRepartition extends Logging {
             BoundReference(i, f.dataType, f.nullable)
           }.toIndexedSeq)
         def route(ci: Int, keyRow: UnsafeRow): Int = {
-          val ord = groupOrdinals(ci)
-          val groupRow: InternalRow = if (ord < 0) keyRow else keyRow.getStruct(ord, g.length)
+          // walk the grouping-key path (empty = the row itself); each hop
+          // needs the struct width at that level to read the nested row
+          var groupRow: InternalRow = keyRow
+          var st = cfMetas(ci).keySchema
+          groupPaths(ci).foreach { ord =>
+            val sub = st.fields(ord).dataType.asInstanceOf[StructType]
+            groupRow = groupRow.getStruct(ord, sub.length)
+            st = sub
+          }
           val h = hashExpr.eval(groupRow).asInstanceOf[Int]
           ((h % newParts) + newParts) % newParts
         }

@@ -799,6 +799,214 @@ object StreamingQueries {
       |  max(CASE WHEN rn = 3 THEN mille END) AS top3
       |FROM r GROUP BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Deterministic TTL gates: BUCKET-staged arrival
+  // ------------------------------------------------------------------
+
+  /** Events staged as [[BucketCount]] files keyed by calendar day modulo
+    * [[BucketCount]] (`bucket = epoch_day % 4`, carried as a column), one
+    * file per bucket, explicit-mtime sequenced so micro-batch `b` processes
+    * exactly bucket `b` — a batch membership BOTH engines can state in SQL,
+    * which is what turns processing-time TTL expiry into an oracle-checkable
+    * set (contrast the quantile-split [[eventsOrdered]], whose chunk bounds
+    * no SQL oracle can reproduce). Every bucket is required nonempty so the
+    * batch-id ↔ bucket alignment can never silently skew. */
+  private val stagedBucketDirs = new graft.Memo[String]
+  private val BucketCount = 4
+
+  private def stageEventBuckets(s: SparkSession, dir: String): String = {
+    val t = graft.Staging.tempDir("graft-stream-bkt-").toString
+    val b = Tables.events(s, dir).withColumn("bucket",
+      (datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")) % BucketCount)
+        .cast("int"))
+    val seen = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+    var tick = System.currentTimeMillis() - 3600000L // past-dated: no future mtimes
+    (0 until BucketCount).foreach { k =>
+      val chunk = b.filter(col("bucket") === k).coalesce(1)
+      require(chunk.limit(1).count() == 1L,
+        s"events fixture has no rows in day-bucket $k — the TTL gates' " +
+          "batch-id/bucket alignment premise would break")
+      chunk.write.mode("append").parquet(t)
+      val dirP = java.nio.file.Paths.get(t)
+      val parts = java.nio.file.Files.list(dirP).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
+        .toVector
+      parts.foreach { p =>
+        java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(tick))
+        seen += p
+      }
+      tick += 60000L
+    }
+    t
+  }
+
+  private def eventsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(s, dir)
+      .withColumn("bucket", lit(0)).schema
+    val tmp = stagedBucketDirs.getOrStage(dir)(stageEventBuckets(s, dir))
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+  }
+
+  /** transformWithState with NATIVE per-variable TTL (`TTLConfig`) — the
+    * modern form of the reference's one novel feature (reference
+    * `RocksDbStateStoreProvider.scala:71-94`: per-key processing-time state
+    * expiry), exercised end-to-end through Spark-4's tws TTL machinery: a
+    * TTL'd ValueState carries a `$ttl_<name>` secondary-index column family
+    * (range-scanned each batch for expiry sweeps) in THIS provider.
+    *
+    * Determinism argument — processing-time TTL against wall-clock batch
+    * timestamps is made oracle-exact by straddling the batch cadence from
+    * both sides with two variables in one processor:
+    *
+    *  - `eph` (TTL = 1 ms): a value written at batch timestamp T expires at
+    *    T+1 ms, and consecutive micro-batch timestamps are strictly
+    *    increasing wall-clock values many milliseconds apart (each batch
+    *    plans, schedules and commits 8 state stores) — so `eph` provably
+    *    NEVER survives into the next batch: its counter restarts per
+    *    bucket. A broken expiry path (value outliving its deadline)
+    *    inflates `n_batch` and hash-fails.
+    *  - `run` (TTL = 1 hour): the whole AvailableNow drain runs in seconds,
+    *    so `run` provably ALWAYS survives — through the live TTL code path
+    *    (wrapped values, index maintenance), not `TTLConfig.NONE`. An
+    *    over-eager expiry resets `n_cum` and hash-fails.
+    *
+    * With bucket-staged arrival, batch b = day-bucket b exactly, so the
+    * oracle states both counters directly: per-(user, bucket) counts and
+    * the running per-user cumulative sum over buckets. */
+  def stream_tws_ttl(s0: SparkSession, dir: String): DataFrame = {
+    // ProcessingTime-mode tws always requests another batch (the TTL/timer
+    // sweep), so AvailableNow never terminates — run on a paced trigger and
+    // poll-and-stop once the last bucket's emissions land (the same
+    // discipline the conformance suite uses for proc-time-timeout queries).
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val sink = "stream_tws_ttl_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    import s.implicits._
+    val typed = eventsBucketed(s, dir)
+      .select(col("user_id"), col("bucket")).as[(Long, Int)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new TtlBucketProcessor, TimeMode.ProcessingTime(),
+        OutputMode.Update())
+      .toDF("user_id", "bucket", "n_batch", "n_cum")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      def lastBucketSeen: Boolean =
+        s.table(sink).filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(100)
+      require(lastBucketSeen,
+        "stream_tws_ttl: poll deadline reached before the final bucket was emitted")
+    } finally q.stop()
+    s.table(sink)
+  }
+
+  private class TtlBucketProcessor
+    extends StatefulProcessor[Long, (Long, Int), (Long, Int, Long, Long)] {
+    @transient private var eph: ValueState[Long] = _
+    @transient private var run: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      eph = getHandle.getValueState[Long]("eph", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(1)))
+      run = getHandle.getValueState[Long]("run", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofHours(1)))
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
+      var bucket = -1
+      var n = 0L
+      rows.foreach { r => bucket = r._2; n += 1 }
+      val nBatch = (if (eph.exists()) eph.get() else 0L) + n
+      val nCum = (if (run.exists()) run.get() else 0L) + n
+      eph.update(nBatch)
+      run.update(nCum)
+      Iterator.single((user, bucket, nBatch, nCum))
+    }
+  }
+
+  val stream_tws_ttl_sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events)
+      |SELECT user_id, bucket, count(*) AS n_batch,
+      |       CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT) AS n_cum
+      |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** PROVIDER-level TTL'd streaming dedup — the reference README's flagship
+    * use-case (`README.md:34-104`: dedup whose seen-key state expires) as an
+    * oracle-checked query: `dropDuplicates` + the user-facing
+    * `implicits.stateTimeout(...)` wiring a per-query strict TTL into this
+    * provider, so the seen-set is bounded by the expiry window instead of
+    * growing forever.
+    *
+    * Determinism: the provider's strict-TTL deadlines are measured against
+    * its injectable clock; the gate pins that clock to `batch_id` hours (set
+    * per batch inside `foreachBatch`, before the batch's stateful plan
+    * executes), so with bucket-staged arrival the TTL of 1.5 h means a seen
+    * key stays live for exactly the NEXT bucket and expires after — and
+    * access refreshes the deadline (the reference's `expireAfterAccess`
+    * semantics), so a key is re-emitted at bucket b iff it did not occur at
+    * bucket b-1. That rule is plain SQL over (key, bucket) pairs, and it
+    * EXERCISES expiry in the output: keys seen at buckets {0, 2} re-emit at
+    * 2, keys seen at {0, 1, 2} do not. */
+  def stream_dedup_ttl(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.STRICT_EXPIRE, "true")
+    val outDir = graft.Staging.tempDir("graft-dedupttl-out-").toString
+    val ckptRoot = graft.Staging.tempDir("graft-ckpt-").toString
+    val base = 1700000000000L // arbitrary fixed epoch for the pinned clock
+    graft.state.RocksDbStateStoreProvider.withTtlClock(() => base) {
+      import graft.state.implicits._
+      val q = eventsBucketed(s, dir)
+        .select(col("user_id"), col("event_type"), col("bucket"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // pin the TTL clock for THIS batch before its stateful plan runs
+          // (the dedup operator executes inside the write below)
+          graft.state.RocksDbStateStoreProvider.clock = () => base + batchId * 3600000L
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .stateTimeout(s.conf, queryName = "dedupttl", expirySecs = 5400,
+          checkpointLocation = ckptRoot)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("event_type"), col("bucket"))
+  }
+
+  val stream_dedup_ttl_sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events),
+      |d AS MATERIALIZED (SELECT DISTINCT user_id, event_type, bucket FROM e)
+      |SELECT user_id, event_type, bucket FROM d
+      |WHERE NOT EXISTS (SELECT 1 FROM d p WHERE p.user_id = d.user_id
+      |  AND p.event_type = d.event_type AND p.bucket = d.bucket - 1)""".stripMargin
+
   /** One staged copy of `documents` per scale-factor dir for the streaming
     * corpus-ingestion entries (same pattern as the events staging). */
   private val stagedDocDirs = new graft.Memo[String]
@@ -2152,6 +2360,8 @@ object StreamingQueries {
     "stream_tws_init" -> (stream_tws_init(_, _)),
     "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_tws_list" -> (stream_tws_list(_, _)),
+    "stream_tws_ttl" -> (stream_tws_ttl(_, _)),
+    "stream_dedup_ttl" -> (stream_dedup_ttl(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
@@ -2201,6 +2411,8 @@ object StreamingQueries {
     "stream_tws_init" -> stream_tws_init_sql,
     "stream_tws_map" -> stream_tws_map_sql,
     "stream_tws_list" -> stream_tws_list_sql,
+    "stream_tws_ttl" -> stream_tws_ttl_sql,
+    "stream_dedup_ttl" -> stream_dedup_ttl_sql,
     "stream_statestore" -> stream_statestore_sql,
     "stream_cdc" -> stream_cdc_sql,
     "stream_watermark" -> stream_watermark_sql,

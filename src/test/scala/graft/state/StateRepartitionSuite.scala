@@ -429,50 +429,76 @@ class StateRepartitionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(timers(newCkpt) === before, "registered timers identical after the move")
   }
 
-  test("transformWithState with TTL-enabled state is rejected loudly") {
+  test("transformWithState TTL state migrates: value/map/list TTL index families routed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
     val df = input.toDS()
       .groupByKey(_._1)
-      .transformWithState(new StateRepartitionSuite.TtlValueProcessor,
+      .transformWithState(new StateRepartitionSuite.TtlTrioProcessor,
         TimeMode.ProcessingTime(), OutputMode.Update())
-      .toDF("k", "n")
-    val seen = new java.util.concurrent.atomic.AtomicLong(0)
-    val oldCkpt = ckpt()
-    val q = df.writeStream.outputMode(OutputMode.Update())
-      .option("checkpointLocation", oldCkpt)
-      .foreachBatch { (b: DataFrame, _: Long) => seen.addAndGet(b.count()); () }
-      .start()
-    try {
-      input.addData(("a", 1))
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (seen.get() < 1) {
-        assert(System.nanoTime() < deadline, "timed out waiting for the TTL batch")
-        Thread.sleep(100)
-      }
-      // one more commit so the data batch is durably committed
-      val commits = java.nio.file.Paths.get(oldCkpt, "commits")
-      def lastCommit: Long = {
-        val it = Files.list(commits).iterator()
-        var m = -1L
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          if (n.forall(_.isDigit)) m = math.max(m, n.toLong)
+      .toDF("k", "n", "tags", "vals")
+    val last = new scala.collection.concurrent.TrieMap[String, (Long, String, String)]()
+    // proc-time mode self-schedules batches: poll for the expected keys,
+    // then one more commit so the data batch is durably committed
+    def run(ckptDir: String, expectKeys: Set[String]): Unit = {
+      val q = df.writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            last.put(r.getString(0), (r.getLong(1), r.getString(2), r.getString(3))))
+        }.start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!expectKeys.subsetOf(last.keySet)) {
+          assert(System.nanoTime() < deadline, "timed out waiting for TTL batch output")
+          Thread.sleep(100)
         }
-        m
-      }
-      val seenAt = lastCommit
-      while (lastCommit <= seenAt) {
-        assert(System.nanoTime() < deadline, "timed out waiting for a post-data commit")
-        Thread.sleep(100)
-      }
-    } finally q.stop()
-    dropInFlightOffsets(oldCkpt)
-    val e = intercept[IllegalArgumentException] {
-      StateRepartition.run(spark, oldCkpt, ckpt() + "/x", 8)
+        val commits = java.nio.file.Paths.get(ckptDir, "commits")
+        def lastCommit: Long = {
+          val it = Files.list(commits).iterator()
+          var m = -1L
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.forall(_.isDigit)) m = math.max(m, n.toLong)
+          }
+          m
+        }
+        val seenAt = lastCommit
+        while (lastCommit <= seenAt) {
+          assert(System.nanoTime() < deadline, "timed out waiting for a post-data commit")
+          Thread.sleep(100)
+        }
+      } finally q.stop()
     }
-    assert(e.getMessage.contains("TTL"))
+
+    val oldCkpt = ckpt()
+    input.addData(("a", 1), ("a", 2), ("b", 3))
+    run(oldCkpt, Set("a", "b"))
+    assert(last("a") === ((2L, "even=1,odd=1", "1,2")))
+    assert(last("b") === ((1L, "odd=1", "3")))
+
+    dropInFlightOffsets(oldCkpt)
+    val newCkpt = ckpt() + "/moved"
+    val summary = StateRepartition.run(spark, oldCkpt, newCkpt, 8).collect()
+    val byCf = summary.map(r => r.getAs[String]("storeName") -> r.getAs[Long]("keys")).toMap
+    // the TTL secondary-index families moved with exact cardinalities:
+    // one $ttl_ row per live (elementKey) — 2 keys for the value state,
+    // 3 (key, tag) composites for the map state, 2 keys for the list state
+    // (plus the list's min-expiry and element-count indexes)
+    assert(byCf("$ttl_n") === 2L, s"value TTL index migrated: $byCf")
+    assert(byCf("$ttl_byTag") === 3L, s"map TTL index migrated: $byCf")
+    assert(byCf("$ttl_vals") === 2L, s"list TTL index migrated: $byCf")
+    assert(byCf("$min_vals") === 2L, s"list min-expiry index migrated: $byCf")
+    assert(byCf("$count_vals") === 2L, s"list count index migrated: $byCf")
+
+    // resume at 8: carried deadlines (1 h, far from expiry) keep every
+    // pre-migration value readable; new rows extend it
+    last.clear()
+    input.addData(("a", 5), ("c", 7))
+    run(newCkpt, Set("a", "c"))
+    assert(last("a") === ((3L, "even=1,odd=2", "1,2,5")))
+    assert(last("c") === ((1L, "odd=1", "7")))
   }
 
   test("refuses an in-flight batch and a missing state dir") {
@@ -554,18 +580,36 @@ object StateRepartitionSuite {
     }
   }
 
-  /** A TTL-enabled value state — the configuration the repartition tool
-    * must refuse (TTL secondary-index families are not migrated). */
-  class TtlValueProcessor extends StatefulProcessor[String, (String, Int), (String, Long)] {
+  /** All three TTL'd state shapes in one processor — value (OneToOne TTL
+    * index), map (OneToOne over composite keys) and list (OneToMany with
+    * `$min_`/`$count_` side indexes) — echoing the full state so the
+    * migration suite can assert resumed-equals-uninterrupted read-back. */
+  class TtlTrioProcessor
+    extends StatefulProcessor[String, (String, Int), (String, Long, String, String)] {
+    private val Ttl = TTLConfig(java.time.Duration.ofHours(1))
     @transient private var n: ValueState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
-        TTLConfig(java.time.Duration.ofHours(1)))
+    @transient private var byTag: MapState[String, Long] = _
+    @transient private var vals: ListState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, Ttl)
+      byTag = getHandle.getMapState[String, Long]("byTag", Encoders.STRING,
+        Encoders.scalaLong, Ttl)
+      vals = getHandle.getListState[Int]("vals", Encoders.scalaInt, Ttl)
+    }
     override def handleInputRows(key: String, rows: Iterator[(String, Int)],
-        timerValues: TimerValues): Iterator[(String, Long)] = {
-      val c = (if (n.exists()) n.get() else 0L) + rows.size
+        timerValues: TimerValues): Iterator[(String, Long, String, String)] = {
+      var c = if (n.exists()) n.get() else 0L
+      rows.foreach { r =>
+        c += 1
+        val tag = if (r._2 % 2 == 0) "even" else "odd"
+        byTag.updateValue(tag,
+          (if (byTag.containsKey(tag)) byTag.getValue(tag) else 0L) + 1L)
+        vals.appendValue(r._2)
+      }
       n.update(c)
-      Iterator.single((key, c))
+      val tags = byTag.iterator().toSeq.sortBy(_._1)
+        .map { case (t, v) => s"$t=$v" }.mkString(",")
+      Iterator.single((key, c, tags, vals.get().mkString(",")))
     }
   }
 }
