@@ -135,6 +135,21 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
   override def getReadStore(version: Long, uniqueId: Option[String]): ReadStateStore =
     loadStore(version, readOnly = true, uniqueId)
 
+  /** Open an EMPTY writable store at `version` (its commit publishes
+    * `version + 1`), bypassing version resolution entirely — the offline
+    * importer's entry point ([[StateRepartition]]): a fresh checkpoint
+    * layout has nothing to load, and under checkpoint-format v2 the normal
+    * load path is exact-or-fail (an absent version is an error, never an
+    * implicit empty start). Under v2 the store mints a fresh commit ID the
+    * importer records into the rewritten commit log. */
+  private[state] def emptyStoreAt(version: Long): RocksDbStateStore = synchronized {
+    require(version >= 0, "Version cannot be less than 0")
+    lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
+    val store = new RocksDbStateStore(version, freshDir(), readOnly = false, None)
+    lastOpenStore = Some(store)
+    store
+  }
+
   override def upgradeReadStoreToWriteStore(
       readStore: ReadStateStore, version: Long, uniqueId: Option[String]): StateStore =
     readStore match {

@@ -70,9 +70,17 @@ import org.apache.spark.util.SerializableConfiguration
   * order, schema-ID prefixes and per-family counters are rebuilt by the
   * provider itself. Native tws TTL deadlines (wall-clock `expirationMs` in
   * wrapped values and index rows) are byte-carried, so per-key expiry
-  * schedules survive the migration unchanged. Checkpoint format v2
-  * (per-commit state IDs are arrays sized to the partition count inside
-  * Spark's commit log) is rejected loudly rather than migrated wrong.
+  * schedules survive the migration unchanged.
+  *
+  * Checkpoint format v2 (per-commit state IDs in Spark's commit log, sized
+  * to the partition count) migrates too: the read side resolves the exact
+  * recorded lineage, each importer commit mints a fresh per-partition
+  * commit ID (the provider's normal v2 discipline), and the last commit
+  * log entry's `stateUniqueIds` arrays are rewritten to the new width —
+  * with the store-slot order recovered by matching the old IDs to the
+  * store directories that carry them. The resumed session must set
+  * `spark.sql.streaming.stateStore.checkpointFormatVersion=2` (Spark does
+  * not record the format version in the offsets conf).
   *
   * Caveat (documented, not silent): for v1-metadata operators migrating the
   * REFERENCE-style provider TTL, per-key strict-mode deadlines live in an
@@ -146,9 +154,29 @@ object StateRepartition extends Logging {
 
     val mapper = new ObjectMapper()
     val commitText = readText(fs, new Path(oldRoot, s"commits/$lastBatch"))
-    require(!commitText.contains("stateUniqueIds"),
-      "checkpoint uses state store checkpoint format v2 (per-commit state IDs in the commit " +
-        "log are sized to the partition count) — repartitioning v2 checkpoints is not supported")
+    // checkpoint-format v2: the commit log's stateUniqueIds arrays are sized
+    // to the partition count — the importer mints fresh per-partition commit
+    // IDs and the commit log is rewritten to the new width after the move
+    val commitLines = commitText.split("\n", -1)
+    val commitMeta = mapper.readTree(commitLines(1)).asInstanceOf[ObjectNode]
+    val v2Ckpt = commitLines(0).trim == "v2" && commitMeta.hasNonNull("stateUniqueIds")
+    // opId -> [old partition][store slot] commit id, exactly as recorded
+    val oldUniqueIds: Map[Long, Array[Array[String]]] =
+      if (!v2Ckpt) Map.empty
+      else {
+        val node = commitMeta.get("stateUniqueIds")
+        val b = Map.newBuilder[Long, Array[Array[String]]]
+        val names = node.fieldNames()
+        while (names.hasNext) {
+          val op = names.next()
+          val pa = node.get(op)
+          b += op.toLong -> (0 until pa.size()).map { p =>
+            val sa = pa.get(p)
+            (0 until sa.size()).map(sa.get(_).asText()).toArray
+          }.toArray
+        }
+        b.result()
+      }
 
     val offsetLines = readText(fs, new Path(oldRoot, s"offsets/$lastBatch")).split("\n", -1)
     val offsetMeta = mapper.readTree(offsetLines(1)).asInstanceOf[ObjectNode]
@@ -190,6 +218,11 @@ object StateRepartition extends Logging {
     val it = confNode.fieldNames()
     while (it.hasNext) { val k = it.next(); readSession.conf.set(k, confNode.get(k).asText()) }
     readSession.conf.set(SQLConf.ADAPTIVE_EXECUTION_ENABLED.key, "false")
+    // the offsets conf does NOT record the checkpoint format version; the
+    // statestore source needs it to even deserialize a v2 commit log
+    if (v2Ckpt) {
+      readSession.conf.set("spark.sql.streaming.stateStore.checkpointFormatVersion", "2")
+    }
 
     // ---- per-operator migration
     val stateRoot = new Path(oldRoot, "state")
@@ -202,8 +235,17 @@ object StateRepartition extends Logging {
       sqlConf.setConfString(RocksDbConf.CHANGELOG, "false")
       sqlConf.setConfString(RocksDbConf.INCREMENTAL_SNAPSHOT, "false")
       sqlConf.setConfString("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+      if (v2Ckpt) {
+        // v2 in = v2 out: the importer's commits mint the fresh IDs the
+        // rewritten commit log records (and the tws read side resolves the
+        // old checkpoint's exact lineage)
+        sqlConf.setConfString("spark.sql.streaming.stateStore.checkpointFormatVersion", "2")
+      }
       new StateStoreConf(sqlConf, Map.empty)
     }
+    // (opId, storeName) -> new-partition-indexed commit IDs, filled by the
+    // importers when v2Ckpt; consumed by the commit-log rewrite below
+    val newIds = mutable.HashMap.empty[(Long, String), Array[String]]
 
     val results = mutable.ArrayBuffer.empty[StoreResult]
     val opDirs = fs.listStatus(stateRoot).toSeq
@@ -221,8 +263,11 @@ object StateRepartition extends Logging {
             s"${recordedProvider.getOrElse("<none>")} — tws migration reads the old state " +
             "through the graft provider's self-describing registry, so only graft-written " +
             "checkpoints are supported")
-        results ++= migrateTwsOperator(spark, fs, hadoopConf, oldRoot, newRoot, opId,
-          lastBatch, version, oldParts, newParts, importerConf, hadoopBc)
+        val (twsResults, twsIds) = migrateTwsOperator(spark, fs, hadoopConf, oldRoot,
+          newRoot, opId, lastBatch, version, oldParts, newParts, importerConf, hadoopBc,
+          oldUniqueIds.get(opId).map(_.map(_.headOption.getOrElse(""))))
+        results ++= twsResults
+        if (v2Ckpt) newIds((opId, "default")) = twsIds
       } else {
         require(fs.exists(mdPath),
           s"operator $opId has no _metadata/metadata — cannot determine its stores")
@@ -254,21 +299,85 @@ object StateRepartition extends Logging {
           val info = stores.get(i)
           val storeName = info.get("storeName").asText()
           val numColsPrefixKey = info.get("numColsPrefixKey").asInt()
-          results += migrateStore(readSession, oldCkpt, newStateRoot, opId, operatorName,
+          val (res, ids) = migrateStore(readSession, oldCkpt, newStateRoot, opId, operatorName,
             storeName, numColsPrefixKey, lastBatch, version, oldParts, newParts,
             importerConf, hadoopBc)
+          results += res
+          if (v2Ckpt) newIds((opId, storeName)) = ids
         }
       }
     }
+    // ---- v2: rewrite the LAST commit's stateUniqueIds arrays to the new
+    // width, with the fresh per-partition IDs the importers minted. Earlier
+    // commit files are copied verbatim as historical record — like v1,
+    // only the last committed batch's state exists in the new checkpoint.
+    if (v2Ckpt) {
+      val idsNode = commitMeta.get("stateUniqueIds").asInstanceOf[ObjectNode]
+      oldUniqueIds.foreach { case (op, oldArr) =>
+        require(oldArr.nonEmpty, s"operator $op: empty stateUniqueIds in the commit log")
+        val inner0 = oldArr(0)
+        val opStores = newIds.keys.collect { case (o, st) if o == op => st }.toSeq
+        require(inner0.length == opStores.length,
+          s"operator $op: commit log records ${inner0.length} store slots but " +
+            s"${opStores.length} stores were migrated (${opStores.mkString(",")})")
+        // the inner arrays' store order, recovered by matching each recorded
+        // id to the store dir whose durable files carry it (IDs are opaque;
+        // only the file layout ties a slot to a store name)
+        val order: Seq[String] =
+          if (inner0.length == 1) opStores
+          else inner0.toSeq.map { id =>
+            val found = opStores.filter(st =>
+              storeHasCommitFile(fs, oldRoot, op, st, version, id))
+            require(found.length == 1,
+              s"operator $op: commit id $id matches ${found.length} store dirs " +
+                s"(${found.mkString(",")}) — cannot recover the store slot order")
+            found.head
+          }
+        val newOpArr = mapper.createArrayNode()
+        (0 until newParts).foreach { pid =>
+          val slot = mapper.createArrayNode()
+          order.foreach { st =>
+            val ids = newIds((op, st))
+            require(pid < ids.length && ids(pid).nonEmpty,
+              s"operator $op store $st: importer returned no commit id for partition $pid")
+            slot.add(ids(pid))
+          }
+          newOpArr.add(slot)
+        }
+        // `replace`, not `set`: set's generic return infers Nothing in
+        // statement position and the cast blows up at runtime
+        idsNode.replace(op.toString, newOpArr)
+      }
+      commitLines(1) = mapper.writeValueAsString(commitMeta)
+      writeText(fs, new Path(newRoot, s"commits/$lastBatch"), commitLines.mkString("\n"))
+    }
+
     logInfo(s"Repartition complete: ${results.map(_.keys).sum} keys across " +
-      s"${results.size} stores now at $newParts partitions in $newCkpt")
+      s"${results.size} stores now at $newParts partitions in $newCkpt" +
+      (if (v2Ckpt) " (checkpoint format v2: commit log rewritten)" else ""))
     import spark.implicits._
     results.toSeq.toDF()
   }
 
+  /** Does old partition 0 of `store` hold a durable file for commit
+    * `(version, id)`? Single-store operators keep state files directly in
+    * the partition dir; named stores (joins) in a subdirectory. */
+  private def storeHasCommitFile(
+      fs: org.apache.hadoop.fs.FileSystem, oldRoot: Path, op: Long,
+      store: String, version: Long, id: String): Boolean = {
+    val base =
+      if (store == "default") new Path(oldRoot, s"state/$op/0")
+      else new Path(oldRoot, s"state/$op/0/$store")
+    scala.util.Try(fs.listStatus(base).exists { st =>
+      val n = st.getPath.getName
+      n == s"state.delta.${version}_$id" || n == s"state.snapshot.${version}_$id"
+    }).getOrElse(false)
+  }
+
   /** Move one (operator, store): statestore-source read at `lastBatch`,
     * HashPartitioning shuffle to `newParts`, per-partition SPI import
-    * committing `version`. */
+    * committing `version`. Returns the summary plus the per-new-partition
+    * commit IDs (empty strings under checkpoint-format v1). */
   private def migrateStore(
       readSession: SparkSession,
       oldCkpt: String,
@@ -282,7 +391,8 @@ object StateRepartition extends Logging {
       oldParts: Int,
       newParts: Int,
       importerConf: StateStoreConf,
-      hadoopBc: org.apache.spark.broadcast.Broadcast[SerializableConfiguration]): StoreResult = {
+      hadoopBc: org.apache.spark.broadcast.Broadcast[SerializableConfiguration])
+      : (StoreResult, Array[String]) = {
     val df = readSession.read.format("statestore")
       .option("batchId", lastBatch.toString)
       .option("operatorId", opId.toString)
@@ -316,11 +426,13 @@ object StateRepartition extends Logging {
         useColumnFamilies = false, importerConf, hadoopBc.value.value,
         useMultipleValuesPerKey = false, stateSchemaProvider = None)
       var n = 0L
+      var ckptId = ""
       try {
-        // version-1 is absent in the fresh layout by design: the provider's
-        // v1 recovery contract starts EMPTY there, and the single commit
-        // below publishes the full snapshot the resumed query will load
-        val store = provider.getStore(version - 1, None)
+        // the fresh layout is EMPTY at version-1 by design; emptyStoreAt
+        // opens it without version resolution (under v2 the normal load
+        // path is exact-or-fail), and the single commit below publishes
+        // the full snapshot the resumed query will load
+        val store = provider.emptyStoreAt(version - 1)
         val keyProj = UnsafeProjection.create(keySchema)
         val valueProj = UnsafeProjection.create(valueSchema)
         rows.foreach { r =>
@@ -329,12 +441,14 @@ object StateRepartition extends Logging {
         }
         val committed = store.commit()
         assert(committed == version, s"importer committed $committed, expected $version")
+        ckptId = store.getStateStoreCheckpointInfo().stateStoreCkptId.getOrElse("")
       } finally provider.close()
-      Iterator.single(n)
-    }.collect() // newParts partition COUNTS — scalars, not state rows
+      Iterator.single((n, ckptId))
+    }.collect() // newParts (count, commitId) pairs — scalars, not state rows
 
-    StoreResult(opId, storeName, operatorName, oldParts, newParts, version,
-      perPartitionKeys.sum)
+    (StoreResult(opId, storeName, operatorName, oldParts, newParts, version,
+      perPartitionKeys.map(_._1).sum),
+      perPartitionKeys.map(_._2))
   }
 
   /** Column-family layout shipped to executors for the tws migration —
@@ -433,7 +547,8 @@ object StateRepartition extends Logging {
       oldParts: Int,
       newParts: Int,
       importerConf: StateStoreConf,
-      hadoopBc: org.apache.spark.broadcast.Broadcast[SerializableConfiguration]): Seq[StoreResult] = {
+      hadoopBc: org.apache.spark.broadcast.Broadcast[SerializableConfiguration],
+      oldDefaultIds: Option[Array[String]]): (Seq[StoreResult], Array[String]) = {
     val mapper = new ObjectMapper()
     val mdDir = new Path(oldRoot, s"state/$opId/_metadata/v2")
     val mdBatches = fs.listStatus(mdDir).toSeq.map(_.getPath.getName)
@@ -543,7 +658,11 @@ object StateRepartition extends Logging {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       try {
-        val store = provider.getReadStore(version, None).asInstanceOf[StateStore]
+        // v2: resolve the exact lineage the commit log recorded for this
+        // partition (None under v1, or for pre-ids checkpoints)
+        val lineage = oldDefaultIds.flatMap(ids =>
+          if (pid < ids.length && ids(pid).nonEmpty) Some(ids(pid)) else None)
+        val store = provider.getReadStore(version, lineage).asInstanceOf[StateStore]
         cfMetas.foreach { m =>
           store.createColFamilyIfAbsent(m.name, m.keySchema, m.valueSchema, m.spec,
             m.multiValued, isInternal = m.name.startsWith("$"))
@@ -602,7 +721,7 @@ object StateRepartition extends Logging {
         useColumnFamilies = true, importerConf, hadoopBc.value.value,
         useMultipleValuesPerKey = false, stateSchemaProvider = Some(schemaBc))
       try {
-        val store = provider.getStore(version - 1, None)
+        val store = provider.emptyStoreAt(version - 1)
         cfMetas.foreach { m =>
           store.createColFamilyIfAbsent(m.name, m.keySchema, m.valueSchema, m.spec,
             m.multiValued, isInternal = m.name.startsWith("$"))
@@ -626,14 +745,16 @@ object StateRepartition extends Logging {
         }
         val committed = store.commit()
         assert(committed == version, s"tws importer committed $committed, expected $version")
-        Iterator.single(counts)
+        val ckptId = store.getStateStoreCheckpointInfo().stateStoreCkptId.getOrElse("")
+        Iterator.single((counts, ckptId))
       } finally provider.close()
     }.collect()
 
-    cfMetas.zipWithIndex.map { case (m, ci) =>
+    (cfMetas.zipWithIndex.map { case (m, ci) =>
       StoreResult(opId, m.name, operatorName, oldParts, newParts, version,
-        perPartCounts.map(_(ci)).sum)
-    }
+        perPartCounts.map(_._1(ci)).sum)
+    },
+      perPartCounts.map(_._2))
   }
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
