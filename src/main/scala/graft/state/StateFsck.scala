@@ -145,7 +145,7 @@ object StateFsck extends Logging {
   /** Every directory holding `state.snapshot.*` / `state.delta.*` files:
     * `state/<op>/<part>` itself (single-store operators) and its named
     * subdirectories (join stores), excluding the SST pool and metadata. */
-  private def listStores(fs: FileSystem, stateRoot: Path): Seq[(Long, Int, String, String)] = {
+  private[state] def listStores(fs: FileSystem, stateRoot: Path): Seq[(Long, Int, String, String)] = {
     if (!fs.exists(stateRoot)) return Nil
     def hasStateFiles(d: Path): Boolean =
       Try(fs.listStatus(d).exists { st =>
@@ -322,7 +322,7 @@ object StateFsck extends Logging {
 
   /** Just the incremental manifest's remote names from one snapshot zip
     * (empty for full zips); stops at the manifest entry. */
-  private def refsOfZip(fs: FileSystem, file: Path): Seq[String] = {
+  private[state] def refsOfZip(fs: FileSystem, file: Path): Seq[String] = {
     val in = new ZipInputStream(fs.open(file))
     try {
       val buf = new Array[Byte](64 * 1024)
