@@ -1829,24 +1829,53 @@ object Similarity {
     * Scale: the index build is the documented train-once cost; the layout
     * is O(N) rows of (id, cell) + (id, m, code) — 5 small ints per vector
     * against 256 floats of raw embedding (the 50× compression PQ exists
-    * for) — and search I/O is the probed cells' code rows only. The staging
-    * memo stands in for the lake path a deployment would pass; re-pointing
-    * it at a durable URI is a config change, not a plan change. */
+    * for) — and search I/O is the probed cells' code rows only. The lake
+    * path is `spark.graft.index.root` (a durable URI: the layout lands
+    * under `<root>/ivfpq-<corpus>` and is REUSED if already present —
+    * train once per corpus, across sessions and JVMs); unset, a
+    * session-lifetime staging dir stands in. A config change, not a plan
+    * change. */
   private val ivfpqIndexDirMemo = new graft.Memo[String]
 
-  /** Train-once, ship-as-data: the persisted IVF×PQ index layout's root
-    * path (built on first call per fixture dir, reused after) — shared by
-    * the batch loaded-index search and the streaming serve path. */
-  private[graft] def persistedIvfpqIndex(s: SparkSession, dir: String): String =
-    ivfpqIndexDirMemo.getOrStage(dir) {
+  /** Session conf naming the durable root for persisted index/vocabulary
+    * layouts ([[persistedIvfpqIndex]], `TextAnalysis.persistedBpeMerges`). */
+  val IndexRootConf = "spark.graft.index.root"
+
+  /** Stable per-corpus layout name under a durable root. */
+  private[graft] def corpusSlug(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+
+  /** Build the four index tables at `p` unless a complete layout is
+    * already there (`codes/_SUCCESS` — codes is written last, so its
+    * marker implies the other three): the cross-JVM train-once path. */
+  private[graft] def ensureIvfpqLayout(s: SparkSession, dir: String, p: String): String = {
+    val done = new org.apache.hadoop.fs.Path(s"$p/codes/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
       val (cent, cellOf, code, assigned) = ivfpqIndex(s, dir)
-      val p = graft.Staging.tempDir("graft-ivfpq-index-").toString
       cent.write.mode("overwrite").parquet(s"$p/centroids")
       cellOf.write.mode("overwrite").parquet(s"$p/cells")
       code.write.mode("overwrite").parquet(s"$p/codebook")
       assigned.write.mode("overwrite").parquet(s"$p/codes")
-      p
     }
+    p
+  }
+
+  /** Train-once, ship-as-data: the persisted IVF×PQ index layout's root
+    * path (built on first call per (root, fixture dir), reused after —
+    * and across JVMs when [[IndexRootConf]] points at a durable root) —
+    * shared by the batch loaded-index search and the streaming serve
+    * path. */
+  private[graft] def persistedIvfpqIndex(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption(IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    ivfpqIndexDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val p = root match {
+        case Some(r) => s"$r/ivfpq-${corpusSlug(dir)}"
+        case None => graft.Staging.tempDir("graft-ivfpq-index-").toString
+      }
+      ensureIvfpqLayout(s, dir, p)
+    }
+  }
 
   def sim_index_persist(s: SparkSession, dir: String): DataFrame = {
     val idx = persistedIvfpqIndex(s, dir)

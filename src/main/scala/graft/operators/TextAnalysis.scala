@@ -926,14 +926,32 @@ object TextAnalysis {
     * same fold. */
   private val bpeMergesDirMemo = new graft.Memo[String]
 
-  /** The persisted merge-table layout's root path (trained and written on
-    * first call per fixture dir, reused after). */
-  private[graft] def persistedBpeMerges(s: SparkSession, dir: String): String =
-    bpeMergesDirMemo.getOrStage(dir) {
-      val p = graft.Staging.tempDir("graft-bpe-merges-").toString
+  /** Write the merge table at `p` unless already complete there — the
+    * cross-JVM train-once path (see `Similarity.ensureIvfpqLayout`). */
+  private[graft] def ensureBpeMerges(s: SparkSession, dir: String, p: String): String = {
+    val done = new org.apache.hadoop.fs.Path(s"$p/merges/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
       text_bpe_train(s, dir).write.mode("overwrite").parquet(s"$p/merges")
-      p
     }
+    p
+  }
+
+  /** The persisted merge-table layout's root path: trained and written on
+    * first call per (root, fixture dir), reused after — and across JVMs
+    * when `spark.graft.index.root` points at a durable URI (the layout
+    * lands under `<root>/bpe-merges-<corpus>`); unset, a session-lifetime
+    * staging dir stands in. */
+  private[graft] def persistedBpeMerges(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption(Similarity.IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    bpeMergesDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val p = root match {
+        case Some(r) => s"$r/bpe-merges-${Similarity.corpusSlug(dir)}"
+        case None => graft.Staging.tempDir("graft-bpe-merges-").toString
+      }
+      ensureBpeMerges(s, dir, p)
+    }
+  }
 
   def text_bpe_persist(s: SparkSession, dir: String): DataFrame = {
     val idx = persistedBpeMerges(s, dir)
