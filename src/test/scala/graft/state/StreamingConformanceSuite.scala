@@ -1186,4 +1186,71 @@ class StreamingConformanceSuite extends AnyFunSuite with BeforeAndAfterAll {
       .filter { case (_, c) => c * (k + 1) > n }.toMap
     assert(recount === trueHeavy)
   }
+
+  test("tws native TTL: state reads back via the statestore source; " +
+    "$ttl_ secondary-index families recorded in the checkpoint schema") {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val df = input.toDS().groupByKey(_._1)
+      .transformWithState(new StateRepartitionSuite.TtlTrioProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("k", "n", "tags", "vals")
+    val ckptDir = ckpt()
+    val seen = new scala.collection.concurrent.TrieMap[String, Long]()
+    val q = df.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.put(r.getString(0), r.getLong(1)))
+      }.start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("b", 3))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (seen.size < 2) {
+        assert(System.nanoTime() < deadline, "timed out waiting for TTL batch output")
+        Thread.sleep(100)
+      }
+      // proc-time mode: wait for one more commit so the data batch is durable
+      def lastCommit: Long = Option(new java.io.File(s"$ckptDir/commits").listFiles())
+        .getOrElse(Array.empty).map(_.getName).filter(_.forall(_.isDigit))
+        .map(_.toLong).foldLeft(-1L)(math.max)
+      val seenAt = lastCommit
+      while (lastCommit <= seenAt) {
+        assert(System.nanoTime() < deadline, "timed out waiting for a post-data commit")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+
+    // drop any dangling offsets entry the self-scheduled stop left behind
+    val last = new java.io.File(s"$ckptDir/commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    new java.io.File(s"$ckptDir/offsets").listFiles()
+      .filter(f => f.getName.forall(_.isDigit) && f.getName.toLong > last)
+      .foreach(_.delete())
+
+    // the stock statestore reader decodes the TTL'd ValueState — wrapped
+    // values (payload + expiration) must round-trip through this provider
+    val read = spark.read.format("statestore")
+      .option("operatorId", "0").option("stateVarName", "n").load(ckptDir)
+    assert(read.columns.toSeq.contains("key"), read.schema.treeString)
+    val flat = read.selectExpr("key.value AS k", "value.*")
+    assert(flat.columns.toSeq.exists(_.toLowerCase.contains("ttl")),
+      s"TTL'd value read-back should expose the expiration: ${flat.schema.treeString}")
+    // TTL wrapping nests the payload: value = (value struct, expiration)
+    val got = flat.selectExpr("k", "value.value").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L))
+
+    // the checkpoint's v3 state-schema file records the secondary-index
+    // column families the TTL machinery created in this provider
+    val schemaRoot = java.nio.file.Paths.get(s"$ckptDir/state/0/_stateSchema/default")
+    val schemaFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    java.nio.file.Files.list(schemaRoot).forEach { p =>
+      schemaFiles += new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    }
+    val schemaBytes = schemaFiles.mkString("\n")
+    Seq("$ttl_n", "$ttl_byTag", "$ttl_vals", "$min_vals", "$count_vals").foreach { cf =>
+      assert(schemaBytes.contains(cf), s"schema file must record $cf")
+    }
+  }
 }
