@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSession
   * prune projections and undercount the real work.
   *
   * Contention-proofing (round-7): each query runs REPEATS times (default 3,
-  * `SPARK_GRAFT_BENCH_REPEATS`) and the reported per-query number is the
-  * MEDIAN, with min/median/max/n emitted under `"stats"` so the artifact
-  * self-documents its noise band. One noisy host window (the round-6 driver
+  * `SPARK_GRAFT_BENCH_REPEATS`; sub-second queries get
+  * `SPARK_GRAFT_BENCH_EXTRA` = 2 additional passes, 5 total) and the
+  * reported per-query number is the MEDIAN, with min/median/max/n emitted
+  * under `"stats"` so the artifact self-documents its noise band. The
+  * `"steady"` map (min over passes) is the round-over-round comparison
+  * number for contended-flagged queries. One noisy host window (the round-6 driver
   * artifact showed a 6.3x phantom on an unchanged plan) can no longer
   * produce a false regression datapoint: a single inflated pass lands in
   * `max` while the median stays steady-state.
@@ -113,10 +116,35 @@ object Bench {
         runOnce(spark, sfDir, name, timeoutSecs).map(t => (t, load))
       }
     }
+    // Sub-second queries get extra interleaved passes (5 total by default):
+    // their medians are the most jitter-prone — pass-to-pass JVM noise is a
+    // fixed ~0.1-0.3 s, a large RELATIVE error only below ~1 s — and the
+    // extra passes cost ~2 min of wall clock against 52/215 contended flags
+    // in the round-13 artifact that were pure sub-second jitter.
+    val baseMedians = names.zipWithIndex.map { case (name, i) =>
+      name -> passResults.flatMap(_(i)).map(_._1)
+    }
+    val extraFor = baseMedians.collect {
+      case (name, ts) if ts.nonEmpty && median(ts) < 1.0 => name
+    }.toSet
+    val extraRepeats =
+      if (extraFor.isEmpty) 0
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt.max(0)
+    val extraPassResults: Seq[Seq[Option[(Double, Double)]]] = (1 to extraRepeats).map { p =>
+      System.err.println(s"[bench] extra pass $p/$extraRepeats (${extraFor.size} sub-second queries)")
+      names.map { name =>
+        if (extraFor(name)) {
+          val load = loadAvg()
+          runOnce(spark, sfDir, name, timeoutSecs).map(t => (t, load))
+        } else None
+      }
+    }
     val results = names.zipWithIndex.map { case (name, i) =>
-      val passes = passResults.flatMap(_(i))
+      val passes = (passResults ++ extraPassResults).flatMap(_(i))
       (name, passes.map(_._1), passes.map(_._2))
     }
+    val expectedPasses: String => Int =
+      name => repeats + (if (extraFor(name)) extraRepeats else 0)
     val qs = results.map { case (k, ts, _) =>
       "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
     }.mkString("{", ",", "}")
@@ -138,8 +166,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, ts, _) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val partial = results.collect { case (k, ts, _) if ts.nonEmpty && ts.size < repeats => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val partial = results.collect {
+      case (k, ts, _) if ts.nonEmpty && ts.size < expectedPasses(k) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // self-diagnosis: queries whose passes disagree by >SpreadFlagRatio ran
     // on a loaded host — their medians are suspect, their plans are not
     val contended = results.collect {
