@@ -942,6 +942,80 @@ object StreamingQueries {
       |       CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT) AS n_cum
       |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** `flatMapGroupsWithState` with PROCESSING-TIME TIMEOUT — the legacy
+    * (Spark 2.x-era) arbitrary-state expiry surface, the API generation the
+    * reference was built against: each key arms a 1 ms
+    * `GroupStateTimeout.ProcessingTimeTimeout` after its batch, so the NEXT
+    * batch (empty or not) fires `hasTimedOut` for it — session state is
+    * flushed and removed between buckets, deterministically (consecutive
+    * batch timestamps are always > 1 ms apart, the [[stream_tws_ttl]]
+    * cadence argument).
+    *
+    * Every (user, bucket) therefore emits exactly TWO rows: "live" when its
+    * data batch runs, "flush" when the following batch fires the timeout
+    * (a key with data in consecutive buckets flushes the superseded state
+    * inline, same count). Proc-time mode self-schedules batches forever, so
+    * the harness polls until every live row has its flush and stops. */
+  def stream_fmgws_timeout(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val sink = "stream_fmgws_timeout_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    import s.implicits._
+    val typed = eventsBucketed(s, dir)
+      .select(col("user_id"), col("bucket")).as[(Long, Int)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long, String)](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Int)], state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) {
+            val (b, n) = state.get
+            state.remove()
+            Iterator.single((user, b, n, "flush"))
+          } else {
+            val flushed = state.getOption.map { case (b, n) => (user, b, n, "flush") }
+            var bucket = -1
+            var n = 0L
+            rows.foreach { r => bucket = r._2; n += 1 }
+            state.update((bucket, n))
+            state.setTimeoutDuration(1L)
+            flushed.iterator ++ Iterator.single((user, bucket, n, "live"))
+          }
+      }
+      .toDF("user_id", "bucket", "n", "phase")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      def done: Boolean = {
+        val t = s.table(sink)
+        val live = t.filter(col("phase") === "live").count()
+        t.filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L &&
+          t.filter(col("phase") === "flush").count() == live
+      }
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (!done && System.nanoTime() < deadline) Thread.sleep(100)
+      require(done,
+        "stream_fmgws_timeout: poll deadline reached before every timeout flushed")
+    } finally q.stop()
+    s.table(sink)
+  }
+
+  val stream_fmgws_timeout_sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events),
+      |c AS (SELECT user_id, bucket, count(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT user_id, bucket, n, phase
+      |FROM c CROSS JOIN (VALUES ('live'), ('flush')) p(phase)""".stripMargin
+
   /** PROVIDER-level TTL'd streaming dedup — the reference README's flagship
     * use-case (`README.md:34-104`: dedup whose seen-key state expires) as an
     * oracle-checked query: `dropDuplicates` + the user-facing
@@ -2362,6 +2436,7 @@ object StreamingQueries {
     "stream_tws_list" -> (stream_tws_list(_, _)),
     "stream_tws_ttl" -> (stream_tws_ttl(_, _)),
     "stream_dedup_ttl" -> (stream_dedup_ttl(_, _)),
+    "stream_fmgws_timeout" -> (stream_fmgws_timeout(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
@@ -2413,6 +2488,7 @@ object StreamingQueries {
     "stream_tws_list" -> stream_tws_list_sql,
     "stream_tws_ttl" -> stream_tws_ttl_sql,
     "stream_dedup_ttl" -> stream_dedup_ttl_sql,
+    "stream_fmgws_timeout" -> stream_fmgws_timeout_sql,
     "stream_statestore" -> stream_statestore_sql,
     "stream_cdc" -> stream_cdc_sql,
     "stream_watermark" -> stream_watermark_sql,
