@@ -1841,25 +1841,55 @@ object Similarity {
     * layouts ([[persistedIvfpqIndex]], `TextAnalysis.persistedBpeMerges`). */
   val IndexRootConf = "spark.graft.index.root"
 
-  /** Stable per-corpus layout name under a durable root. */
-  private[graft] def corpusSlug(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+  /** Stable per-corpus layout name under a durable root. The readable
+    * sanitized path gets a short digest suffix so distinct dirs that
+    * sanitize identically ("/data/a/b" vs "/data/a_b") can never collide
+    * onto one layout and silently serve the wrong trained index. */
+  private[graft] def corpusSlug(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"$safe-$md"
+  }
 
-  /** Build the four index tables at `p` unless a complete layout is
-    * already there (`codes/_SUCCESS` — codes is written last, so its
-    * marker implies the other three): the cross-JVM train-once path. */
-  private[graft] def ensureIvfpqLayout(s: SparkSession, dir: String, p: String): String = {
-    val done = new org.apache.hadoop.fs.Path(s"$p/codes/_SUCCESS")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      val (cent, cellOf, code, assigned) = ivfpqIndex(s, dir)
-      cent.write.mode("overwrite").parquet(s"$p/centroids")
-      cellOf.write.mode("overwrite").parquet(s"$p/cells")
-      code.write.mode("overwrite").parquet(s"$p/codebook")
-      assigned.write.mode("overwrite").parquet(s"$p/codes")
+  /** Atomic publish for a multi-table layout under a shared durable root:
+    * build into a sibling temp dir, then `rename` into place — on a real
+    * FS rename is atomic, so a reader either sees no layout (and builds
+    * its own) or a COMPLETE one, never a half-overwritten mix. If the
+    * rename loses the race (destination appeared), the temp build is
+    * discarded and the winner's layout is used. */
+  private[operators] def publishLayout(
+      s: SparkSession, p: String, doneMarker: String)(build: String => Unit): String = {
+    val dest = new org.apache.hadoop.fs.Path(p)
+    val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$p/$doneMarker"))) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      build(tmp.toString)
+      if (!fs.rename(tmp, dest)) {
+        // another JVM published first (or a stale dest exists): keep theirs
+        // if complete, else fail loudly rather than serve a partial layout
+        fs.delete(tmp, true)
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$p/$doneMarker")),
+          s"persisted layout $p exists but is incomplete (no $doneMarker) — " +
+            "remove it and retrain")
+      }
     }
     p
   }
+
+  /** Build the four index tables at `p` unless a complete layout is
+    * already there (`codes/_SUCCESS` — codes is written last, so its
+    * marker implies the other three): the cross-JVM train-once path,
+    * published atomically via [[publishLayout]]. */
+  private[graft] def ensureIvfpqLayout(s: SparkSession, dir: String, p: String): String =
+    publishLayout(s, p, "codes/_SUCCESS") { tmp =>
+      val (cent, cellOf, code, assigned) = ivfpqIndex(s, dir)
+      cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+      cellOf.write.mode("overwrite").parquet(s"$tmp/cells")
+      code.write.mode("overwrite").parquet(s"$tmp/codebook")
+      assigned.write.mode("overwrite").parquet(s"$tmp/codes")
+    }
 
   /** Train-once, ship-as-data: the persisted IVF×PQ index layout's root
     * path (built on first call per (root, fixture dir), reused after —

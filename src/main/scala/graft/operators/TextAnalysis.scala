@@ -927,15 +927,12 @@ object TextAnalysis {
   private val bpeMergesDirMemo = new graft.Memo[String]
 
   /** Write the merge table at `p` unless already complete there — the
-    * cross-JVM train-once path (see `Similarity.ensureIvfpqLayout`). */
-  private[graft] def ensureBpeMerges(s: SparkSession, dir: String, p: String): String = {
-    val done = new org.apache.hadoop.fs.Path(s"$p/merges/_SUCCESS")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      text_bpe_train(s, dir).write.mode("overwrite").parquet(s"$p/merges")
+    * cross-JVM train-once path, published atomically (see
+    * `Similarity.publishLayout`). */
+  private[graft] def ensureBpeMerges(s: SparkSession, dir: String, p: String): String =
+    Similarity.publishLayout(s, p, "merges/_SUCCESS") { tmp =>
+      text_bpe_train(s, dir).write.mode("overwrite").parquet(s"$tmp/merges")
     }
-    p
-  }
 
   /** The persisted merge-table layout's root path: trained and written on
     * first call per (root, fixture dir), reused after — and across JVMs

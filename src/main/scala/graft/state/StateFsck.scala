@@ -304,7 +304,11 @@ object StateFsck extends Logging {
             }
           }
           .toSet
-        if (refsUnknown || issues.exists(_.contains("unreadable"))) (0, 0L)
+        // only SNAPSHOT unreadability makes references unknown — a broken
+        // changelog ("changelog N unreadable") leaves the zip manifests
+        // fully readable and must not zero the leak signal
+        if (refsUnknown ||
+          issues.exists(i => i.startsWith("snapshot ") && i.contains("unreadable"))) (0, 0L)
         else {
           val orphans = poolFiles.filterNot(f => referenced(f.getPath.getName))
           (orphans.size, orphans.map(_.getLen).sum)

@@ -158,7 +158,12 @@ object StateRepartition extends Logging {
     // to the partition count — the importer mints fresh per-partition commit
     // IDs and the commit log is rewritten to the new width after the move
     val commitLines = commitText.split("\n", -1)
-    val commitMeta = mapper.readTree(commitLines(1)).asInstanceOf[ObjectNode]
+    // a v1 commit file may carry no metadata line at all (older stock
+    // checkpoints) — only parse JSON when it is actually there
+    val commitMeta: ObjectNode =
+      if (commitLines.length > 1 && commitLines(1).trim.startsWith("{"))
+        mapper.readTree(commitLines(1)).asInstanceOf[ObjectNode]
+      else mapper.createObjectNode()
     val v2Ckpt = commitLines(0).trim == "v2" && commitMeta.hasNonNull("stateUniqueIds")
     // opId -> [old partition][store slot] commit id, exactly as recorded
     val oldUniqueIds: Map[Long, Array[Array[String]]] =

@@ -117,6 +117,29 @@ object StreamingQueries {
     * (ts, event_id), making the whole staged sequence one GLOBAL total
     * order (the [[stream_limit]] oracle's premise); the range split happens
     * first either way, so no single task ever sorts the whole table. */
+  /** Append `chunk` as the next mtime-sequenced unit of staged dir `t`:
+    * FileStreamSource consumes files in MODIFICATION-TIME order, so each
+    * write's new part files get an explicit timestamp one minute after the
+    * previous unit's (write-time clocks tie or reorder on coarse-mtime
+    * filesystems — HDFS 1 s, some object stores). Shared by every staging
+    * that needs ordered arrival; returns the next tick. */
+  private def appendSequencedChunk(
+      chunk: DataFrame, t: String,
+      seen: scala.collection.mutable.HashSet[java.nio.file.Path], tick: Long): Long = {
+    chunk.write.mode("append").parquet(t)
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+    val parts =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p)).toVector
+      finally stream.close()
+    parts.foreach { p =>
+      java.nio.file.Files.setLastModifiedTime(
+        p, java.nio.file.attribute.FileTime.fromMillis(tick))
+      seen += p
+    }
+    tick + 60000L
+  }
+
   private def stageEventChunks(
       s: SparkSession, dir: String, sortedWithin: Boolean): String = {
     val t = graft.Staging.tempDir(
@@ -132,17 +155,7 @@ object StreamingQueries {
       val shaped =
         if (sortedWithin) chunk.sortWithinPartitions(col("ts"), col("event_id"))
         else chunk
-      shaped.drop("tsl").write.mode("append").parquet(t)
-      val dirP = java.nio.file.Paths.get(t)
-      val parts = java.nio.file.Files.list(dirP).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
-        .toVector
-      parts.foreach { p =>
-        java.nio.file.Files.setLastModifiedTime(
-          p, java.nio.file.attribute.FileTime.fromMillis(tick))
-        seen += p
-      }
-      tick += 60000L
+      tick = appendSequencedChunk(shaped.drop("tsl"), t, seen, tick)
     }
     t
   }
@@ -826,17 +839,7 @@ object StreamingQueries {
       require(chunk.limit(1).count() == 1L,
         s"events fixture has no rows in day-bucket $k — the TTL gates' " +
           "batch-id/bucket alignment premise would break")
-      chunk.write.mode("append").parquet(t)
-      val dirP = java.nio.file.Paths.get(t)
-      val parts = java.nio.file.Files.list(dirP).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") && !seen(p))
-        .toVector
-      parts.foreach { p =>
-        java.nio.file.Files.setLastModifiedTime(
-          p, java.nio.file.attribute.FileTime.fromMillis(tick))
-        seen += p
-      }
-      tick += 60000L
+      tick = appendSequencedChunk(chunk, t, seen, tick)
     }
     t
   }
@@ -994,11 +997,16 @@ object StreamingQueries {
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
       .start()
     try {
+      // ONE collect per poll: separate count() jobs could straddle a batch
+      // commit (live from before, flush from after) and satisfy the check
+      // while the final bucket's flushes are still pending
       def done: Boolean = {
         val t = s.table(sink)
-        val live = t.filter(col("phase") === "live").count()
-        t.filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L &&
-          t.filter(col("phase") === "flush").count() == live
+          .groupBy(col("phase"), (col("bucket") === BucketCount - 1).as("lastB"))
+          .count().collect()
+        val live = t.filter(_.getString(0) == "live").map(_.getLong(2)).sum
+        val flush = t.filter(_.getString(0) == "flush").map(_.getLong(2)).sum
+        t.exists(r => r.getString(0) == "live" && r.getBoolean(1)) && live == flush
       }
       val deadline = System.nanoTime() + 240L * 1000000000L
       while (!done && System.nanoTime() < deadline) Thread.sleep(100)
