@@ -1959,7 +1959,10 @@ object Similarity {
       |  FROM sq JOIN c2 USING (m)),
       |assigned AS (SELECT vec_id, m, cid FROM s_f WHERE r = 1)""".stripMargin
 
-  val sim_topk_ivfpq_sql: String =
+  /** The IVF×PQ search as SQL with an optional extra CANDIDATE filter —
+    * "" is the plain search; the delete-path gates pass the tombstone
+    * predicate (candidates removed, query set untouched). */
+  private def ivfpqSearchSqlWhere(candFilter: String): String =
     s"""WITH $ivfpqIndexCtesDuck,
       |probes AS (SELECT vec_id AS qid, ccid AS cell FROM cscored
       |  WHERE vec_id < 50 AND crank <= $NumProbes),
@@ -1970,7 +1973,7 @@ object Similarity {
       |  FROM sq JOIN c2 ON sq.m = c2.m WHERE sq.vec_id < 50),
       |cand AS (SELECT probes.qid, cellof.vec_id
       |  FROM cellof JOIN probes ON cellof.cell = probes.cell
-      |  WHERE cellof.vec_id != probes.qid),
+      |  WHERE cellof.vec_id != probes.qid$candFilter),
       |p AS (SELECT cand.qid, cand.vec_id,
       |    sum(CASE WHEN a.m = 0 THEN t END) AS t0, sum(CASE WHEN a.m = 1 THEN t END) AS t1,
       |    sum(CASE WHEN a.m = 2 THEN t END) AS t2, sum(CASE WHEN a.m = 3 THEN t END) AS t3
@@ -1982,6 +1985,45 @@ object Similarity {
       |  FROM p)
       |SELECT qid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
       |FROM s WHERE rank <= 3""".stripMargin
+
+  lazy val sim_topk_ivfpq_sql: String = ivfpqSearchSqlWhere("")
+
+  /** The tombstone rule both delete-path gates share: deterministic,
+    * SF-proportional, and guaranteed to hit probed cells. */
+  private[graft] val TombstonePred = "vec_id % 17 = 3"
+
+  /** DELETE + COMPACT on the persisted index — the third verb of the
+    * lifecycle (train once → serve ([[sim_index_persist]]) → insert
+    * (`stream_index_update`) → DELETE): vectors matching the tombstone
+    * rule are removed by REWRITING the two per-vector tables (`cells`,
+    * `codes`) without them — centroids and codebooks are untouched (no
+    * retraining; a quantizer does not depend on membership) — and the
+    * search then runs against the compacted layout. The oracle is the
+    * plain IVF×PQ search with the tombstone predicate applied to the
+    * candidate set: compaction must remove EXACTLY the tombstoned
+    * vectors' index rows and nothing else, or ranks shift and the hash
+    * fails.
+    *
+    * Scale: compaction cost is a filtered rewrite of O(N) small-int rows
+    * (5 ints/vector — the 50×-compressed representation, NOT the raw
+    * embeddings), embarrassingly parallel, zero shuffles; the FAISS
+    * `remove_ids` + repack operation as a lake-table rewrite. */
+  def sim_index_compact(s: SparkSession, dir: String): DataFrame = {
+    val idx = persistedIvfpqIndex(s, dir)
+    val keep = expr(s"NOT ($TombstonePred)")
+    val p = graft.Staging.tempDir("graft-ivfpq-compact-").toString
+    s.read.parquet(s"$idx/cells").filter(keep).write.parquet(s"$p/cells")
+    s.read.parquet(s"$idx/codes").filter(keep).write.parquet(s"$p/codes")
+    ivfpqSearchFor(Tables.embeddings(s, dir).filter(col("vec_id") < 50),
+      Tables.embeddingsDim(s, dir),
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$p/cells"),
+      s.read.parquet(s"$idx/codebook"),
+      s.read.parquet(s"$p/codes"))
+  }
+
+  lazy val sim_index_compact_sql: String =
+    ivfpqSearchSqlWhere(s" AND NOT (cellof.$TombstonePred)")
 
   /** TRIANGLE census + local clustering coefficient over the staged kNN
     * graph — the standard density diagnostic for an embedding space: a
@@ -2219,6 +2261,7 @@ object Similarity {
     "sim_kcenter" -> sim_kcenter _,
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_index_persist" -> sim_index_persist _,
+    "sim_index_compact" -> sim_index_compact _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_pq_distortion" -> sim_pq_distortion _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -2251,6 +2294,7 @@ object Similarity {
     "sim_kcenter" -> sim_kcenter_sql,
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_index_persist" -> sim_index_persist_sql,
+    "sim_index_compact" -> sim_index_compact_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_pq_distortion" -> sim_pq_distortion_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

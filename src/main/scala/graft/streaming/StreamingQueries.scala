@@ -1671,6 +1671,67 @@ object StreamingQueries {
        |SELECT cellof.vec_id, cell, CAST(m AS INT) AS m, cid
        |FROM cellof JOIN assigned USING (vec_id)""".stripMargin
 
+  /** Streaming ANN index DELETE — the third verb of the persisted-index
+    * lifecycle ([[stream_ann_serve]] queries it, [[stream_index_update]]
+    * inserts into it): delete requests arrive as a multi-batch stream and
+    * each micro-batch appends TOMBSTONES (batch-id-partitioned, idempotent
+    * like every foreachBatch write here); serving then anti-joins the
+    * accumulated tombstone table out of the index's candidate side — the
+    * pre-compaction production path every vector store runs (FAISS
+    * `IDSelector` / Lucene live-docs as a lake-table mask; the offline
+    * rewrite twin is [[graft.operators.Similarity.sim_index_compact]],
+    * which shares this gate's oracle — masked serve and compacted serve
+    * must agree exactly). Tombstoning is membership-only, so the union of
+    * per-batch tombstones is the batch delete set whatever the chunk
+    * interleaving, and the oracle is the plain IVF×PQ search with the
+    * tombstone predicate on the candidates.
+    *
+    * Scale: a delete costs one appended row; serve-time masking is a
+    * broadcast anti-join of the (small) tombstone table against the probed
+    * candidates only — no index rewrite on the delete path, the rewrite
+    * being compaction's amortized job. */
+  def stream_index_delete(s0: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val idx = Similarity.persistedIvfpqIndex(s, dir)
+    val dim = Tables.embeddingsDim(s, dir)
+    val tombDir = graft.Staging.tempDir("graft-idxdel-tomb-").toString
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    val q = embeddingsStream(s, dir)
+      .filter(expr(Similarity.TombstonePred))
+      .select(col("vec_id"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .format("parquet")
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .save(tombDir)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: a chunking that left every tombstone in one batch
+    // must not make an empty-dir read unable to infer anything
+    val tombs = s.read.schema("vec_id LONG").parquet(tombDir).select(col("vec_id"))
+    Similarity.ivfpqSearchFor(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 50), dim,
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$idx/cells").join(broadcast(tombs), Seq("vec_id"), "left_anti"),
+      s.read.parquet(s"$idx/codebook"),
+      s.read.parquet(s"$idx/codes"))
+  }
+
+  /** Masked serve ≡ compacted serve ≡ tombstone-filtered batch search. */
+  lazy val stream_index_delete_sql: String =
+    graft.operators.Similarity.sim_index_compact_sql
+
   /** STREAMING MULTIMODAL near-dup — the image-ingest twin of
     * [[stream_lsh_dedup]], extending the streaming dedup family to the
     * binary modalities: images arrive as a document stream, each is
@@ -2222,6 +2283,65 @@ object StreamingQueries {
   val stream_repartition_sql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
 
+  /** [[stream_repartition]] under CHECKPOINT FORMAT V2 — the per-commit
+    * lineage-ID discipline end-to-end at the gate: phase 1 runs with
+    * `checkpointFormatVersion=2` (every commit minting a lineage ID, every
+    * durable file ID-suffixed), the offline migration mints fresh
+    * per-partition commit IDs and rewrites the commit log's
+    * `stateUniqueIds` arrays to the new width, and the resumed query
+    * recovers through EXACTLY those IDs — v2 load is exact-or-fail, so a
+    * wrong slot order, a mis-minted ID, or a misplaced key is a hard error
+    * or a hash mismatch, never a silent fallback. */
+  def stream_v2_repartition(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set("spark.sql.streaming.stateStore.checkpointFormatVersion", "2")
+    val base = Tables.events(s, dir)
+    val stagedParts = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toVector.sortBy(_.getFileName.toString)
+      finally st.close()
+    }
+    val inDir = graft.Staging.tempDir("graft-v2repart-in-")
+    val ckptA = graft.Staging.tempDir("graft-v2repart-ckptA-").toString
+    val ckptB = graft.Staging.tempDir("graft-v2repart-ckptB-").toString + "/migrated"
+    val sink = "stream_v2_repartition_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      java.nio.file.Files.copy(p, inDir.resolve(p.getFileName.toString))
+    }
+    def run(sinkName: String, ckptDir: String): Unit = {
+      val q = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, secondHalf) = stagedParts.splitAt(stagedParts.size / 2)
+    feed(firstHalf)
+    run(sink + "_phase1", ckptA) // v2 commits at 8 partitions, then STOP
+    graft.state.StateRepartition.run(s, ckptA, ckptB, 16)
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    feed(secondHalf)
+    run(sink, ckptB) // resumes at 16 through the rewritten v2 commit log
+    s.table(sink)
+  }
+
+  val stream_v2_repartition_sql: String = stream_repartition_sql
+
   /** Mid-stream offline repartition of a transformWithState checkpoint —
     * [[stream_repartition]]'s harder sibling: the stateful operator here is
     * a custom [[StatefulProcessor]] holding a ValueState (per-user event
@@ -2449,6 +2569,7 @@ object StreamingQueries {
     "stream_cdc" -> (stream_cdc(_, _)),
     "stream_restart" -> (stream_restart(_, _)),
     "stream_repartition" -> (stream_repartition(_, _)),
+    "stream_v2_repartition" -> (stream_v2_repartition(_, _)),
     "stream_tws_repartition" -> (stream_tws_repartition(_, _)),
     "stream_watermark" -> (stream_watermark(_, _)),
     "stream_chained_agg" -> (stream_chained_agg(_, _)),
@@ -2465,6 +2586,7 @@ object StreamingQueries {
     "stream_quantile" -> (stream_quantile(_, _)),
     "stream_ann_serve" -> (stream_ann_serve(_, _)),
     "stream_index_update" -> (stream_index_update(_, _)),
+    "stream_index_delete" -> (stream_index_delete(_, _)),
     "stream_mm_dedup" -> (stream_mm_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
 
@@ -2505,6 +2627,7 @@ object StreamingQueries {
     "stream_foreach_batch" -> stream_foreach_batch_sql,
     "stream_restart" -> stream_restart_sql,
     "stream_repartition" -> stream_repartition_sql,
+    "stream_v2_repartition" -> stream_v2_repartition_sql,
     "stream_tws_repartition" -> stream_tws_repartition_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
@@ -2517,5 +2640,6 @@ object StreamingQueries {
     "stream_quantile" -> stream_quantile_sql,
     "stream_ann_serve" -> stream_ann_serve_sql,
     "stream_index_update" -> stream_index_update_sql,
+    "stream_index_delete" -> stream_index_delete_sql,
     "stream_mm_dedup" -> stream_mm_dedup_sql)
 }
