@@ -98,6 +98,40 @@ class StateFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("snapshots") === 1 && r.getAs[Int]("deltas") === 1)
   }
 
+  test("fan-out: >64 stores run as one task per store (no 64-slice cap)") {
+    // 70 minimal stores: one full snapshot each, no pool, no deltas
+    val ckpt = Files.createTempDirectory("graft-fsck-fanout-").toString
+    Files.createDirectories(Paths.get(ckpt, "commits"))
+    Files.write(Paths.get(ckpt, "commits", "0"), "v1\n{}".getBytes("UTF-8"))
+    (0 until 70).foreach { p =>
+      val mgr = new SnapshotManager(new Path(s"$ckpt/state/0/$p"), new Configuration())
+      mgr.ensureBaseDir()
+      val local = Files.createTempDirectory("graft-fsck-fanout-db-").toFile
+      Files.write(local.toPath.resolve("MANIFEST-000001"), s"m$p".getBytes("UTF-8"))
+      mgr.upload(local, 1, incremental = false)
+    }
+    val taskCounts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        taskCounts.add(s.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = reportRows(StateFsck.run(spark, ckpt))
+      assert(rows.size === 70)
+      rows.foreach(r => assert(clean(r), r.toString))
+      // listener events are async: poll for the fan-out stage
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!taskCounts.contains(70) && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(taskCounts.contains(70),
+        s"expected a 70-task fsck stage (one per store), saw $taskCounts")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // an explicit cap still caps
+    val capped = reportRows(StateFsck.run(spark, ckpt, parallelism = 8))
+    assert(capped.size === 70)
+  }
+
   test("a vanished pool SST is reported as a missing ref") {
     val (ckpt, storeDir, _) = synthCheckpoint()
     val pool = Paths.get(storeDir.toString, "sst")
