@@ -97,6 +97,23 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       "search must read the persisted index layout")
   }
 
+  test("sim_index_compact: compacted-layout search runs zero trainer stages") {
+    val df = operators.Similarity.sim_index_compact(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("vec_sum_long"),
+      "compaction is a filtered rewrite + loaded search — no Lloyd update " +
+        "may appear anywhere in the executed plan")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-compact"))),
+      "search must read the COMPACTED per-vector tables, not the originals")
+    // centroids/codebook come off the original layout (membership-independent)
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-index"))),
+      "quantizer tables come off the original persisted layout")
+  }
+
   test("pipe_drift_report: one scan per snapshot (counts reused across vocab/totals/join)") {
     assert(executedScans(Pipeline.pipe_drift_report(spark, sfDir)) === 2,
       "each snapshot's token counts must feed the vocabulary, its total " +
