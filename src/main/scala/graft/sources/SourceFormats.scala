@@ -55,6 +55,38 @@ object SourceFormats {
       |  min(md5(text)) AS min_fp_json, max(md5(text)) AS max_fp_json
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** XML round-trip — the document-feed interchange format (sitemaps,
+    * legacy corpora dumps): Spark 4's built-in XML source writes one
+    * `<doc>` row element per document and reads them back with an
+    * explicit schema. Entity escaping (&amp;, &lt;, multiline text) must
+    * round-trip losslessly for the per-language fingerprints to match
+    * the parquet truth (the fixture corpus is control-char-free, which
+    * XML 1.0 requires of any corpus stored this way). */
+  private val stagedXml = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def src_xml(s: SparkSession, dir: String): DataFrame = {
+    val xmlDir = stagedXml.getOrElseUpdate(dir, {
+      val t = graft.Staging.tempDir("graft-src-xml-").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").option("rowTag", "doc").xml(t)
+      t
+    })
+    val schema = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")).schema
+    s.read.schema(schema).option("rowTag", "doc").xml(xmlDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("chars"),
+        min(md5(col("text"))).as("min_fp"),
+        max(md5(col("text"))).as("max_fp"))
+  }
+
+  val src_xml_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars,
+      |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** Hive-style partitioned layout — the on-disk shape of a production
     * corpus (100 TB of documents is stored partitioned, never flat): stage
     * `documents` once as `lang=<v>/part-*.parquet`, then read back with a
@@ -493,6 +525,7 @@ object SourceFormats {
     "src_binary" -> src_binary _,
     "src_orc" -> src_orc _,
     "src_malformed" -> src_malformed _,
+    "src_xml" -> src_xml _,
     "src_roundtrip" -> src_roundtrip _,
     "src_partitioned" -> src_partitioned _,
     "src_schema_merge" -> src_schema_merge _,
@@ -505,6 +538,7 @@ object SourceFormats {
     "src_binary" -> src_binary_sql,
     "src_orc" -> src_orc_sql,
     "src_malformed" -> src_malformed_sql,
+    "src_xml" -> src_xml_sql,
     "src_roundtrip" -> src_roundtrip_sql,
     "src_partitioned" -> src_partitioned_sql,
     "src_schema_merge" -> src_schema_merge_sql,
