@@ -20,17 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object SourceFormats {
 
-  private val staged = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val staged = new graft.Memo[(String, String)]
 
   private def stage(s: SparkSession, dir: String): (String, String) =
-    staged.getOrElseUpdate(dir, {
+    staged.getOrStage(dir) {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
       val csvDir = graft.Staging.tempDir("graft-src-csv-").toString
       val jsonDir = graft.Staging.tempDir("graft-src-json-").toString
       base.write.mode("overwrite").option("header", "true").csv(csvDir)
       base.write.mode("overwrite").json(jsonDir)
       (csvDir, jsonDir)
-    })
+    }
 
   def src_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val (csvDir, jsonDir) = stage(s, dir)
@@ -62,18 +62,22 @@ object SourceFormats {
     * round-trip losslessly for the per-language fingerprints to match
     * the parquet truth (the fixture corpus is control-char-free, which
     * XML 1.0 requires of any corpus stored this way). */
-  private val stagedXml = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedXml = new graft.Memo[String]
 
   def src_xml(s: SparkSession, dir: String): DataFrame = {
-    val xmlDir = stagedXml.getOrElseUpdate(dir, {
+    val xmlDir = stagedXml.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-src-xml-").toString
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .write.mode("overwrite").option("rowTag", "doc").xml(t)
       t
-    })
+    }
     val schema = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text")).schema
-    s.read.schema(schema).option("rowTag", "doc").xml(xmlDir)
+    // ignoreSurroundingSpaces defaults TRUE: without pinning it off, text
+    // with boundary whitespace would read back trimmed and the lossless
+    // round-trip this gate exists to prove would silently not be tested
+    s.read.schema(schema).option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false").xml(xmlDir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("chars"),
@@ -95,14 +99,14 @@ object SourceFormats {
     * other partitions' files are never opened (asserted in
     * `SourcePartitionSuite`), which at production scale is the difference
     * between reading 100 TB and reading one partition. */
-  private val stagedPartitioned = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedPartitioned = new graft.Memo[String]
 
   private[sources] def stagePartitioned(s: SparkSession, dir: String): String =
-    stagedPartitioned.getOrElseUpdate(dir, {
+    stagedPartitioned.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-src-part-").toString
       Tables.documents(s, dir).write.mode("overwrite").partitionBy("lang").parquet(t)
       t
-    })
+    }
 
   def src_partitioned(s: SparkSession, dir: String): DataFrame = {
     val t = stagePartitioned(s, dir)
@@ -130,10 +134,10 @@ object SourceFormats {
     * split — a row leaking a non-NULL `n_chars` from an old file (or a
     * dropped column) hash-fails. Footer reconciliation is a planning-time
     * cost; the scan itself stays a plain pruned parquet read. */
-  private val stagedEvolved = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedEvolved = new graft.Memo[String]
 
   private def stageEvolved(s: SparkSession, dir: String): String =
-    stagedEvolved.getOrElseUpdate(dir, {
+    stagedEvolved.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-src-evolve-").toString
       val base = Tables.documents(s, dir)
       base.filter(col("doc_id") % 2 === 0)
@@ -143,7 +147,7 @@ object SourceFormats {
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
         .write.mode("append").parquet(t)
       t
-    })
+    }
 
   def src_schema_merge(s: SparkSession, dir: String): DataFrame = {
     val t = stageEvolved(s, dir)
@@ -229,17 +233,17 @@ object SourceFormats {
     * skipping is real (footer stats disjoint, most row groups prunable for
     * a selective predicate, filter pushed to the scan); this gate pins the
     * sorted layout's correctness under a range read. */
-  private val stagedSorted = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedSorted = new graft.Memo[String]
 
   private[sources] def stageSorted(s: SparkSession, dir: String): String =
-    stagedSorted.getOrElseUpdate(dir, {
+    stagedSorted.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-src-sorted-").toString
       Tables.documents(s, dir)
         .repartitionByRange(8, col("n_chars"), col("doc_id"))
         .sortWithinPartitions(col("n_chars"), col("doc_id"))
         .write.mode("overwrite").parquet(t)
       t
-    })
+    }
 
   /** Z-ORDER (Morton) clustered layout — the multi-dimensional counterpart
     * of [[stageSorted]]'s single-column sort, and the layout a 100 TB lake
@@ -277,10 +281,10 @@ object SourceFormats {
     s"(l_partkey * ${1 << ZBits}) $fd (maxp + 1)",
     s"(l_suppkey * ${1 << ZBits}) $fd (maxs + 1)")
 
-  private val stagedZorder = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedZorder = new graft.Memo[String]
 
   private[sources] def stageZorder(s: SparkSession, dir: String): String =
-    stagedZorder.getOrElseUpdate(dir, {
+    stagedZorder.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-src-zorder-").toString
       val (ca, cb) = zcells("div")
       val maxes = Tables.lineitem(s, dir)
@@ -295,7 +299,7 @@ object SourceFormats {
         .sortWithinPartitions(col("zbucket"), col("zcode"))
         .write.mode("overwrite").partitionBy("zbucket").parquet(t)
       t
-    })
+    }
 
   def src_zorder(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(stageZorder(s, dir))
@@ -347,7 +351,7 @@ object SourceFormats {
     * parse is scan-shaped — per-line error containment costs nothing
     * distributable. */
   private def stageMalformed(s: SparkSession, dir: String): String =
-    stagedMalformed.getOrElseUpdate(dir, {
+    stagedMalformed.getOrStage(dir) {
       val out = graft.Staging.tempDir("graft-src-badjson-").toString
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .select(when(col("doc_id") % 17 === 0,
@@ -356,8 +360,8 @@ object SourceFormats {
           .as("value"))
         .write.mode("overwrite").text(out)
       out
-    })
-  private val stagedMalformed = scala.collection.concurrent.TrieMap.empty[String, String]
+    }
+  private val stagedMalformed = new graft.Memo[String]
 
   def src_malformed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructType}
@@ -391,15 +395,15 @@ object SourceFormats {
     * any row or value the ORC writer/reader mangles hash-fails. Scan-shaped
     * at any scale; ORC brings its own predicate pushdown and row-group
     * statistics, and columns prune exactly as in parquet. */
-  private val stagedOrc = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedOrc = new graft.Memo[String]
 
   private def stageOrc(s: SparkSession, dir: String): String =
-    stagedOrc.getOrElseUpdate(dir, {
+    stagedOrc.getOrStage(dir) {
       val out = graft.Staging.tempDir("graft-src-orc-").toString
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .write.mode("overwrite").orc(out)
       out
-    })
+    }
 
   def src_orc(s: SparkSession, dir: String): DataFrame = {
     s.read.orc(stageOrc(s, dir))
@@ -433,10 +437,10 @@ object SourceFormats {
     * and "executors" because local mode runs them in one JVM — on a real
     * cluster the blobs would already live in (or be staged to) a shared
     * filesystem/object store and this synthesis step would not exist. */
-  private val stagedBinary = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedBinary = new graft.Memo[String]
 
   private def stageBinary(s: SparkSession, dir: String): String =
-    stagedBinary.getOrElseUpdate(dir, {
+    stagedBinary.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-src-bin-").toString
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"))
@@ -449,7 +453,7 @@ object SourceFormats {
           }
         }
       t
-    })
+    }
 
   def src_binary(s: SparkSession, dir: String): DataFrame = {
     val t = stageBinary(s, dir)
@@ -489,10 +493,10 @@ object SourceFormats {
     * exchange+write any ETL pass costs. Nothing goes through the driver
     * but file metadata. */
   private val CompactTargetFiles = 4
-  private val stagedCompact = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedCompact = new graft.Memo[String]
 
   private def stageCompact(s: SparkSession, dir: String): String =
-    stagedCompact.getOrElseUpdate(dir, {
+    stagedCompact.getOrStage(dir) {
       val t = graft.Staging.tempDir("graft-src-compact-").toString
       s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
         .load(stageBinary(s, dir))
@@ -501,7 +505,7 @@ object SourceFormats {
         .repartition(CompactTargetFiles)
         .write.mode("overwrite").parquet(t)
       t
-    })
+    }
 
   def src_compact(s: SparkSession, dir: String): DataFrame = {
     val t = stageCompact(s, dir)

@@ -2187,12 +2187,7 @@ object StreamingQueries {
     val base = Tables.events(s, dir)
     // The shared staged dir provides the chunk files; feed them through a
     // fresh input dir in two halves so the checkpoint sees a true stop.
-    val stagedParts = {
-      java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
-        .iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toVector.sortBy(_.getFileName.toString)
-    }
+    val stagedParts = stagedEventParts(s, dir)
     val inDir = graft.Staging.tempDir("graft-restart-in-")
     val ckptDir = graft.Staging.tempDir("graft-restart-ckpt-").toString
     val sink = "stream_restart_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -2235,24 +2230,37 @@ object StreamingQueries {
     * fixture only if every dedup seen-key and agg buffer landed on exactly
     * the partition the new `HashPartitioning(16)` reads — one misplaced key
     * double-counts (dedup miss) or splits an aggregate (two rows per key). */
-  def stream_repartition(s0: SparkSession, dir: String): DataFrame = {
+  /** The staged chunk files of the shared events staging, name-sorted —
+    * the replay units the restart/repartition gates feed in halves (the
+    * directory stream is closed; three earlier inline copies leaked it). */
+  private def stagedEventParts(s: SparkSession, dir: String): Vector[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toVector.sortBy(_.getFileName.toString)
+    finally st.close()
+  }
+
+  /** The shared dedup→agg repartition topology ([[stream_repartition]] /
+    * [[stream_v2_repartition]] — ONE implementation, the format version is
+    * the only delta): run half the chunks at 8 partitions, STOP, migrate
+    * the checkpoint to 16 with [[graft.state.StateRepartition]], resume at
+    * 16 over the second half. */
+  private def repartitionGate(s0: SparkSession, dir: String, name: String,
+      v2: Boolean): DataFrame = {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    if (v2) s.conf.set("spark.sql.streaming.stateStore.checkpointFormatVersion", "2")
     val base = Tables.events(s, dir)
-    val stagedParts = {
-      java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
-        .iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toVector.sortBy(_.getFileName.toString)
-    }
-    val inDir = graft.Staging.tempDir("graft-repart-in-")
-    val ckptA = graft.Staging.tempDir("graft-repart-ckptA-").toString
-    val ckptB = graft.Staging.tempDir("graft-repart-ckptB-").toString + "/migrated"
-    val sink = "stream_repartition_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val stagedParts = stagedEventParts(s, dir)
+    val inDir = graft.Staging.tempDir(s"graft-$name-in-")
+    val ckptA = graft.Staging.tempDir(s"graft-$name-ckptA-").toString
+    val ckptB = graft.Staging.tempDir(s"graft-$name-ckptB-").toString + "/migrated"
+    val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
       java.nio.file.Files.copy(p, inDir.resolve(p.getFileName.toString))
     }
@@ -2280,6 +2288,9 @@ object StreamingQueries {
     s.table(sink)
   }
 
+  def stream_repartition(s0: SparkSession, dir: String): DataFrame =
+    repartitionGate(s0, dir, "stream_repartition", v2 = false)
+
   val stream_repartition_sql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
 
@@ -2292,53 +2303,8 @@ object StreamingQueries {
     * recovers through EXACTLY those IDs — v2 load is exact-or-fail, so a
     * wrong slot order, a mis-minted ID, or a misplaced key is a hard error
     * or a hash mismatch, never a silent fallback. */
-  def stream_v2_repartition(s0: SparkSession, dir: String): DataFrame = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
-    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
-    s.conf.set("spark.sql.streaming.stateStore.checkpointFormatVersion", "2")
-    val base = Tables.events(s, dir)
-    val stagedParts = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toVector.sortBy(_.getFileName.toString)
-      finally st.close()
-    }
-    val inDir = graft.Staging.tempDir("graft-v2repart-in-")
-    val ckptA = graft.Staging.tempDir("graft-v2repart-ckptA-").toString
-    val ckptB = graft.Staging.tempDir("graft-v2repart-ckptB-").toString + "/migrated"
-    val sink = "stream_v2_repartition_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
-      java.nio.file.Files.copy(p, inDir.resolve(p.getFileName.toString))
-    }
-    def run(sinkName: String, ckptDir: String): Unit = {
-      val q = s.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-        .select(col("user_id"), col("event_type"))
-        .dropDuplicates("user_id", "event_type")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Complete())
-        .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    val (firstHalf, secondHalf) = stagedParts.splitAt(stagedParts.size / 2)
-    feed(firstHalf)
-    run(sink + "_phase1", ckptA) // v2 commits at 8 partitions, then STOP
-    graft.state.StateRepartition.run(s, ckptA, ckptB, 16)
-    s.conf.set("spark.sql.shuffle.partitions", "16")
-    feed(secondHalf)
-    run(sink, ckptB) // resumes at 16 through the rewritten v2 commit log
-    s.table(sink)
-  }
+  def stream_v2_repartition(s0: SparkSession, dir: String): DataFrame =
+    repartitionGate(s0, dir, "stream_v2_repartition", v2 = true)
 
   val stream_v2_repartition_sql: String = stream_repartition_sql
 
@@ -2361,12 +2327,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     val base = Tables.events(s, dir)
-    val stagedParts = {
-      java.nio.file.Files.list(java.nio.file.Paths.get(eventsStagedDir(s, dir)))
-        .iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toVector.sortBy(_.getFileName.toString)
-    }
+    val stagedParts = stagedEventParts(s, dir)
     val inDir = graft.Staging.tempDir("graft-twsrepart-in-")
     val ckptA = graft.Staging.tempDir("graft-twsrepart-ckptA-").toString
     val ckptB = graft.Staging.tempDir("graft-twsrepart-ckptB-").toString + "/migrated"

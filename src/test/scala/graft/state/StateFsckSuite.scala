@@ -122,14 +122,17 @@ class StateFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.size === 70)
       rows.foreach(r => assert(clean(r), r.toString))
       // listener events are async: poll for the fan-out stage
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (!taskCounts.contains(70) && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(taskCounts.contains(70),
-        s"expected a 70-task fsck stage (one per store), saw $taskCounts")
+      def await(n: Int, what: String): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!taskCounts.contains(n) && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(taskCounts.contains(n), s"expected a $n-task $what stage, saw $taskCounts")
+      }
+      await(70, "one-task-per-store fsck")
+      // an explicit cap really caps: the capped run's stage has 8 tasks
+      val capped = reportRows(StateFsck.run(spark, ckpt, parallelism = 8))
+      assert(capped.size === 70)
+      await(8, "capped fsck")
     } finally spark.sparkContext.removeSparkListener(listener)
-    // an explicit cap still caps
-    val capped = reportRows(StateFsck.run(spark, ckpt, parallelism = 8))
-    assert(capped.size === 70)
   }
 
   test("a vanished pool SST is reported as a missing ref") {
