@@ -945,6 +945,91 @@ object StreamingQueries {
       |       CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT) AS n_cum
       |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** [[stream_tws_ttl]]'s MAP-state sibling: a TTL'd `MapState` (per-user
+    * per-type counters) drives the COMPOSITE-key TTL index — each
+    * `$ttl_byType` row keys by `(expirationMs, (groupingKey, userKey))`,
+    * the deepest secondary-index shape the provider stores (and the one
+    * [[graft.state.StateRepartition]] routes by a two-hop field path).
+    * Same straddle: the map's 1 h TTL provably survives the drain (per-type
+    * counters accumulate), the 1 ms `eph` ValueState provably expires
+    * between buckets (per-user batch counter restarts). Each batch emits
+    * one row per (user, touched type). */
+  def stream_tws_ttl_map(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val sink = "stream_tws_ttl_map_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    import s.implicits._
+    val typed = eventsBucketed(s, dir)
+      .select(col("user_id"), col("event_type"), col("bucket"))
+      .as[(Long, String, Int)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new TtlMapBucketProcessor, TimeMode.ProcessingTime(),
+        OutputMode.Update())
+      .toDF("user_id", "bucket", "event_type", "n_type_cum", "n_batch")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      def lastBucketSeen: Boolean =
+        s.table(sink).filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(100)
+      require(lastBucketSeen,
+        "stream_tws_ttl_map: poll deadline reached before the final bucket was emitted")
+    } finally q.stop()
+    s.table(sink)
+  }
+
+  private class TtlMapBucketProcessor
+    extends StatefulProcessor[Long, (Long, String, Int), (Long, Int, String, Long, Long)] {
+    @transient private var eph: ValueState[Long] = _
+    @transient private var byType: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      eph = getHandle.getValueState[Long]("eph", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(1)))
+      byType = getHandle.getMapState[String, Long]("byType", Encoders.STRING,
+        Encoders.scalaLong, TTLConfig(java.time.Duration.ofHours(1)))
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Int)],
+        timerValues: TimerValues): Iterator[(Long, Int, String, Long, Long)] = {
+      var bucket = -1
+      var n = 0L
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { r =>
+        bucket = r._3; n += 1
+        touched.update(r._2, touched.getOrElse(r._2, 0L) + 1L)
+      }
+      val nBatch = (if (eph.exists()) eph.get() else 0L) + n
+      eph.update(nBatch)
+      touched.iterator.map { case (t, k) =>
+        val cum = (if (byType.containsKey(t)) byType.getValue(t) else 0L) + k
+        byType.updateValue(t, cum)
+        (user, bucket, t, cum, nBatch)
+      }.toVector.iterator
+    }
+  }
+
+  val stream_tws_ttl_map_sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events),
+      |c AS (SELECT user_id, event_type, bucket, count(*) AS n FROM e GROUP BY 1, 2, 3),
+      |cum AS (SELECT user_id, event_type, bucket,
+      |    CAST(sum(n) OVER (PARTITION BY user_id, event_type ORDER BY bucket) AS BIGINT)
+      |      AS n_type_cum
+      |  FROM c),
+      |ub AS (SELECT user_id, bucket, count(*) AS n_batch FROM e GROUP BY 1, 2)
+      |SELECT user_id, bucket, event_type, n_type_cum, n_batch
+      |FROM cum JOIN ub USING (user_id, bucket)""".stripMargin
+
   /** `flatMapGroupsWithState` with PROCESSING-TIME TIMEOUT — the legacy
     * (Spark 2.x-era) arbitrary-state expiry surface, the API generation the
     * reference was built against: each key arms a 1 ms
@@ -1023,6 +1108,86 @@ object StreamingQueries {
       |c AS (SELECT user_id, bucket, count(*) AS n FROM e GROUP BY 1, 2)
       |SELECT user_id, bucket, n, phase
       |FROM c CROSS JOIN (VALUES ('live'), ('flush')) p(phase)""".stripMargin
+
+  /** [[stream_tws_ttl]]'s LIST-state sibling, completing the TTL state-shape
+    * trio at the gate: a TTL'd `ListState` (per-user per-mille values,
+    * appended every batch) drives the ONE-TO-MANY TTL machinery — beyond
+    * the `$ttl_vals` index, list TTL keeps a `$min_vals` min-expiry row and
+    * a `$count_vals` element counter per key, all maintained through this
+    * provider's column families. The 1 h list TTL provably survives the
+    * drain (appends accumulate across buckets: count and exact integer sum
+    * grow monotonically), the 1 ms `eph` ValueState provably expires
+    * between buckets — both polarities visible in the emitted row. */
+  def stream_tws_ttl_list(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val sink = "stream_tws_ttl_list_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
+    import s.implicits._
+    val typed = eventsBucketed(s, dir)
+      .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mille"),
+        col("bucket"))
+      .as[(Long, Long, Int)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new TtlListBucketProcessor, TimeMode.ProcessingTime(),
+        OutputMode.Update())
+      .toDF("user_id", "bucket", "n_items", "sum_mille", "n_batch")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      def lastBucketSeen: Boolean =
+        s.table(sink).filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(100)
+      require(lastBucketSeen,
+        "stream_tws_ttl_list: poll deadline reached before the final bucket was emitted")
+    } finally q.stop()
+    s.table(sink)
+  }
+
+  private class TtlListBucketProcessor
+    extends StatefulProcessor[Long, (Long, Long, Int), (Long, Int, Long, Long, Long)] {
+    @transient private var eph: ValueState[Long] = _
+    @transient private var vals: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      eph = getHandle.getValueState[Long]("eph", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(1)))
+      vals = getHandle.getListState[Long]("vals", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofHours(1)))
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Int)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long, Long, Long)] = {
+      var bucket = -1
+      var n = 0L
+      rows.foreach { r => bucket = r._3; n += 1; vals.appendValue(r._2) }
+      val nBatch = (if (eph.exists()) eph.get() else 0L) + n
+      eph.update(nBatch)
+      var items = 0L
+      var total = 0L
+      vals.get().foreach { v => items += 1; total += v }
+      Iterator.single((user, bucket, items, total, nBatch))
+    }
+  }
+
+  val stream_tws_ttl_list_sql: String =
+    """WITH e AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS mille,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events),
+      |c AS (SELECT user_id, bucket, count(*) AS n, sum(mille) AS sm FROM e GROUP BY 1, 2)
+      |SELECT user_id, bucket,
+      |  CAST(sum(n) OVER w AS BIGINT) AS n_items,
+      |  CAST(sum(sm) OVER w AS BIGINT) AS sum_mille,
+      |  n AS n_batch
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin
 
   /** PROVIDER-level TTL'd streaming dedup — the reference README's flagship
     * use-case (`README.md:34-104`: dedup whose seen-key state expires) as an
@@ -2524,6 +2689,8 @@ object StreamingQueries {
     "stream_tws_map" -> (stream_tws_map(_, _)),
     "stream_tws_list" -> (stream_tws_list(_, _)),
     "stream_tws_ttl" -> (stream_tws_ttl(_, _)),
+    "stream_tws_ttl_map" -> (stream_tws_ttl_map(_, _)),
+    "stream_tws_ttl_list" -> (stream_tws_ttl_list(_, _)),
     "stream_dedup_ttl" -> (stream_dedup_ttl(_, _)),
     "stream_fmgws_timeout" -> (stream_fmgws_timeout(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
@@ -2578,6 +2745,8 @@ object StreamingQueries {
     "stream_tws_map" -> stream_tws_map_sql,
     "stream_tws_list" -> stream_tws_list_sql,
     "stream_tws_ttl" -> stream_tws_ttl_sql,
+    "stream_tws_ttl_map" -> stream_tws_ttl_map_sql,
+    "stream_tws_ttl_list" -> stream_tws_ttl_list_sql,
     "stream_dedup_ttl" -> stream_dedup_ttl_sql,
     "stream_fmgws_timeout" -> stream_fmgws_timeout_sql,
     "stream_statestore" -> stream_statestore_sql,
