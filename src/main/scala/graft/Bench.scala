@@ -204,9 +204,27 @@ object Bench {
       .sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val nOk = results.count(_._2.nonEmpty)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"n":$nOk,""" +
-      s""""queries":$slowest,"failed":$failed,"partial":$partial,"contended":$contended,""" +
-      s""""repeats":$repeats,"full":"$out","sf":"$sfDir"}"""
+    // The summary line must be provably short: in r14 the host was loaded,
+    // 117 queries tripped the contended flag, and embedding their NAMES blew
+    // the line past the driver's ~2 KB tail window — the tail held only a
+    // name-array fragment, so BENCH_r14.json parsed null. List-valued fields
+    // therefore appear here as COUNTS ONLY (the full artifact file keeps the
+    // names), and a structural backstop drops the queries map if the line
+    // still somehow exceeds 1 KB.
+    val nFailed = results.count(_._2.isEmpty)
+    val nPartial = results.count { case (k, ts, _) => ts.nonEmpty && ts.size < expectedPasses(k) }
+    val nContended = results.count { case (_, ts, _) =>
+      ts.size >= 2 && ts.min > 0 && ts.max / ts.min > SpreadFlagRatio &&
+        ts.max - ts.min > SpreadFlagFloorSecs
+    }
+    def mkSummary(slowestJson: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"n":$nOk,""" +
+        s""""queries":$slowestJson,"failed":$nFailed,"partial":$nPartial,"contended":$nContended,""" +
+        s""""repeats":$repeats,"full":"$out","sf":"$sfDir"}"""
+    val summary = {
+      val full = mkSummary(slowest)
+      if (full.length <= 1024) full else mkSummary("{}")
+    }
     // Reaching the driver's tail UNPREFIXED is a build.sbt concern, not a
     // stream trick: `run / fork := true` pipes this JVM's stdout through
     // sbt, and with the default LoggedOutput strategy every line gained an

@@ -1856,23 +1856,51 @@ object Similarity {
     * build into a sibling temp dir, then `rename` into place — on a real
     * FS rename is atomic, so a reader either sees no layout (and builds
     * its own) or a COMPLETE one, never a half-overwritten mix. If the
-    * rename loses the race (destination appeared), the temp build is
-    * discarded and the winner's layout is used. */
+    * destination already exists (a racer won, or a crashed non-atomic
+    * publish left a partial), the temp build is discarded and the existing
+    * layout is either used (marker present) or rejected loudly (marker
+    * absent) — never silently merged into.
+    *
+    * Hadoop `FileSystem.rename(src, dest)` with an EXISTING dest directory
+    * moves src INSIDE dest and returns true (HDFS and RawLocalFileSystem
+    * alike), so the return value alone cannot detect a lost race: we check
+    * dest up front, and after a "successful" rename we still verify the
+    * done marker and sweep any nested tmp junk before trusting the layout. */
   private[operators] def publishLayout(
       s: SparkSession, p: String, doneMarker: String)(build: String => Unit): String = {
     val dest = new org.apache.hadoop.fs.Path(p)
     val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$p/$doneMarker"))) {
+    val marker = new org.apache.hadoop.fs.Path(s"$p/$doneMarker")
+    def requireComplete(): Unit =
+      require(fs.exists(marker),
+        s"persisted layout $p exists but is incomplete (no $doneMarker) — " +
+          "remove it and retrain")
+    if (!fs.exists(marker)) {
       val tmp = new org.apache.hadoop.fs.Path(
         p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       build(tmp.toString)
-      if (!fs.rename(tmp, dest)) {
-        // another JVM published first (or a stale dest exists): keep theirs
-        // if complete, else fail loudly rather than serve a partial layout
+      // staging callers hand us a freshly-created EMPTY dir as dest
+      // (Staging.tempDir pre-creates it); replacing it is lossless, so
+      // clear it out of the rename's way. A NON-empty marker-less dest
+      // stays put — that's the loud-failure case below, never a merge
+      // target (Hadoop rename into an existing dir would nest, not
+      // replace).
+      if (fs.exists(dest) &&
+        scala.util.Try(fs.listStatus(dest).isEmpty).getOrElse(false)) {
+        fs.delete(dest, true)
+      }
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        // dest pre-existed (racer or stale partial) or the rename failed:
+        // discard our build, then insist the surviving layout is complete
         fs.delete(tmp, true)
-        require(fs.exists(new org.apache.hadoop.fs.Path(s"$p/$doneMarker")),
-          s"persisted layout $p exists but is incomplete (no $doneMarker) — " +
-            "remove it and retrain")
+        requireComplete()
+      } else {
+        // rename returned true — but if a racer created dest between the
+        // exists check and the rename, our tmp landed NESTED inside it.
+        // Sweep the junk, then judge dest by its own marker.
+        val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+        requireComplete()
       }
     }
     p

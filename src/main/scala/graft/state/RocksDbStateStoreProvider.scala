@@ -1475,14 +1475,23 @@ object RocksDbStateStoreProvider {
   }
 
   /** Injectable wall clock so TTL tests are deterministic (the reference used
-    * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`). */
+    * a Guava FakeTicker for the same purpose — `RocksDbStateTimeoutSuite`).
+    *
+    * LOCAL-MODE-ONLY mechanism: this is a JVM-global on the driver's
+    * classloader, so swapping it only reaches the state stores when
+    * executors share that JVM (`local[*]`, as the gate runner and test
+    * suites do). On a real cluster each executor JVM keeps the default
+    * wall clock — deployed queries get wall-clock TTL, and nothing here
+    * pretends otherwise. Test/gate harness surface, not a deployment
+    * knob. */
   @volatile private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
   /** Run `body` with the strict-TTL clock swapped for `c`, restoring the
     * wall clock after — the deterministic-expiry harness the oracle-checked
     * TTL gates use (JVM-global like the clock itself: callers must not
     * overlap two swapped-clock regions, which the sequential gate runner
-    * guarantees). Only strict-TTL deadline probes consult the clock, so
+    * guarantees; see [[clock]] for why the swap is visible only in
+    * `local[*]`). Only strict-TTL deadline probes consult the clock, so
     * concurrent non-TTL queries are unaffected by a swap. */
   private[graft] def withTtlClock[T](c: () => Long)(body: => T): T = {
     val prev = clock

@@ -196,8 +196,18 @@ object StateFsck extends Logging {
     var chainLength = 0
     var chainDeltas: Seq[(Long, Option[String])] = Nil
     // refs already extracted by the verify pass, keyed by snapshot file
-    // name — the orphan step reuses them instead of re-streaming the zips
-    val refsSeen = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    // name — the orphan step reuses them instead of re-streaming the zips.
+    // Snapshot unreadability is tracked as an EXPLICIT flag (not sniffed
+    // back out of issue-message wording): any zip that failed to stream
+    // makes this store's pool references unknown, which suppresses orphan
+    // counting below.
+    val refsSeen = scala.collection.mutable.HashMap.empty[String, SnapshotScan]
+    var snapshotUnreadable = false
+    def scanZip(v: Long, id: Option[String]): SnapshotScan = {
+      val scan = verifySnapshotZip(fs, mgr, baseDir, v, id, issues, deep)
+      if (!scan.readOk) snapshotUnreadable = true
+      scan
+    }
     if (v2) {
       val startId = (mgr.idsAt(required, snapshot = true) ++
         mgr.idsAt(required, snapshot = false)).max
@@ -219,7 +229,7 @@ object StateFsck extends Logging {
           chainDeltas = chain
           if (baseV > 0) {
             refsSeen(mgr.snapshotFile(baseV, Some(baseId)).getName) =
-              verifySnapshotZip(fs, mgr, baseDir, baseV, Some(baseId), issues, deep)
+              scanZip(baseV, Some(baseId))
           }
         case scala.util.Failure(e) =>
           issues += s"v2 lineage walk from ($required, $startId) broke: ${e.getMessage}"
@@ -234,8 +244,7 @@ object StateFsck extends Logging {
           chainLength = (required - s).toInt
           chainDeltas = ((s + 1) to required).map(v => (v, None: Option[String]))
           if (s > 0) {
-            refsSeen(mgr.snapshotFile(s, None).getName) =
-              verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
+            refsSeen(mgr.snapshotFile(s, None).getName) = scanZip(s, None)
           }
         case None =>
           issues += s"version $required unrecoverable: snapshots at " +
@@ -252,15 +261,14 @@ object StateFsck extends Logging {
         mgr.idsAt(s, snapshot = true).foreach { id =>
           val n = mgr.snapshotFile(s, Some(id)).getName
           if (!refsSeen.contains(n)) {
-            refsSeen(n) = verifySnapshotZip(fs, mgr, baseDir, s, Some(id), issues, deep)
+            refsSeen(n) = scanZip(s, Some(id))
           }
         }
       }
     } else {
       snaps.filter(s => covered && s != 0 && !chainTouches(s, chainDeltas, required))
         .foreach { s =>
-          refsSeen(mgr.snapshotFile(s, None).getName) =
-            verifySnapshotZip(fs, mgr, baseDir, s, None, issues, deep)
+          refsSeen(mgr.snapshotFile(s, None).getName) = scanZip(s, None)
         }
     }
 
@@ -295,7 +303,7 @@ object StateFsck extends Logging {
           .map(_.getPath.getName).filter(_.startsWith("state.snapshot.")))
           .getOrElse(Nil)
           .flatMap { n =>
-            refsSeen.get(n).getOrElse {
+            refsSeen.get(n).map(_.refs).getOrElse {
               Try(refsOfZip(fs, new Path(baseDir, n))).recoverWith { case e =>
                 refsUnknown = true
                 issues += s"snapshot $n unreadable during orphan accounting: ${e.getMessage}"
@@ -306,9 +314,10 @@ object StateFsck extends Logging {
           .toSet
         // only SNAPSHOT unreadability makes references unknown — a broken
         // changelog ("changelog N unreadable") leaves the zip manifests
-        // fully readable and must not zero the leak signal
-        if (refsUnknown ||
-          issues.exists(i => i.startsWith("snapshot ") && i.contains("unreadable"))) (0, 0L)
+        // fully readable and must not zero the leak signal. Both unknown
+        // sources are explicit booleans (scanZip's readOk, this block's
+        // refsUnknown), never re-derived from issue-message wording.
+        if (refsUnknown || snapshotUnreadable) (0, 0L)
         else {
           val orphans = poolFiles.filterNot(f => referenced(f.getPath.getName))
           (orphans.size, orphans.map(_.getLen).sum)
@@ -354,6 +363,11 @@ object StateFsck extends Logging {
   private def chainTouches(s: Long, chain: Seq[(Long, Option[String])], required: Long): Boolean =
     chain.headOption.map(_._1 - 1).getOrElse(required) == s
 
+  /** A verified snapshot zip's extracted pool references plus an explicit
+    * read-success flag — `readOk = false` means the zip failed to stream,
+    * so `refs` may be partial and the store's pool references are unknown. */
+  private[state] case class SnapshotScan(refs: Seq[String], readOk: Boolean)
+
   /** Stream a snapshot zip end-to-end (the zip reader CRC-checks every
     * entry on read) and verify each incremental manifest reference exists
     * in the pool with the length its `<md5>-<len>.sst` name promises. */
@@ -364,7 +378,7 @@ object StateFsck extends Logging {
       version: Long,
       ckptId: Option[String],
       issues: scala.collection.mutable.ArrayBuffer[String],
-      deep: Boolean = false): Seq[String] = {
+      deep: Boolean = false): SnapshotScan = {
     val file = mgr.snapshotFile(version, ckptId)
     val refs = scala.collection.mutable.ArrayBuffer.empty[String]
     val read = Try {
@@ -421,6 +435,6 @@ object StateFsck extends Logging {
           }
       }
     }
-    refs.toSeq
+    SnapshotScan(refs.toSeq, read.isSuccess)
   }
 }

@@ -33,7 +33,8 @@ import org.apache.spark.util.SerializableConfiguration
   * it is the race the age gate exists to prevent.
   *
   * Exit contract (`main`): nonzero if any store was skipped (unknown
-  * references) — wired for cron like fsck; a clean dry-run exits zero.
+  * references) or any `--apply` delete failed — wired for cron like fsck;
+  * a clean dry-run exits zero.
   */
 object StateGc extends Logging {
 
@@ -65,7 +66,8 @@ object StateGc extends Logging {
     report.show(1000, truncate = false)
     val skipped = report.filter("skipped != ''").count()
     if (skipped > 0) {
-      logError(s"gc: $skipped store(s) skipped (unknown references)")
+      logError(s"gc: $skipped store(s) skipped or incomplete " +
+        "(unknown references or failed deletes)")
       sys.exit(1)
     }
   }
@@ -137,13 +139,20 @@ object StateGc extends Logging {
     val orphans = poolFiles.filterNot(f => referenced(f.getPath.getName))
     var removedN = 0
     var removedB = 0L
+    var failedDeletes = 0
     if (apply) orphans.foreach { f =>
       if (Try(fs.delete(f.getPath, false)).getOrElse(false)) {
         removedN += 1
         removedB += f.getLen
+      } else {
+        // a swallowed delete failure would make a cron-wired gc report
+        // success while the leak persists — surface it in `skipped` so
+        // main's exit contract fires
+        failedDeletes += 1
       }
     }
+    val note = if (failedDeletes > 0) s"$failedDeletes orphan delete(s) failed" else ""
     GcReport(op, part, name, poolFiles.size, poolBytes, referenced.size,
-      orphans.size, orphans.map(_.getLen).sum, removedN, removedB, "")
+      orphans.size, orphans.map(_.getLen).sum, removedN, removedB, note)
   }
 }

@@ -327,16 +327,31 @@ object StateRepartition extends Logging {
             s"${opStores.length} stores were migrated (${opStores.mkString(",")})")
         // the inner arrays' store order, recovered by matching each recorded
         // id to the store dir whose durable files carry it (IDs are opaque;
-        // only the file layout ties a slot to a store name)
+        // only the file layout ties a slot to a store name). Any single old
+        // partition with a complete, unambiguous match proves the order —
+        // so a partition whose files were partially cleaned or are
+        // transiently unreadable doesn't abort the migration as long as
+        // some other partition can still testify.
         val order: Seq[String] =
           if (inner0.length == 1) opStores
-          else inner0.toSeq.map { id =>
-            val found = opStores.filter(st =>
-              storeHasCommitFile(fs, oldRoot, op, st, version, id))
-            require(found.length == 1,
-              s"operator $op: commit id $id matches ${found.length} store dirs " +
-                s"(${found.mkString(",")}) — cannot recover the store slot order")
-            found.head
+          else {
+            def orderAt(p: Int): Option[Seq[String]] = {
+              val matches = oldArr(p).toSeq.map { id =>
+                opStores.filter(st =>
+                  storeHasCommitFile(fs, oldRoot, op, p, st, version, id))
+              }
+              val o = matches.collect { case Seq(one) => one }
+              if (o.length == matches.length && o.distinct.length == o.length) Some(o)
+              else None
+            }
+            val recovered = oldArr.indices.iterator.map(orderAt)
+              .collectFirst { case Some(o) => o }
+            require(recovered.isDefined,
+              s"operator $op: no old partition's durable files yield an " +
+                s"unambiguous commit-id -> store mapping for stores " +
+                s"${opStores.mkString("{", ",", "}")} at version $version — " +
+                "cannot recover the store slot order")
+            recovered.get
           }
         val newOpArr = mapper.createArrayNode()
         (0 until newParts).foreach { pid =>
@@ -364,15 +379,16 @@ object StateRepartition extends Logging {
     results.toSeq.toDF()
   }
 
-  /** Does old partition 0 of `store` hold a durable file for commit
-    * `(version, id)`? Single-store operators keep state files directly in
-    * the partition dir; named stores (joins) in a subdirectory. */
+  /** Does old partition `partition` of `store` hold a durable file for
+    * commit `(version, id)`? Single-store operators keep state files
+    * directly in the partition dir; named stores (joins) in a
+    * subdirectory. */
   private def storeHasCommitFile(
       fs: org.apache.hadoop.fs.FileSystem, oldRoot: Path, op: Long,
-      store: String, version: Long, id: String): Boolean = {
+      partition: Int, store: String, version: Long, id: String): Boolean = {
     val base =
-      if (store == "default") new Path(oldRoot, s"state/$op/0")
-      else new Path(oldRoot, s"state/$op/0/$store")
+      if (store == "default") new Path(oldRoot, s"state/$op/$partition")
+      else new Path(oldRoot, s"state/$op/$partition/$store")
     scala.util.Try(fs.listStatus(base).exists { st =>
       val n = st.getPath.getName
       n == s"state.delta.${version}_$id" || n == s"state.snapshot.${version}_$id"

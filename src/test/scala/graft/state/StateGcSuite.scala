@@ -93,4 +93,22 @@ class StateGcSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(pool.resolve(referenced)))
     assert(Files.exists(pool.resolve(orphan)), "skip must leave even true orphans in place")
   }
+
+  test("apply with a failing delete surfaces the failure instead of reporting success") {
+    val (ckpt, storeDir, _, orphan) = synth()
+    // an undeletable orphan: a non-empty DIRECTORY named *.sst — the
+    // non-recursive fs.delete the sweep uses throws on it (tests run as
+    // root, so permission tricks can't force the failure)
+    val pool = Paths.get(storeDir.toString, "sst")
+    val stuck = pool.resolve("eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee-7.sst")
+    Files.createDirectories(stuck)
+    Files.write(stuck.resolve("child"), "x".getBytes("UTF-8"))
+    val r = StateGc.run(spark, ckpt, apply = true).collect().head
+    assert(r.getAs[Int]("orphanFiles") === 2)
+    assert(r.getAs[Int]("removedFiles") === 1, "the deletable orphan still goes")
+    assert(!Files.exists(pool.resolve(orphan)))
+    assert(r.getAs[String]("skipped").contains("delete"),
+      "a swallowed delete failure would make cron report success while the leak persists")
+    assert(Files.exists(stuck))
+  }
 }
