@@ -584,6 +584,93 @@ object Dedup extends Logging {
        |FROM v WHERE common * 10 >= un * 6""".stripMargin
   }
 
+  // ------------------------------------------- incremental near-dup dedup
+
+  private val lshSigsDirMemo = new graft.Memo[String]
+
+  /** The corpus's MinHash artifacts persisted ONCE as data — (doc_id,
+    * shingles, signature) under the index root ([[Similarity.IndexRootConf]],
+    * [[Similarity.publishLayout]] atomic-publish discipline): the
+    * signature table a production incremental dedup actually maintains.
+    * Each arriving batch computes signatures for ITS documents only and
+    * bands them against the persisted table — the 100 TB corpus is never
+    * re-shingled, never re-hashed, never re-read; the per-batch cost is
+    * O(batch) + the band-bucket join. */
+  private[graft] def persistedCorpusLshSigs(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption(Similarity.IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    lshSigsDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val p = root match {
+        case Some(r) => s"$r/lsh-sigs-${Similarity.corpusSlug(dir)}"
+        case None => graft.Staging.tempDir("graft-lsh-sigs-").toString
+      }
+      Similarity.publishLayout(s, p, "sigs/_SUCCESS") { tmp =>
+        Tables.documents(s, dir)
+          .filter(expr(s"CAST(substring(source, 4) AS INT) < ${Pipeline.IncrCorpusSources}"))
+          .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+          .withColumn("sig",
+            graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
+          .write.parquet(s"$tmp/sigs")
+      }
+    }
+  }
+
+  /** INCREMENTAL near-dup dedup: [[graft.operators.Pipeline.pipe_dedup_incremental]]'s
+    * batch-vs-corpus shape upgraded from exact fingerprints to MinHash-LSH,
+    * against the PERSISTED corpus signature table
+    * ([[persistedCorpusLshSigs]]). The arriving batch (source index >=
+    * `IncrCorpusSources`) is shingled and signed fresh; the corpus side
+    * comes entirely off the persisted layout (band keys are a cheap
+    * projection of the stored signature — re-banding is not re-signing);
+    * candidates are batch-vs-(corpus ∪ batch) band-bucket collisions,
+    * verified with the exact-Jaccard test. Emits every near-dup pair the
+    * batch INTRODUCES — exactly the one-shot [[dedup_minhash_lsh]] pairs
+    * with at least one batch member (corpus-internal pairs were settled
+    * when the corpus was filed), which is the oracle.
+    *
+    * Scale: the shuffle carries signatures and shingle sets, never text;
+    * the corpus is read from its compact signature table (plan-pinned in
+    * `PlanShapeSuite`: the documents table is scanned once, for the batch);
+    * banding bounds candidates exactly as the one-shot path. */
+  def pipe_dedup_incremental_lsh(s: SparkSession, dir: String): DataFrame = {
+    val sigsDir = persistedCorpusLshSigs(s, dir)
+    val corpus = s.read.parquet(s"$sigsDir/sigs")
+    val batch = Tables.documents(s, dir)
+      .filter(expr(s"CAST(substring(source, 4) AS INT) >= ${Pipeline.IncrCorpusSources}"))
+      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+      .withColumn("sig",
+        graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
+      .repartition(col("doc_id")) // materialize once: bands + both verify sides
+    def bandsOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), posexplode(expr(bandKeysExpr))).toDF("doc_id", "band", "bkey")
+    val batchBands = bandsOf(batch)
+    val allBands = bandsOf(corpus).unionByName(batchBands)
+      .toDF("doc_id_o", "band", "bkey")
+    val cand = batchBands.join(allBands, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("doc_id_o"))
+      .select(least(col("doc_id"), col("doc_id_o")).as("doc_id_a"),
+        greatest(col("doc_id"), col("doc_id_o")).as("doc_id_b"))
+      .distinct()
+    val shAll = corpus.select(col("doc_id"), col("sh"))
+      .unionByName(batch.select(col("doc_id"), col("sh")))
+    cand.join(shAll.toDF("doc_id_a", "sh_a"), "doc_id_a")
+      .join(shAll.toDF("doc_id_b", "sh_b"), "doc_id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union_size", size(col("sh_a")) + size(col("sh_b")) - col("common"))
+      .filter(col("common") * 10 >= col("union_size") * 6)
+      .select(col("doc_id_a"), col("doc_id_b"), col("common"), col("union_size"),
+        (col("common") * 1000).divide(col("union_size")).cast("long").as("jaccard_per_mille"))
+  }
+
+  /** The one-shot LSH pairs restricted to those touching a batch doc. */
+  lazy val pipe_dedup_incremental_lsh_sql: String =
+    s"""WITH pairs AS MATERIALIZED (SELECT * FROM ($dedup_minhash_lsh_sql)),
+       |b AS (SELECT doc_id FROM documents
+       |  WHERE CAST(substr(source, 4) AS INT) >= ${Pipeline.IncrCorpusSources})
+       |SELECT doc_id_a, doc_id_b, common, union_size, jaccard_per_mille
+       |FROM pairs
+       |WHERE doc_id_a IN (SELECT doc_id FROM b)
+       |   OR doc_id_b IN (SELECT doc_id FROM b)""".stripMargin
+
   // -------------------------------------------------------- LSH recall QA
 
   /** Dedup-quality EVAL: the banded-LSH pipeline ([[dedup_minhash_lsh]])
@@ -1003,6 +1090,7 @@ object Dedup extends Logging {
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
+    "pipe_dedup_incremental_lsh" -> pipe_dedup_incremental_lsh _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_embedding" -> dedup_embedding _,
     "dedup_clusters" -> dedup_clusters _,
@@ -1022,6 +1110,7 @@ object Dedup extends Logging {
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard_sql,
     "dedup_containment" -> dedup_containment_sql,
     "dedup_minhash_lsh" -> dedup_minhash_lsh_sql,
+    "pipe_dedup_incremental_lsh" -> pipe_dedup_incremental_lsh_sql,
     "dedup_simhash" -> dedup_simhash_sql,
     "dedup_embedding" -> dedup_embedding_sql,
     "dedup_clusters" -> dedup_clusters_sql,

@@ -2053,6 +2053,74 @@ object Similarity {
   lazy val sim_index_compact_sql: String =
     ivfpqSearchSqlWhere(s" AND NOT (cellof.$TombstonePred)")
 
+  private val mergedIndexDirMemo = new graft.Memo[String]
+
+  /** MERGE two independently built index shards into one served layout —
+    * how a 100 TB ANN index is actually constructed: no single job files
+    * the whole corpus; the quantizer (coarse centroids + PQ codebooks) is
+    * trained ONCE on a sample and SHARED, each shard files only its own
+    * vectors against the read-only artifacts ([[ivfpqFileFor]], the exact
+    * tie-break discipline of the trainer's final assignment pass), and the
+    * merge is pure table concatenation: the per-vector `cells`/`codes`
+    * tables are disjoint-keyed unions, the shared `centroids`/`codebook`
+    * carry over verbatim. Because filing is bit-identical to the one-shot
+    * build's own assignment (the insert path's proven property,
+    * `stream_index_update`), the merged layout EQUALS the one-shot layout
+    * on the union row-for-row — the oracle is the same SQL.
+    *
+    * Scale: each shard build touches only its partition of the corpus
+    * (embarrassingly parallel across build jobs — here two halves by
+    * `vec_id % 2`, standing in for per-datacenter or per-day builds), and
+    * the merge shuffles nothing: union + write, no re-assignment, no
+    * trainer stage anywhere after the shared sample training. All three
+    * layouts publish atomically under the index root ([[publishLayout]]),
+    * so concurrent builders/readers see complete layouts or none. */
+  private[graft] def mergedIvfpqIndex(s: SparkSession, dir: String): String = {
+    val base = persistedIvfpqIndex(s, dir) // the SHARED trained artifacts
+    val root = s.conf.getOption(IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    mergedIndexDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val dim = Tables.embeddingsDim(s, dir)
+      def layoutPath(suffix: String): String = root match {
+        case Some(r) => s"$r/ivfpq-${corpusSlug(dir)}-$suffix"
+        case None => graft.Staging.tempDir(s"graft-ivfpq-$suffix-").toString
+      }
+      val shards = (0 until 2).map { h =>
+        publishLayout(s, layoutPath(s"shard$h"), "codes/_SUCCESS") { tmp =>
+          val filed = ivfpqFileFor(
+            Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(2)) === h),
+            dim,
+            s.read.parquet(s"$base/centroids"),
+            s.read.parquet(s"$base/codebook"))
+          filed.select(col("vec_id"), col("cell")).distinct()
+            .write.parquet(s"$tmp/cells")
+          filed.select(col("vec_id"), col("m"), col("cid"))
+            .write.parquet(s"$tmp/codes")
+        }
+      }
+      publishLayout(s, layoutPath("merged"), "codes/_SUCCESS") { tmp =>
+        s.read.parquet(s"$base/centroids").write.parquet(s"$tmp/centroids")
+        s.read.parquet(s"$base/codebook").write.parquet(s"$tmp/codebook")
+        shards.map(sp => s.read.parquet(s"$sp/cells")).reduce(_ unionByName _)
+          .write.parquet(s"$tmp/cells")
+        shards.map(sp => s.read.parquet(s"$sp/codes")).reduce(_ unionByName _)
+          .write.parquet(s"$tmp/codes")
+      }
+    }
+  }
+
+  def sim_index_merge(s: SparkSession, dir: String): DataFrame = {
+    val idx = mergedIvfpqIndex(s, dir)
+    ivfpqSearch(s, dir,
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$idx/cells"),
+      s.read.parquet(s"$idx/codebook"),
+      s.read.parquet(s"$idx/codes"))
+  }
+
+  /** The merged layout equals the one-shot build on the union by
+    * construction, so the oracle is shared with [[sim_topk_ivfpq]]. */
+  lazy val sim_index_merge_sql: String = sim_topk_ivfpq_sql
+
   /** TRIANGLE census + local clustering coefficient over the staged kNN
     * graph — the standard density diagnostic for an embedding space: a
     * node whose neighbors are also neighbors of each other sits in a tight
@@ -2290,6 +2358,7 @@ object Similarity {
     "sim_topk_ivfpq" -> sim_topk_ivfpq _,
     "sim_index_persist" -> sim_index_persist _,
     "sim_index_compact" -> sim_index_compact _,
+    "sim_index_merge" -> sim_index_merge _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_pq_distortion" -> sim_pq_distortion _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -2323,6 +2392,7 @@ object Similarity {
     "sim_topk_ivfpq" -> sim_topk_ivfpq_sql,
     "sim_index_persist" -> sim_index_persist_sql,
     "sim_index_compact" -> sim_index_compact_sql,
+    "sim_index_merge" -> sim_index_merge_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_pq_distortion" -> sim_pq_distortion_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

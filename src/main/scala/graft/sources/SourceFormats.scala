@@ -91,6 +91,41 @@ object SourceFormats {
       |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Avro round-trip — the row-oriented interchange format training-data
+    * pipelines actually exchange (Kafka payloads, cross-engine handoffs):
+    * Spark 4 bundles the Avro source in spark-sql, so the same documents
+    * slice writes as Avro container files and reads back with an explicit
+    * schema. Avro is binary-framed (schema in the container header, no
+    * quoting/escaping layer), so the fingerprints must match the parquet
+    * truth exactly — any encoder/decoder asymmetry in string handling
+    * hash-fails. */
+  private val stagedAvro = new graft.Memo[String]
+
+  /** Spark 4.1 ships the Avro classes inside spark-sql but does NOT list
+    * them in the DataSourceRegister service file, so the short name "avro"
+    * fails lookup in a bare-jars deployment — the fully-qualified
+    * FileFormat class resolves regardless of service registration. */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def src_avro(s: SparkSession, dir: String): DataFrame = {
+    val avroDir = stagedAvro.getOrStage(dir) {
+      val t = graft.Staging.tempDir("graft-src-avro-").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").format(AvroFormat).save(t)
+      t
+    }
+    val schema = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")).schema
+    s.read.schema(schema).format(AvroFormat).load(avroDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("chars"),
+        min(md5(col("text"))).as("min_fp"),
+        max(md5(col("text"))).as("max_fp"))
+  }
+
+  val src_avro_sql: String = src_xml_sql
+
   /** Hive-style partitioned layout — the on-disk shape of a production
     * corpus (100 TB of documents is stored partitioned, never flat): stage
     * `documents` once as `lang=<v>/part-*.parquet`, then read back with a
@@ -530,6 +565,7 @@ object SourceFormats {
     "src_orc" -> src_orc _,
     "src_malformed" -> src_malformed _,
     "src_xml" -> src_xml _,
+    "src_avro" -> src_avro _,
     "src_roundtrip" -> src_roundtrip _,
     "src_partitioned" -> src_partitioned _,
     "src_schema_merge" -> src_schema_merge _,
@@ -543,6 +579,7 @@ object SourceFormats {
     "src_orc" -> src_orc_sql,
     "src_malformed" -> src_malformed_sql,
     "src_xml" -> src_xml_sql,
+    "src_avro" -> src_avro_sql,
     "src_roundtrip" -> src_roundtrip_sql,
     "src_partitioned" -> src_partitioned_sql,
     "src_schema_merge" -> src_schema_merge_sql,

@@ -54,7 +54,8 @@ object StateGc extends Logging {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
-    require(pos.length == 1, "usage: StateGc [--apply] [--parallelism=N] <checkpointDir>")
+    require(pos.length == 1,
+      "usage: StateGc [--apply] [--force] [--parallelism=N] <checkpointDir>")
     val parallelism = flags.collectFirst {
       case f if f.startsWith("--parallelism=") => f.stripPrefix("--parallelism=").toInt
     }.getOrElse(0)
@@ -62,7 +63,7 @@ object StateGc extends Logging {
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
     val report = run(spark, pos(0), apply = flags.contains("--apply"),
-      parallelism = parallelism)
+      parallelism = parallelism, force = flags.contains("--force"))
     report.show(1000, truncate = false)
     val skipped = report.filter("skipped != ''").count()
     if (skipped > 0) {
@@ -76,7 +77,10 @@ object StateGc extends Logging {
     * without deleting; `apply = true` deletes the orphans. `parallelism`
     * caps the task count; 0 = one task per store. */
   def run(spark: SparkSession, ckptDir: String, apply: Boolean = false,
-      parallelism: Int = 0): DataFrame = {
+      parallelism: Int = 0, force: Boolean = false): DataFrame = {
+    // dry-run is read-only and safe on a live checkpoint; only the
+    // deleting mode needs the quiescence guard
+    if (apply) CheckpointGuard.assertQuiescent(spark, ckptDir, "StateGc --apply", force)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val root = new Path(ckptDir)
     val fs = root.getFileSystem(hadoopConf)

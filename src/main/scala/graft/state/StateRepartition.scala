@@ -106,12 +106,14 @@ object StateRepartition extends Logging {
     "sessionWindowStateStoreSaveExec", "flatMapGroupsWithState", "symmetricHashJoin")
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: StateRepartition <oldCheckpointDir> <newCheckpointDir> <newPartitionCount>")
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length == 3,
+      "usage: StateRepartition [--force] <oldCheckpointDir> <newCheckpointDir> <newPartitionCount>")
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
-    run(spark, args(0), args(1), args(2).toInt).show(100, truncate = false)
+    run(spark, pos(0), pos(1), pos(2).toInt,
+      force = flags.contains("--force")).show(100, truncate = false)
   }
 
   /** Migrate `oldCkpt` to `newCkpt` with `newParts` state partitions; the
@@ -127,8 +129,10 @@ object StateRepartition extends Logging {
     * rewritten so the resumed query picks the new engine up from the
     * offset log with no code change. Same-partition-count calls are
     * therefore meaningful too: they migrate the provider alone. */
-  def run(spark: SparkSession, oldCkpt: String, newCkpt: String, newParts: Int): DataFrame = {
+  def run(spark: SparkSession, oldCkpt: String, newCkpt: String, newParts: Int,
+      force: Boolean = false): DataFrame = {
     require(newParts >= 1, s"newParts must be >= 1, got $newParts")
+    CheckpointGuard.assertQuiescent(spark, oldCkpt, "StateRepartition", force)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val oldRoot = new Path(oldCkpt)
     val newRoot = new Path(newCkpt)
@@ -813,15 +817,20 @@ object StateRepartition extends Logging {
 object StateCompact extends Logging {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: StateCompact <oldCheckpointDir> <newCheckpointDir>")
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length == 2,
+      "usage: StateCompact [--force] <oldCheckpointDir> <newCheckpointDir>")
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
-    run(spark, args(0), args(1)).show(100, truncate = false)
+    run(spark, pos(0), pos(1), force = flags.contains("--force"))
+      .show(100, truncate = false)
   }
 
   /** Compact `oldCkpt` into `newCkpt` (same partition count). */
-  def run(spark: SparkSession, oldCkpt: String, newCkpt: String): DataFrame = {
+  def run(spark: SparkSession, oldCkpt: String, newCkpt: String,
+      force: Boolean = false): DataFrame = {
+    CheckpointGuard.assertQuiescent(spark, oldCkpt, "StateCompact", force)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val oldRoot = new Path(oldCkpt)
     val fs = oldRoot.getFileSystem(hadoopConf)
@@ -845,6 +854,6 @@ object StateCompact extends Logging {
       s"$offsetsFile: offsets metadata has no conf.'spark.sql.shuffle.partitions' entry — " +
         "cannot determine the checkpoint's partition count")
     val parts = conf.get("spark.sql.shuffle.partitions").asText().toInt
-    StateRepartition.run(spark, oldCkpt, newCkpt, parts)
+    StateRepartition.run(spark, oldCkpt, newCkpt, parts, force = force)
   }
 }

@@ -945,6 +945,98 @@ object StreamingQueries {
       |       CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT) AS n_cum
       |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** [[stream_tws_ttl]] across a mid-drain KILL + RESTART — the failover
+    * property the reference's in-heap Guava cache could never provide
+    * (its deadlines lived on the executor heap and died with it; SURVEY
+    * §7.4 #2) and the one this provider's durable TTL state exists to
+    * deliver: the same two-variable TTL straddle, but the query is stopped
+    * entirely after bucket 1's emissions and a brand-new query resumes
+    * from the checkpoint for buckets 2-3. The oracle (identical to
+    * [[stream_tws_ttl]]'s) can only hash-match if, across the restart,
+    *
+    *  - the 1 h `run` state AND its `$ttl_` index rode recovery — a lost
+    *    or over-eagerly-expired value resets `n_cum` mid-series;
+    *  - the 1 ms `eph` state written before the kill is expired by the
+    *    RECOVERED deadline index when the resumed query's first batch
+    *    sweeps — a value outliving its persisted deadline inflates
+    *    `n_batch`.
+    *
+    * Restart mechanics: a fresh input dir fed in halves ([[stream_restart]]
+    * discipline, bucket files copied mtime-sequenced), and the sink is
+    * per-batch-partitioned parquet with dynamic overwrite so a batch
+    * replayed at recovery (stopped after its write but before its commit)
+    * lands idempotently ([[stream_dedup_ttl]] discipline). */
+  def stream_tws_ttl_restart(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
+    val staged = stagedBucketDirs.getOrStage(dir)(stageEventBuckets(s, dir))
+    // the staged bucket files in arrival order (mtime-sequenced at staging)
+    val bucketFiles = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      try st.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+        .toVector.sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      finally st.close()
+    }
+    require(bucketFiles.size == BucketCount,
+      s"expected $BucketCount staged bucket files, found ${bucketFiles.size}")
+    val inDir = graft.Staging.tempDir("graft-twsttl-restart-in-")
+    val outDir = graft.Staging.tempDir("graft-twsttl-restart-out-").toString
+    val ckptDir = graft.Staging.tempDir("graft-twsttl-restart-ckpt-").toString
+    var tick = System.currentTimeMillis() - 3600000L
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      val dst = inDir.resolve(p.getFileName.toString)
+      java.nio.file.Files.copy(p, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tick))
+      tick += 60000L
+    }
+    import s.implicits._
+    def emitted(bucket: Int): Boolean = scala.util.Try(
+      s.read.parquet(outDir).filter(col("bucket") === bucket).limit(1).count() == 1L
+    ).getOrElse(false)
+    def runUntil(bucket: Int): Unit = {
+      val typed = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .select(col("user_id"), col("bucket")).as[(Long, Int)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new TtlBucketProcessor, TimeMode.ProcessingTime(),
+          OutputMode.Update())
+        .toDF("user_id", "bucket", "n_batch", "n_cum")
+      val q = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        val deadline = System.nanoTime() + 240L * 1000000000L
+        while (!emitted(bucket) && System.nanoTime() < deadline) Thread.sleep(150)
+        require(emitted(bucket),
+          s"stream_tws_ttl_restart: poll deadline reached before bucket $bucket was emitted")
+      } finally q.stop()
+    }
+    val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
+    feed(firstHalf)
+    runUntil(BucketCount / 2 - 1) // drains buckets 0..1, then KILLED
+    feed(secondHalf)
+    runUntil(BucketCount - 1) // brand-new query resumes from the checkpoint
+    s.read.parquet(outDir).select(col("user_id"), col("bucket"),
+      col("n_batch"), col("n_cum"))
+  }
+
+  val stream_tws_ttl_restart_sql: String = stream_tws_ttl_sql
+
   /** [[stream_tws_ttl]]'s MAP-state sibling: a TTL'd `MapState` (per-user
     * per-type counters) drives the COMPOSITE-key TTL index — each
     * `$ttl_byType` row keys by `(expirationMs, (groupingKey, userKey))`,
@@ -2446,7 +2538,9 @@ object StreamingQueries {
     val (firstHalf, secondHalf) = stagedParts.splitAt(stagedParts.size / 2)
     feed(firstHalf)
     run(sink + "_phase1", ckptA) // 8 partitions, then STOP entirely
-    graft.state.StateRepartition.run(s, ckptA, ckptB, 16)
+    // this gate stopped its own query the line above — the quiescence
+    // guard's mtime heuristic would see seconds-old batch logs
+    graft.state.StateRepartition.run(s, ckptA, ckptB, 16, force = true)
     s.conf.set("spark.sql.shuffle.partitions", "16")
     feed(secondHalf)
     run(sink, ckptB) // resumes at 16 from the migrated checkpoint
@@ -2530,7 +2624,8 @@ object StreamingQueries {
     val (firstHalf, secondHalf) = stagedParts.splitAt(stagedParts.size / 2)
     feed(firstHalf)
     run(1, ckptA) // 8 partitions, then STOP entirely
-    graft.state.StateRepartition.run(s, ckptA, ckptB, 16)
+    // stopped our own query above: waive the quiescence mtime guard
+    graft.state.StateRepartition.run(s, ckptA, ckptB, 16, force = true)
     s.conf.set("spark.sql.shuffle.partitions", "16")
     feed(secondHalf)
     run(2, ckptB) // resumes at 16 from the migrated checkpoint
@@ -2692,6 +2787,7 @@ object StreamingQueries {
     "stream_tws_ttl_map" -> (stream_tws_ttl_map(_, _)),
     "stream_tws_ttl_list" -> (stream_tws_ttl_list(_, _)),
     "stream_dedup_ttl" -> (stream_dedup_ttl(_, _)),
+    "stream_tws_ttl_restart" -> (stream_tws_ttl_restart(_, _)),
     "stream_fmgws_timeout" -> (stream_fmgws_timeout(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_cdc" -> (stream_cdc(_, _)),
@@ -2748,6 +2844,7 @@ object StreamingQueries {
     "stream_tws_ttl_map" -> stream_tws_ttl_map_sql,
     "stream_tws_ttl_list" -> stream_tws_ttl_list_sql,
     "stream_dedup_ttl" -> stream_dedup_ttl_sql,
+    "stream_tws_ttl_restart" -> stream_tws_ttl_restart_sql,
     "stream_fmgws_timeout" -> stream_fmgws_timeout_sql,
     "stream_statestore" -> stream_statestore_sql,
     "stream_cdc" -> stream_cdc_sql,

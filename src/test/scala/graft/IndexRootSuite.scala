@@ -63,6 +63,51 @@ class IndexRootSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.getLastModifiedTime(bMarker) === bBefore)
   }
 
+  test("shard + merged layouts land under the configured root; merged search equals staged path") {
+    val root = Files.createTempDirectory("graft-merge-root-").toString
+    val s2 = spark.newSession()
+    s2.conf.set(Similarity.IndexRootConf, root)
+    val durable = Similarity.sim_index_merge(s2, sfDir).collect()
+      .map(_.toSeq).toSet
+    val slug = Similarity.corpusSlug(sfDir)
+    Seq(s"ivfpq-$slug-shard0", s"ivfpq-$slug-shard1").foreach { sh =>
+      Seq("cells", "codes").foreach { t =>
+        assert(Files.exists(Paths.get(root, sh, t, "_SUCCESS")),
+          s"shard layout $sh/$t written under the root")
+      }
+    }
+    Seq("centroids", "cells", "codebook", "codes").foreach { t =>
+      assert(Files.exists(Paths.get(root, s"ivfpq-$slug-merged", t, "_SUCCESS")),
+        s"merged layout $t written under the root")
+    }
+    val staged = Similarity.sim_index_merge(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(durable === staged, "durable-root merged search equals the staging-memo search")
+  }
+
+  test("corpus LSH signature table lands under the root and is reused, not re-signed") {
+    val root = Files.createTempDirectory("graft-lsh-root-").toString
+    val s2 = spark.newSession()
+    s2.conf.set(Similarity.IndexRootConf, root)
+    val first = operators.Dedup.pipe_dedup_incremental_lsh(s2, sfDir).collect()
+      .map(_.toSeq).toSet
+    val marker = Paths.get(root,
+      s"lsh-sigs-${Similarity.corpusSlug(sfDir)}", "sigs", "_SUCCESS")
+    assert(Files.exists(marker), "signature table written under the root")
+    val before = Files.getLastModifiedTime(marker)
+    // a separate session against the same root: the table must be REUSED
+    val s3 = spark.newSession()
+    s3.conf.set(Similarity.IndexRootConf, root)
+    val again = operators.Dedup.pipe_dedup_incremental_lsh(s3, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(Files.getLastModifiedTime(marker) === before,
+      "second invocation must not rewrite the persisted signatures")
+    assert(first === again)
+    val staged = operators.Dedup.pipe_dedup_incremental_lsh(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(first === staged, "durable-root run equals the staging-memo run")
+  }
+
   test("persisted BPE merges land under the configured root; encode equals staged path") {
     val root = Files.createTempDirectory("graft-bpe-root-").toString
     val s2 = spark.newSession()

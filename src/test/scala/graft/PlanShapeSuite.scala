@@ -114,6 +114,44 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       "quantizer tables come off the original persisted layout")
   }
 
+  test("sim_index_merge: merged-layout search runs zero trainer stages") {
+    val df = operators.Similarity.sim_index_merge(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("vec_sum_long"),
+      "the merged-layout search must contain no Lloyd codebook update — " +
+        "the quantizer was trained once and shared; shard filing and the " +
+        "merge are pure assignments and unions, never retraining")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-merged"))),
+      "search must read the MERGED layout's tables")
+    assert(!scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-shard"))),
+      "serving must come off the merged layout only — shard tables are " +
+        "build-time artifacts, not a serve-time fan-in")
+  }
+
+  test("pipe_dedup_incremental_lsh: corpus comes off the persisted signature table") {
+    operators.Dedup.pipe_dedup_incremental_lsh(spark, sfDir).collect() // builds the layout
+    val df = operators.Dedup.pipe_dedup_incremental_lsh(spark, sfDir)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-lsh-sigs"))),
+      "the corpus side must be read from the persisted signature layout")
+    // exactly ONE subtree computes a MinHash signature: the arriving
+    // batch's. The corpus's signatures are a stored COLUMN of the layout —
+    // a second signing node means the corpus was re-hashed instead of read
+    val signingNodes = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.MinHashSig])) => p
+    }.map(System.identityHashCode).distinct.size
+    assert(signingNodes === 1,
+      s"expected one signature-computing node (the batch), found $signingNodes")
+  }
+
   test("pipe_drift_report: one scan per snapshot (counts reused across vocab/totals/join)") {
     assert(executedScans(Pipeline.pipe_drift_report(spark, sfDir)) === 2,
       "each snapshot's token counts must feed the vocabulary, its total " +

@@ -23,6 +23,7 @@ class StateFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
     .config("spark.ui.enabled", "false")
+    .config(CheckpointGuard.QuiesceConf, "0") // suites stop their own queries
     .getOrCreate()
 
   override def beforeAll(): Unit = { spark; () }

@@ -18,6 +18,7 @@ class StateGcSuite extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-state-gc")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
+    .config(CheckpointGuard.QuiesceConf, "0") // suites stop their own queries
     .getOrCreate()
 
   override def beforeAll(): Unit = { spark; () }

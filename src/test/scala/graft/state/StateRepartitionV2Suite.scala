@@ -26,6 +26,7 @@ class StateRepartitionV2Suite extends AnyFunSuite with BeforeAndAfterAll {
       classOf[RocksDbStateStoreProvider].getName)
     .config("spark.sql.streaming.stateStore.checkpointFormatVersion", "2")
     .config("spark.ui.enabled", "false")
+    .config(CheckpointGuard.QuiesceConf, "0") // suites stop their own queries
     .getOrCreate()
 
   override def beforeAll(): Unit = { spark; () }
