@@ -1991,14 +1991,19 @@ object Similarity {
     * "" is the plain search; the delete-path gates pass the tombstone
     * predicate (candidates removed, query set untouched). */
   private def ivfpqSearchSqlWhere(candFilter: String): String =
+    ivfpqSearchSqlFor("vec_id < 50", candFilter)
+
+  /** [[ivfpqSearchSqlWhere]] generalized to an arbitrary query-set
+    * predicate — the DuckDB mirror of [[ivfpqSearchFor]]. */
+  private def ivfpqSearchSqlFor(queryPred: String, candFilter: String): String =
     s"""WITH $ivfpqIndexCtesDuck,
       |probes AS (SELECT vec_id AS qid, ccid AS cell FROM cscored
-      |  WHERE vec_id < 50 AND crank <= $NumProbes),
+      |  WHERE ($queryPred) AND crank <= $NumProbes),
       |tbl AS (SELECT sq.vec_id AS qid, c2.m AS m, c2.cid AS cid,
       |    list_sum(list_transform(range(1, len(cv)+1), i ->
       |      CAST(cv[i] AS DOUBLE) * CAST(sq.sv[i] AS DOUBLE)))
       |    / sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS t
-      |  FROM sq JOIN c2 ON sq.m = c2.m WHERE sq.vec_id < 50),
+      |  FROM sq JOIN c2 ON sq.m = c2.m WHERE ($queryPred)),
       |cand AS (SELECT probes.qid, cellof.vec_id
       |  FROM cellof JOIN probes ON cellof.cell = probes.cell
       |  WHERE cellof.vec_id != probes.qid$candFilter),
@@ -2120,6 +2125,47 @@ object Similarity {
   /** The merged layout equals the one-shot build on the union by
     * construction, so the oracle is shared with [[sim_topk_ivfpq]]. */
   lazy val sim_index_merge_sql: String = sim_topk_ivfpq_sql
+
+  /** The arriving-batch predicate of the SEMANTIC incremental-dedup gate —
+    * ~2% of the corpus, deterministic and SQL-stateable on both engines. */
+  private[graft] val IncrEmbBatchPred = "vec_id % 53 = 5"
+
+  /** SEMANTIC incremental dedup, served from the STANDING index — the
+    * third member of the incremental-dedup trio (exact fingerprints:
+    * `Pipeline.pipe_dedup_incremental`; lexical MinHash-LSH:
+    * `Dedup.pipe_dedup_incremental_lsh`; semantic: this): each vector of
+    * an arriving batch ([[IncrEmbBatchPred]]) probes the PERSISTED IVF×PQ
+    * layout ([[persistedIvfpqIndex]]) for its nearest CORPUS near-dups —
+    * batch members are excluded from the candidate side, so the output is
+    * exactly the "is this new document semantically already in the
+    * corpus, and where" decision input. (The batch's own vectors are
+    * already FILED in the layout — the insert path runs on arrival,
+    * `stream_index_update` — so the dedup screen is a re-probe that asks
+    * which EARLIER members they duplicate; excluding them from the
+    * candidate side is what makes the answer "corpus near-dups only".)
+    * No trainer stage anywhere: the
+    * batch is coarse-probed and ADC-scored against stored centroids,
+    * cells, codebooks and codes ([[ivfpqSearchFor]], the serve path's
+    * plan).
+    *
+    * Scale: per-batch cost is O(batch × probes × cell-size) ADC lookups
+    * against 5-small-int index rows — the corpus's raw embeddings are
+    * never read, never shuffled; this is the SemDeDup-style screen a
+    * 100 TB ingest runs on every arrival increment. */
+  def pipe_dedup_incremental_embedding(s: SparkSession, dir: String): DataFrame = {
+    val idx = persistedIvfpqIndex(s, dir)
+    val batch = expr(IncrEmbBatchPred)
+    ivfpqSearchFor(
+      Tables.embeddings(s, dir).filter(batch),
+      Tables.embeddingsDim(s, dir),
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$idx/cells").filter(!batch),
+      s.read.parquet(s"$idx/codebook"),
+      s.read.parquet(s"$idx/codes"))
+  }
+
+  lazy val pipe_dedup_incremental_embedding_sql: String =
+    ivfpqSearchSqlFor(IncrEmbBatchPred, s" AND NOT (cellof.$IncrEmbBatchPred)")
 
   /** TRIANGLE census + local clustering coefficient over the staged kNN
     * graph — the standard density diagnostic for an embedding space: a
@@ -2359,6 +2405,7 @@ object Similarity {
     "sim_index_persist" -> sim_index_persist _,
     "sim_index_compact" -> sim_index_compact _,
     "sim_index_merge" -> sim_index_merge _,
+    "pipe_dedup_incremental_embedding" -> pipe_dedup_incremental_embedding _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_pq_distortion" -> sim_pq_distortion _,
     "sim_quantize_int8" -> sim_quantize_int8 _,
@@ -2393,6 +2440,7 @@ object Similarity {
     "sim_index_persist" -> sim_index_persist_sql,
     "sim_index_compact" -> sim_index_compact_sql,
     "sim_index_merge" -> sim_index_merge_sql,
+    "pipe_dedup_incremental_embedding" -> pipe_dedup_incremental_embedding_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_pq_distortion" -> sim_pq_distortion_sql,
     "sim_quantize_int8" -> sim_quantize_int8_sql,

@@ -1024,6 +1024,20 @@ object StreamingQueries {
         while (!emitted(bucket) && System.nanoTime() < deadline) Thread.sleep(150)
         require(emitted(bucket),
           s"stream_tws_ttl_restart: poll deadline reached before bucket $bucket was emitted")
+        // Rows become VISIBLE while the writing batch's dynamic-overwrite
+        // commit may still be moving sibling files — stopping here could
+        // strand a partial partition, and after the FINAL phase no replay
+        // repairs it (mid-phase-1 partials are healed by the resume's
+        // idempotent re-run). Proc-time tws always schedules further
+        // batches, and lastProgress only advances when a batch has fully
+        // committed — so two more batchId advances prove the writer batch
+        // closed out.
+        def progressId: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        val seenAt = progressId
+        while (progressId <= seenAt + 1 && System.nanoTime() < deadline) Thread.sleep(100)
+        require(progressId > seenAt + 1,
+          s"stream_tws_ttl_restart: bucket $bucket emitted but the writing " +
+            "batch never settled before the poll deadline")
       } finally q.stop()
     }
     val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)

@@ -152,6 +152,28 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       s"expected one signature-computing node (the batch), found $signingNodes")
   }
 
+  test("pipe_dedup_incremental_embedding: batch probes the persisted index, zero trainer stages") {
+    val df = operators.Similarity.pipe_dedup_incremental_embedding(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("vec_sum_long"),
+      "the semantic incremental screen is a SERVE of the standing index — " +
+        "no Lloyd update may appear in its plan")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-index"))),
+      "candidates and quantizer tables come off the persisted layout")
+    val corpusScans = scans.filter(
+      _.metadata.get("Location").exists(_.contains("embeddings")))
+    assert(corpusScans.nonEmpty, "the arriving batch reads its raw vectors")
+    corpusScans.foreach { sc =>
+      assert(sc.metadata.get("PushedFilters").exists(_.contains("vec_id")),
+        s"batch-side corpus scan must push its vec_id predicate to parquet, " +
+          s"got ${sc.metadata.get("PushedFilters")}")
+    }
+  }
+
   test("pipe_drift_report: one scan per snapshot (counts reused across vocab/totals/join)") {
     assert(executedScans(Pipeline.pipe_drift_report(spark, sfDir)) === 2,
       "each snapshot's token counts must feed the vocabulary, its total " +
