@@ -881,7 +881,7 @@ object Pipeline {
     * unique doc, NOT the corpus text) — the join ships fingerprints only,
     * and everything keys on `fp`, so the corpus aggregate, the batch
     * window, and the join share one shuffle family. */
-  private[operators] val IncrCorpusSources = 10
+  private[graft] val IncrCorpusSources = 10
 
   def pipe_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),

@@ -1434,6 +1434,72 @@ object StreamingQueries {
        |  CAST(count(*) AS BIGINT) AS n_docs
        |FROM bands GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Streaming INCREMENTAL LSH SERVE — the persisted corpus signature
+    * table (`Dedup.persistedCorpusLshSigs`, the asset
+    * `pipe_dedup_incremental_lsh` maintains) consumed by a streaming
+    * ingest: arriving batch documents (source index >= the corpus split)
+    * are shingled and signed IN the micro-batch, band-joined against the
+    * STATIC signature table's band keys (stream-static join — the corpus
+    * is never re-hashed, its bands are a projection of stored
+    * signatures), candidate pairs are deduped across band collisions in
+    * provider state (`dropDuplicates` on the pair), and survivors are
+    * exact-Jaccard verified against shingle sets read statically. Every
+    * emitted pair is independent of chunk interleaving (arrivals are
+    * unique, verification is deterministic), so the incremental run
+    * equals the one-shot batch screen restricted to batch-vs-corpus
+    * pairs — the oracle.
+    *
+    * Scale: per micro-batch cost is O(batch) signing + a band-bucket join
+    * whose corpus side is the compact signature table; state carries only
+    * seen (batch, corpus) ID pairs. This is [[stream_ann_serve]]'s shape
+    * with the lexical index in place of the vector index. */
+  def stream_lsh_serve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    runToTable(s, { s2 =>
+      val sigsDir = Dedup.persistedCorpusLshSigs(s2, dir)
+      val corpus = s2.read.parquet(s"$sigsDir/sigs")
+      val corpusBands = corpus
+        .select(col("doc_id"), posexplode(expr(Dedup.bandKeysExpr)))
+        .toDF("corpus_id", "band", "bkey")
+      val arrivals = documentsStream(s2, dir)
+        .filter(expr(s"CAST(substring(source, 4) AS INT) >= " +
+          s"${graft.operators.Pipeline.IncrCorpusSources}"))
+        .select(col("doc_id"), col("text"))
+      val cand = Dedup.lshBandRows(arrivals)
+        .join(corpusBands, Seq("band", "bkey"))
+        .select(col("doc_id"), col("corpus_id"))
+        .dropDuplicates("doc_id", "corpus_id")
+      val batchSh = Tables.documents(s2, dir)
+        .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh_b"))
+      val corpusSh = corpus.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+      cand.join(batchSh, "doc_id")
+        .join(corpusSh, "corpus_id")
+        .withColumn("common", size(array_intersect(col("sh_b"), col("sh_c"))))
+        .withColumn("union_size", size(col("sh_b")) + size(col("sh_c")) - col("common"))
+        .filter(col("common") * 10 >= col("union_size") * 6)
+        .select(col("doc_id"), col("corpus_id"), col("common"), col("union_size"),
+          (col("common") * 1000).divide(col("union_size")).cast("long")
+            .as("jaccard_per_mille"))
+    }, OutputMode.Append(), "stream_lsh_serve")
+  }
+
+  /** The one-shot LSH pairs with exactly one batch side, oriented
+    * (batch doc, corpus doc). */
+  lazy val stream_lsh_serve_sql: String = {
+    val split = graft.operators.Pipeline.IncrCorpusSources
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT * FROM (${graft.operators.Dedup.dedup_minhash_lsh_sql})),
+       |cls AS (SELECT doc_id, CAST(substr(source, 4) AS INT) >= $split AS is_batch
+       |  FROM documents)
+       |SELECT CASE WHEN a.is_batch THEN doc_id_a ELSE doc_id_b END AS doc_id,
+       |  CASE WHEN a.is_batch THEN doc_id_b ELSE doc_id_a END AS corpus_id,
+       |  common, union_size, jaccard_per_mille
+       |FROM pairs
+       |JOIN cls a ON a.doc_id = pairs.doc_id_a
+       |JOIN cls b ON b.doc_id = pairs.doc_id_b
+       |WHERE a.is_batch != b.is_batch""".stripMargin
+  }
+
   /** Streaming CORPUS MATERIALIZATION — the end-to-end ingest pipeline a
     * continuously-crawling corpus build runs, as ONE chained stateful
     * query: each arriving document is quality-classified in the
@@ -2815,6 +2881,7 @@ object StreamingQueries {
     "stream_foreach_batch" -> (stream_foreach_batch(_, _)),
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
+    "stream_lsh_serve" -> (stream_lsh_serve(_, _)),
     "stream_kmv" -> (stream_kmv(_, _)),
     "stream_drift" -> (stream_drift(_, _)),
     "stream_corpus" -> (stream_corpus(_, _)),
@@ -2872,6 +2939,7 @@ object StreamingQueries {
     "stream_tws_repartition" -> stream_tws_repartition_sql,
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
+    "stream_lsh_serve" -> stream_lsh_serve_sql,
     "stream_kmv" -> stream_kmv_sql,
     "stream_drift" -> stream_drift_sql,
     "stream_corpus" -> stream_corpus_sql,
