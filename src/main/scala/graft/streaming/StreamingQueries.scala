@@ -1458,6 +1458,11 @@ object StreamingQueries {
     runToTable(s, { s2 =>
       val sigsDir = Dedup.persistedCorpusLshSigs(s2, dir)
       val corpus = s2.read.parquet(s"$sigsDir/sigs")
+      // the corpus-side tables are O(N) (bands, shingle sets): they stay
+      // parquet scans per micro-batch rather than memory-cached — at
+      // corpus scale they do not fit executor memory, and the compact
+      // signature table is exactly the artifact that makes the re-scan
+      // cheap (no text, no re-hashing)
       val corpusBands = corpus
         .select(col("doc_id"), posexplode(expr(Dedup.bandKeysExpr)))
         .toDF("corpus_id", "band", "bkey")
@@ -1927,28 +1932,36 @@ object StreamingQueries {
     val dim = Tables.embeddingsDim(s, dir)
     val outDir = graft.Staging.tempDir("graft-annserve-out-").toString
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
-    val q = embeddingsStream(s, dir)
-      .filter(col("vec_id") < 50)
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s2 = batch.sparkSession
-        Similarity.ivfpqSearchFor(batch.select(col("vec_id"), col("embedding")), dim,
-            s2.read.parquet(s"$idx/centroids"),
-            s2.read.parquet(s"$idx/cells"),
-            s2.read.parquet(s"$idx/codebook"),
-            s2.read.parquet(s"$idx/codes"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .format("parquet")
-          .partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .save(outDir)
-      }
-      .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the QUANTIZER tables (centroids + codebook — broadcast-sized at any
+    // corpus scale, k + PqM*PqK rows) pin in memory once per serve query
+    // instead of being re-read per micro-batch; the O(N) per-vector tables
+    // (cells, codes) deliberately stay parquet scans — at 10^10 vectors
+    // they do not fit executor memory, and the probed-cell filter prunes
+    // their I/O per trigger (the documented serve posture in SCALE.md)
+    val cent = s.read.parquet(s"$idx/centroids").persist()
+    val cells = s.read.parquet(s"$idx/cells")
+    val code = s.read.parquet(s"$idx/codebook").persist()
+    val codes = s.read.parquet(s"$idx/codes")
+    try {
+      val q = embeddingsStream(s, dir)
+        .filter(col("vec_id") < 50)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Similarity.ivfpqSearchFor(batch.select(col("vec_id"), col("embedding")), dim,
+              cent, cells, code, codes)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally Seq(cent, code).foreach(_.unpersist(false))
     s.read.parquet(outDir).select(col("qid"), col("neighbor_id"), col("rank"))
   }
 
