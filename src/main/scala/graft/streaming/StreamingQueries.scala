@@ -945,6 +945,21 @@ object StreamingQueries {
       |       CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT) AS n_cum
       |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** The staged bucket files in arrival order (mtime-sequenced at
+    * staging) — the replay units the restart/evolution gates feed in
+    * halves through a fresh input dir. */
+  private def stagedBucketFiles(s: SparkSession, dir: String): Vector[java.nio.file.Path] = {
+    val staged = stagedBucketDirs.getOrStage(dir)(stageEventBuckets(s, dir))
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+    val files =
+      try st.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+        .toVector.sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      finally st.close()
+    require(files.size == BucketCount,
+      s"expected $BucketCount staged bucket files, found ${files.size}")
+    files
+  }
+
   /** [[stream_tws_ttl]] across a mid-drain KILL + RESTART — the failover
     * property the reference's in-heap Guava cache could never provide
     * (its deadlines lived on the executor heap and died with it; SURVEY
@@ -974,16 +989,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
-    val staged = stagedBucketDirs.getOrStage(dir)(stageEventBuckets(s, dir))
-    // the staged bucket files in arrival order (mtime-sequenced at staging)
-    val bucketFiles = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
-      try st.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
-        .toVector.sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      finally st.close()
-    }
-    require(bucketFiles.size == BucketCount,
-      s"expected $BucketCount staged bucket files, found ${bucketFiles.size}")
+    val bucketFiles = stagedBucketFiles(s, dir)
     val inDir = graft.Staging.tempDir("graft-twsttl-restart-in-")
     val outDir = graft.Staging.tempDir("graft-twsttl-restart-out-").toString
     val ckptDir = graft.Staging.tempDir("graft-twsttl-restart-ckpt-").toString
@@ -1050,6 +1056,97 @@ object StreamingQueries {
   }
 
   val stream_tws_ttl_restart_sql: String = stream_tws_ttl_sql
+
+  /** STATE SCHEMA EVOLUTION across a restart — the lifecycle event every
+    * long-lived stateful pipeline eventually hits: the processor's state
+    * class gains a field and the resumed query must decode the old
+    * generation's rows into the new shape. Spark-4 tws supports this under
+    * Avro state encoding (`spark.sql.streaming.stateStore.encodingFormat =
+    * avro`), and THIS provider stores the avro-framed bytes plus the
+    * versioned state schemas — so the gate proves the whole stack: run
+    * buckets 0-1 with `EvolveS1(cnt)`, stop, resume from the same
+    * checkpoint over buckets 2-3 with `EvolveS2(cnt, mille)` (one added
+    * field). The oracle hash-matches only if
+    *
+    *  - the old rows DECODE into the evolved shape with the running count
+    *    intact (a lost or reset state breaks `n_cum` mid-series), and
+    *  - the added field reads as its default (0) for pre-evolution state,
+    *    so `late_mille` accumulates exactly from bucket 2 on.
+    *
+    * Input feed and idempotent per-batch parquet sink follow
+    * [[stream_tws_ttl_restart]]; each phase writes its own output dir
+    * (their schemas differ — that is the point), unioned with the old
+    * generation's `late_mille` stated as 0. */
+  def stream_tws_evolve(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
+    val bucketFiles = stagedBucketFiles(s, dir)
+    val inDir = graft.Staging.tempDir("graft-twsevolve-in-")
+    val out1 = graft.Staging.tempDir("graft-twsevolve-out1-").toString
+    val out2 = graft.Staging.tempDir("graft-twsevolve-out2-").toString
+    val ckptDir = graft.Staging.tempDir("graft-twsevolve-ckpt-").toString
+    var tick = System.currentTimeMillis() - 3600000L
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      val dst = inDir.resolve(p.getFileName.toString)
+      java.nio.file.Files.copy(p, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tick))
+      tick += 60000L
+    }
+    import s.implicits._
+    def input = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .select(col("user_id"), col("bucket"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("mille"))
+      .as[(Long, Int, Long)]
+    def run(out: DataFrame, outDir: String): Unit = {
+      val q = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
+    feed(firstHalf)
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveV1Processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "bucket", "n_cum"), out1)
+    feed(secondHalf)
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveV2Processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "bucket", "n_cum", "late_mille"), out2)
+    s.read.parquet(out1)
+      .select(col("user_id"), col("bucket"), col("n_cum"), lit(0L).as("late_mille"))
+      .unionByName(s.read.parquet(out2)
+        .select(col("user_id"), col("bucket"), col("n_cum"), col("late_mille")))
+  }
+
+  val stream_tws_evolve_sql: String =
+    """WITH e AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS mille,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events),
+      |c AS (SELECT user_id, bucket, count(*) AS n,
+      |    sum(CASE WHEN bucket >= 2 THEN mille ELSE 0 END) AS lm
+      |  FROM e GROUP BY 1, 2)
+      |SELECT user_id, bucket,
+      |  CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+      |  CAST(sum(lm) OVER w AS BIGINT) AS late_mille
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin
 
   /** [[stream_tws_ttl]]'s MAP-state sibling: a TTL'd `MapState` (per-user
     * per-type counters) drives the COMPOSITE-key TTL index — each
@@ -1280,6 +1377,47 @@ object StreamingQueries {
       var total = 0L
       vals.get().foreach { v => items += 1; total += v }
       Iterator.single((user, bucket, items, total, nBatch))
+    }
+  }
+
+  /** [[stream_tws_evolve]]'s two state generations: V2 adds one field. */
+  private case class EvolveS1(cnt: Long)
+  private case class EvolveS2(cnt: Long, mille: Long)
+
+  private class EvolveV1Processor
+    extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long)] {
+    @transient private var st: ValueState[EvolveS1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EvolveS1]("agg", Encoders.product[EvolveS1],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long)] = {
+      var bucket = -1
+      var n = 0L
+      rows.foreach { r => bucket = r._2; n += 1 }
+      val cnt = (if (st.exists()) st.get().cnt else 0L) + n
+      st.update(EvolveS1(cnt))
+      Iterator.single((user, bucket, cnt))
+    }
+  }
+
+  private class EvolveV2Processor
+    extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long, Long)] {
+    @transient private var st: ValueState[EvolveS2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EvolveS2]("agg", Encoders.product[EvolveS2],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
+      var bucket = -1
+      var n = 0L
+      var add = 0L
+      rows.foreach { r => bucket = r._2; n += 1; add += r._3 }
+      // pre-evolution rows decode with the added field at its default (0)
+      val prev = if (st.exists()) st.get() else EvolveS2(0L, 0L)
+      val v = EvolveS2(prev.cnt + n, prev.mille + add)
+      st.update(v)
+      Iterator.single((user, bucket, v.cnt, v.mille))
     }
   }
 
@@ -2881,6 +3019,7 @@ object StreamingQueries {
     "stream_tws_ttl_list" -> (stream_tws_ttl_list(_, _)),
     "stream_dedup_ttl" -> (stream_dedup_ttl(_, _)),
     "stream_tws_ttl_restart" -> (stream_tws_ttl_restart(_, _)),
+    "stream_tws_evolve" -> (stream_tws_evolve(_, _)),
     "stream_fmgws_timeout" -> (stream_fmgws_timeout(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_cdc" -> (stream_cdc(_, _)),
@@ -2939,6 +3078,7 @@ object StreamingQueries {
     "stream_tws_ttl_list" -> stream_tws_ttl_list_sql,
     "stream_dedup_ttl" -> stream_dedup_ttl_sql,
     "stream_tws_ttl_restart" -> stream_tws_ttl_restart_sql,
+    "stream_tws_evolve" -> stream_tws_evolve_sql,
     "stream_fmgws_timeout" -> stream_fmgws_timeout_sql,
     "stream_statestore" -> stream_statestore_sql,
     "stream_cdc" -> stream_cdc_sql,
