@@ -16,6 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * of `(as(j) * h(s) + bs(j)) % p`, where `h(s)` is the first 7 hex chars of
   * `md5(s)` parsed base-16 (28 bits, so `a * h < 2^57` — no 64-bit overflow).
   *
+  * Accepts either `array<string>` (raw shingles — the md5 runs here) or
+  * `array<bigint>` (pre-hashed 60-bit shingle hashes from
+  * [[WordShingleHashes]], where h(s) is the stored value's top 28 bits,
+  * `h60 >>> 32` — bit-identical to hashing the string, since the 60-bit
+  * hash IS the first 15 hex chars of the same md5). The hashed form is what
+  * the persisted signature tables store: signing a batch from its hashed
+  * shingle sets never rebuilds shingle strings.
+  *
   * Replaces an interpreted higher-order `aggregate`/`zip_with` fold (one
   * lambda closure + one array allocation per shingle per fold step) with a
   * single compiled pass per row — the same arithmetic, so the DuckDB oracle
@@ -36,10 +44,14 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
   override def prettyName: String = "minhash_sig"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<string> input, got ${t.catalogString}")
+      s"$prettyName requires an array<string> or array<bigint> input, got ${t.catalogString}")
   }
+
+  private lazy val hashedInput: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   @transient private lazy val aArr: Array[Long] = as.toArray
   @transient private lazy val bArr: Array[Long] = bs.toArray
@@ -57,11 +69,17 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
     var i = 0
     while (i < n) {
       if (!input.isNullAt(i)) {
-        digest.reset()
-        val d = digest.digest(input.getUTF8String(i).getBytes)
-        // first 7 hex chars of the md5 = the top 28 bits of the digest
-        val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-          ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
+        val h = if (hashedInput) {
+          // 60-bit stored hash: the first 15 md5 hex chars; its top 28
+          // bits ARE the first 7 hex chars — the string-path base hash
+          input.getLong(i) >>> 32
+        } else {
+          digest.reset()
+          val d = digest.digest(input.getUTF8String(i).getBytes)
+          // first 7 hex chars of the md5 = the top 28 bits of the digest
+          ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+            ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
+        }
         var j = 0
         while (j < k) {
           val v = (aArr(j) * h + bArr(j)) % p

@@ -376,6 +376,14 @@ object Dedup extends Logging {
     "CASE WHEN len(toks) < 3 THEN [tx] ELSE list_distinct(list_transform(" +
     "range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END"
 
+  /** The shingle set as distinct 60-bit md5 hashes (DuckDB mirror of
+    * [[graft.functions.WordShingleHashes]]): what the LSH family states
+    * its Jaccard over, and what the persisted signature tables store —
+    * ~8 bytes per shingle instead of the shingle string. */
+  private[graft] val shingleHashesD =
+    s"list_distinct(list_transform($shinglesD, s -> " +
+    "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))"
+
   val dedup_ngram_jaccard_sql: String =
     s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
@@ -496,7 +504,7 @@ object Dedup extends Logging {
     * barrier for three-way reuse). */
   private[graft] def lshBandRows(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh"))
       .withColumn("sig",
         graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
       .select(col("doc_id"), posexplode(expr(bandKeysExpr)))
@@ -508,13 +516,11 @@ object Dedup extends Logging {
     val aArr = hashAs.mkString("[", ",", "]")
     val bArr = hashBs.mkString("[", ",", "]")
     s"""tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
-       |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
-       |hsx AS (SELECT doc_id, sh, list_transform(sh, s ->
-       |          CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs FROM sh),
+       |sh AS (SELECT doc_id, $shingleHashesD AS sh FROM tok),
        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, ${NumHashes - 1}), j ->
-       |          list_min(list_transform(hs, h ->
-       |            ($aArr[j + 1] * h + $bArr[j + 1]) % $MinHashP))) AS sg
-       |        FROM hsx),
+       |          list_min(list_transform(sh, h ->
+       |            ($aArr[j + 1] * (h // 4294967296) + $bArr[j + 1]) % $MinHashP))) AS sg
+       |        FROM sh),
        |bands AS (SELECT doc_id, u.b,
        |            CAST(sg[2*u.b+1] AS VARCHAR) || ',' || CAST(sg[2*u.b+2] AS VARCHAR) AS bkey
        |          FROM sig, unnest(generate_series(0, ${NumBands - 1})) AS u(b))""".stripMargin
@@ -522,11 +528,18 @@ object Dedup extends Logging {
 
   /** MinHash signatures + banded LSH + exact verification of candidates.
     * Same output contract as dedup_ngram_jaccard; the oracle mirrors the
-    * banding, so the gate checks the real LSH pipeline, not just recall. */
+    * banding, so the gate checks the real LSH pipeline, not just recall.
+    *
+    * The shingle sets are DISTINCT 60-BIT HASHES, not strings
+    * ([[graft.functions.WordShingleHashes]] — the same engine-portable md5
+    * discipline as the inverted-index postings): the verification joins
+    * shuffle ~8 bytes per shingle instead of the shingle text, and the
+    * Jaccard both engines state is over the identical hash sets (a 60-bit
+    * collision merges the same two shingles on both sides). */
   def dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     val bandKeys = bandKeysExpr
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh"))
     // The signature is a compiled single-pass kernel (one md5 per shingle +
     // 32 integer permutations maintaining running minima) — the former
     // interpreted aggregate/zip_with fold paid a lambda closure + array
@@ -563,13 +576,11 @@ object Dedup extends Logging {
     val aArr = hashAs.mkString("[", ",", "]")
     val bArr = hashBs.mkString("[", ",", "]")
     s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
-       |sh AS (SELECT doc_id, $shinglesD AS sh FROM tok),
-       |hsx AS (SELECT doc_id, sh, list_transform(sh, s ->
-       |          CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs FROM sh),
+       |sh AS (SELECT doc_id, $shingleHashesD AS sh FROM tok),
        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, ${NumHashes - 1}), j ->
-       |          list_min(list_transform(hs, h ->
-       |            ($aArr[j + 1] * h + $bArr[j + 1]) % $MinHashP))) AS sg
-       |        FROM hsx),
+       |          list_min(list_transform(sh, h ->
+       |            ($aArr[j + 1] * (h // 4294967296) + $bArr[j + 1]) % $MinHashP))) AS sg
+       |        FROM sh),
        |bands AS (SELECT doc_id, u.b,
        |            CAST(sg[2*u.b+1] AS VARCHAR) || ',' || CAST(sg[2*u.b+2] AS VARCHAR) AS bkey
        |          FROM sig, unnest(generate_series(0, ${NumBands - 1})) AS u(b)),
@@ -589,13 +600,18 @@ object Dedup extends Logging {
   private val lshSigsDirMemo = new graft.Memo[String]
 
   /** The corpus's MinHash artifacts persisted ONCE as data — (doc_id,
-    * shingles, signature) under the index root ([[Similarity.IndexRootConf]],
-    * [[Similarity.publishLayout]] atomic-publish discipline): the
-    * signature table a production incremental dedup actually maintains.
-    * Each arriving batch computes signatures for ITS documents only and
-    * bands them against the persisted table — the 100 TB corpus is never
-    * re-shingled, never re-hashed, never re-read; the per-batch cost is
-    * O(batch) + the band-bucket join. */
+    * hashed shingle set, signature) under the index root
+    * ([[Similarity.IndexRootConf]], [[Similarity.publishLayout]]
+    * atomic-publish discipline): the signature table a production
+    * incremental dedup actually maintains. The `sh` column is DISTINCT
+    * 60-BIT HASHES ([[graft.functions.WordShingleHashes]]) — ~8 bytes per
+    * shingle, so the artifact is signature-sized, NOT a re-encoding of the
+    * corpus text (shingle strings would be ~3x the corpus). Each arriving
+    * batch computes signatures for ITS documents only and bands them
+    * against the persisted table — the 100 TB corpus is never re-shingled,
+    * never re-hashed, never re-read; the per-batch cost is O(batch) + the
+    * band-bucket join, and the exact-Jaccard verify shuffles hash sets,
+    * never text. */
   private[graft] def persistedCorpusLshSigs(s: SparkSession, dir: String): String = {
     val root = s.conf.getOption(Similarity.IndexRootConf).map(_.trim).filter(_.nonEmpty)
     lshSigsDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
@@ -606,7 +622,7 @@ object Dedup extends Logging {
       Similarity.publishLayout(s, p, "sigs/_SUCCESS") { tmp =>
         Tables.documents(s, dir)
           .filter(expr(s"CAST(substring(source, 4) AS INT) < ${Pipeline.IncrCorpusSources}"))
-          .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+          .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh"))
           .withColumn("sig",
             graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
           .write.parquet(s"$tmp/sigs")
@@ -627,7 +643,8 @@ object Dedup extends Logging {
     * with at least one batch member (corpus-internal pairs were settled
     * when the corpus was filed), which is the oracle.
     *
-    * Scale: the shuffle carries signatures and shingle sets, never text;
+    * Scale: the shuffle carries signatures and 60-bit hashed shingle sets
+    * (~8 bytes/shingle), never text or shingle strings;
     * the corpus is read from its compact signature table (plan-pinned in
     * `PlanShapeSuite`: the documents table is scanned once, for the batch);
     * banding bounds candidates exactly as the one-shot path. */
@@ -636,7 +653,7 @@ object Dedup extends Logging {
     val corpus = s.read.parquet(s"$sigsDir/sigs")
     val batch = Tables.documents(s, dir)
       .filter(expr(s"CAST(substring(source, 4) AS INT) >= ${Pipeline.IncrCorpusSources}"))
-      .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh"))
       .withColumn("sig",
         graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
       .repartition(col("doc_id")) // materialize once: bands + both verify sides

@@ -1612,8 +1612,14 @@ object StreamingQueries {
         .join(corpusBands, Seq("band", "bkey"))
         .select(col("doc_id"), col("corpus_id"))
         .dropDuplicates("doc_id", "corpus_id")
+      // batch docs only (same predicate as the arrivals filter): the
+      // corpus must never be re-shingled here — its hash sets come off
+      // the persisted signature table below, and every candidate's
+      // doc_id is a batch doc by construction
       val batchSh = Tables.documents(s2, dir)
-        .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh_b"))
+        .filter(expr(s"CAST(substring(source, 4) AS INT) >= " +
+          s"${graft.operators.Pipeline.IncrCorpusSources}"))
+        .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh_b"))
       val corpusSh = corpus.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
       cand.join(batchSh, "doc_id")
         .join(corpusSh, "corpus_id")

@@ -106,6 +106,18 @@ class IndexRootSuite extends AnyFunSuite with BeforeAndAfterAll {
     val staged = operators.Dedup.pipe_dedup_incremental_lsh(spark, sfDir).collect()
       .map(_.toSeq).toSet
     assert(first === staged, "durable-root run equals the staging-memo run")
+    // the artifact must be signature-sized, not a re-encoding of the corpus:
+    // no string (or string-array) column may appear in the stored schema —
+    // shingle sets are persisted as 60-bit hashes (WordShingleHashes)
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val sigSchema = s2.read.parquet(
+      Paths.get(root, s"lsh-sigs-${Similarity.corpusSlug(sfDir)}", "sigs").toString).schema
+    sigSchema.fields.foreach { f =>
+      assert(f.dataType != StringType && f.dataType != ArrayType(StringType, true) &&
+        f.dataType != ArrayType(StringType, false),
+        s"signature table column ${f.name} stores text (${f.dataType.simpleString}) — " +
+          "the persisted artifact would be O(corpus text)")
+    }
   }
 
   test("persisted BPE merges land under the configured root; encode equals staged path") {

@@ -59,6 +59,18 @@ class MinHashSigSuite extends AnyFunSuite with BeforeAndAfterAll {
     check(strs.toDF("text"))
   }
 
+  test("hashed-shingle input yields the identical signature (h28 = h60 >>> 32)") {
+    val diff = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(
+        functions.WordShingles.of(col("text"), 3).as("sh"),
+        functions.WordShingleHashes.of(col("text"), 3).as("hs"))
+      .select(
+        functions.MinHashSig.of(col("sh"), as, bs, p).as("fromStrings"),
+        functions.MinHashSig.of(col("hs"), as, bs, p).as("fromHashes"))
+      .filter(not(col("fromStrings") <=> col("fromHashes")))
+    assert(diff.count() === 0, diff.take(3).mkString("; "))
+  }
+
   test("empty shingle set yields the init vector; null input yields null") {
     import spark.implicits._
     val out = Seq((Seq.empty[String], 1), (null, 2)).toDF("sh", "tag")

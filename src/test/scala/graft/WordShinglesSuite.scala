@@ -54,6 +54,37 @@ class WordShinglesSuite extends AnyFunSuite with BeforeAndAfterAll {
     check(edges)
   }
 
+  /** [[graft.functions.WordShingleHashes]] must equal hash-of-the-string-
+    * shingles as a SET: same distinct 60-bit values the DuckDB oracle
+    * states with `list_distinct(list_transform(sh, s -> ...))`, and the
+    * same h60 discipline as `Dedup.h60S`. */
+  private def checkHashed(df: org.apache.spark.sql.DataFrame): Unit = {
+    val refExpr =
+      """array_distinct(transform(ref_sh, s ->
+        |  CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))""".stripMargin
+    val diff = df
+      .select(
+        functions.WordShingleHashes.of(col("text"), 3).as("fast"),
+        functions.WordShingles.of(col("text"), 3).as("ref_sh"))
+      .select(col("fast"), expr(refExpr).as("ref"))
+      .filter(not(array_sort(col("fast")) <=> array_sort(col("ref"))))
+    assert(diff.count() === 0, diff.take(3).mkString("; "))
+  }
+
+  test("WordShingleHashes = distinct h60 of the string shingles, fixture corpus") {
+    checkHashed(Tables.documents(spark, "/root/testdata/sf0.001"))
+  }
+
+  test("WordShingleHashes matches on whitespace and short-text edges") {
+    import spark.implicits._
+    checkHashed(Seq(
+      "", " ", "one", "one two", "one two three",
+      "  leading and trailing  ", "tab\tseparated\ttokens here",
+      "newline\nin the middle", "a  b   c d", "x y z w",
+      "repeat repeat repeat repeat repeat", "héllo wörld multibyte shingle"
+    ).toDF("text"))
+  }
+
   private def checkChar(df: org.apache.spark.sql.DataFrame): Unit = {
     val diff = df
       .select(
