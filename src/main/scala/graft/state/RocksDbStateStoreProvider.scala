@@ -895,7 +895,15 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         }
       }
       cfKeySchemaJson.put(name, cfKeySchema.json)
-      cfRegJson.getOrElseUpdate(name,
+      // put, not getOrElseUpdate: under VALUE-schema evolution a restarted
+      // query re-registers the family with the evolved value schema, and the
+      // persisted record must follow — a cold reader (the `statestore`
+      // source) rebuilds its codec from this record, and a stale
+      // pre-evolution schema there made it decode evolved families into
+      // rows one field short (the reader then read the added field past the
+      // row's end). Commit writes the record only when it differs from the
+      // persisted one, so the non-evolving steady state stays write-once.
+      cfRegJson.put(name,
         RocksDbStateStoreProvider.cfRegToJson(cfKeySchema, cfValueSchema, spec, multiValued, isInternal))
       val info = CfInfo(name, KeyCodec(spec),
         new ValueCodec(cfValueSchema.length, multiValued, evolution),
@@ -1243,15 +1251,19 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
               recordPut(MetaCf, sk, sv)
             }
           }
-          // and its full registration record (same write-once discipline),
-          // so a cold reader can rebuild the codec without the engine
-          // re-registering the family — see the note on persistedCfRegs
-          if (!persistedCfRegs.contains(i.name)) {
-            cfRegJson.get(i.name).foreach { json =>
+          // and its full registration record, so a cold reader can rebuild
+          // the codec without the engine re-registering the family — see
+          // the note on persistedCfRegs. Unlike the key schema this is NOT
+          // write-once: value-schema evolution re-registers the family with
+          // the evolved schema, and the record must track it or cold reads
+          // decode one field short. Written only on change.
+          cfRegJson.get(i.name).foreach { json =>
+            if (!persistedCfRegs.get(i.name).contains(json)) {
               val rk = (CfRegMetaPrefix + i.name).getBytes("UTF-8")
               val rv = json.getBytes("UTF-8")
               db.put(metaHandle, rk, rv)
               recordPut(MetaCf, rk, rv)
+              persistedCfRegs.put(i.name, json)
             }
           }
         }

@@ -193,10 +193,15 @@ final class RangeScanKeyCodec(keySchema: StructType, orderingOrdinals: Seq[Int])
   * when a schema provider is present, every stored value row is prefixed
   * with the 2-byte schema ID it was written under. Rows read back under a
   * newer schema decode with their original layout and are projected to the
-  * current one — fields added since read as null, type widenings cast — so
-  * a `transformWithState` query can extend its value schema across a
-  * restart and still read pre-evolution state. (The reference predates the
-  * SPI; Spark's built-in provider gets this only with Avro encoding.)
+  * current one — resolved BY FIELD NAME, matching the Avro schema-resolution
+  * semantics Spark's built-in provider applies under Avro encoding: fields
+  * added since read as null, removed fields drop, reordered fields follow
+  * their name, type widenings cast. (A renamed field reads as null, exactly
+  * as in Avro without aliases; a positional fallback would instead
+  * mis-assign every field after a reorder.) So a `transformWithState`
+  * query can evolve its value schema across a restart and still read
+  * pre-evolution state. (The reference predates the SPI; Spark's built-in
+  * provider gets this only with Avro encoding.)
   */
 final class ValueSchemaEvolution(
     provider: StateSchemaProvider,
@@ -209,16 +214,18 @@ final class ValueSchemaEvolution(
     scala.collection.mutable.HashMap.empty[Short, (UnsafeProjection, Int)]
 
   /** Projection from the row layout of `oldId` to the current schema:
-    * shared fields positionally (cast if widened), added tail fields null. */
+    * fields resolved by NAME (cast if widened), unmatched fields null. */
   def projectionFor(oldId: Short): (UnsafeProjection, Int) = cache.synchronized {
     cache.getOrElseUpdate(oldId, {
       val oldSchema = provider.getSchemaMetadataValue(
         StateSchemaMetadataKey(cfName, oldId, isKey = false)).sqlSchema
-      val exprs = currentSchema.fields.zipWithIndex.map { case (f, i) =>
-        if (i < oldSchema.length) {
-          val ref = BoundReference(i, oldSchema(i).dataType, nullable = true)
-          if (oldSchema(i).dataType == f.dataType) ref else Cast(ref, f.dataType)
-        } else Literal(null, f.dataType)
+      val exprs = currentSchema.fields.map { f =>
+        oldSchema.fields.indexWhere(_.name == f.name) match {
+          case -1 => Literal(null, f.dataType): org.apache.spark.sql.catalyst.expressions.Expression
+          case i =>
+            val ref = BoundReference(i, oldSchema(i).dataType, nullable = true)
+            if (oldSchema(i).dataType == f.dataType) ref else Cast(ref, f.dataType)
+        }
       }
       (UnsafeProjection.create(exprs.toIndexedSeq), oldSchema.length)
     })

@@ -1148,6 +1148,176 @@ object StreamingQueries {
       |FROM c
       |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin
 
+  /** [[stream_tws_evolve]]'s MAP-STATE sibling: the state class that
+    * evolves is the map's VALUE class — per-(user, event_type) counters
+    * stored in a `MapState[String, EvolveS1]` gain a field across the
+    * restart (`EvolveS2` adds `mille`). Map entries ride a different codec
+    * path than value state (per-user-key rows in the column family, the
+    * multi-part key framing in `StateRowCodecs`), which is exactly where a
+    * decode-shift bug under the 2-byte Avro schema prefix would hide. The
+    * oracle hash-matches only if every pre-evolution map entry decodes
+    * into the evolved shape with its count intact (`n_type_cum` continues
+    * mid-series per (user, type)) and the added field reads as 0
+    * (`late_mille` accumulates exactly from bucket 2 on). Harness =
+    * [[stream_tws_evolve]]'s (halved feed, one checkpoint, idempotent
+    * per-batch sinks). */
+  def stream_tws_evolve_map(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
+    val bucketFiles = stagedBucketFiles(s, dir)
+    val inDir = graft.Staging.tempDir("graft-twsevolvemap-in-")
+    val out1 = graft.Staging.tempDir("graft-twsevolvemap-out1-").toString
+    val out2 = graft.Staging.tempDir("graft-twsevolvemap-out2-").toString
+    val ckptDir = graft.Staging.tempDir("graft-twsevolvemap-ckpt-").toString
+    var tick = System.currentTimeMillis() - 3600000L
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      val dst = inDir.resolve(p.getFileName.toString)
+      java.nio.file.Files.copy(p, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tick))
+      tick += 60000L
+    }
+    import s.implicits._
+    def input = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .select(col("user_id"), col("event_type"), col("bucket"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("mille"))
+      .as[(Long, String, Int, Long)]
+    def run(out: DataFrame, outDir: String): Unit = {
+      val q = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
+    feed(firstHalf)
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveMapV1Processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "bucket", "event_type", "n_type_cum"), out1)
+    feed(secondHalf)
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveMapV2Processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "bucket", "event_type", "n_type_cum", "late_mille"), out2)
+    s.read.parquet(out1)
+      .select(col("user_id"), col("bucket"), col("event_type"), col("n_type_cum"),
+        lit(0L).as("late_mille"))
+      .unionByName(s.read.parquet(out2)
+        .select(col("user_id"), col("bucket"), col("event_type"), col("n_type_cum"),
+          col("late_mille")))
+  }
+
+  val stream_tws_evolve_map_sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(floor(value * 1000) AS BIGINT) AS mille,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events),
+      |c AS (SELECT user_id, event_type, bucket, count(*) AS n,
+      |    sum(CASE WHEN bucket >= 2 THEN mille ELSE 0 END) AS lm
+      |  FROM e GROUP BY 1, 2, 3)
+      |SELECT user_id, bucket, event_type,
+      |  CAST(sum(n) OVER w AS BIGINT) AS n_type_cum,
+      |  CAST(sum(lm) OVER w AS BIGINT) AS late_mille
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket)""".stripMargin
+
+  /** [[stream_tws_evolve]]'s LIST-STATE sibling: the ELEMENT class of a
+    * `ListState` evolves across the restart (`EvolveL1(mille)` →
+    * `EvolveL2(mille, w)`). List state is the multi-value framing path
+    * (elements packed value-rows in `StateRowCodecs` — the codec where a
+    * decode-shift bug DID hide once, fixed r9), so this gate is the
+    * evolution proof for exactly that framing: the resumed query reads
+    * pre-evolution elements through the evolved Avro schema. The oracle
+    * hash-matches only if every old element's `mille` survives (the
+    * cumulative `sum_mille` is seeded by phase-1 appends) and the added
+    * `w` reads as 0 on old elements while phase-2 appends carry `w = 1`
+    * (`late_items` counts exactly the post-evolution appends). */
+  def stream_tws_evolve_list(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
+    val bucketFiles = stagedBucketFiles(s, dir)
+    val inDir = graft.Staging.tempDir("graft-twsevolvelist-in-")
+    val out1 = graft.Staging.tempDir("graft-twsevolvelist-out1-").toString
+    val out2 = graft.Staging.tempDir("graft-twsevolvelist-out2-").toString
+    val ckptDir = graft.Staging.tempDir("graft-twsevolvelist-ckpt-").toString
+    var tick = System.currentTimeMillis() - 3600000L
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      val dst = inDir.resolve(p.getFileName.toString)
+      java.nio.file.Files.copy(p, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tick))
+      tick += 60000L
+    }
+    import s.implicits._
+    def input = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .select(col("user_id"), col("bucket"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("mille"))
+      .as[(Long, Int, Long)]
+    def run(out: DataFrame, outDir: String): Unit = {
+      val q = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
+    feed(firstHalf)
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveListV1Processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "bucket", "n_items", "sum_mille"), out1)
+    feed(secondHalf)
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveListV2Processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "bucket", "n_items", "sum_mille", "late_items"), out2)
+    s.read.parquet(out1)
+      .select(col("user_id"), col("bucket"), col("n_items"), col("sum_mille"),
+        lit(0L).as("late_items"))
+      .unionByName(s.read.parquet(out2)
+        .select(col("user_id"), col("bucket"), col("n_items"), col("sum_mille"),
+          col("late_items")))
+  }
+
+  val stream_tws_evolve_list_sql: String =
+    """WITH e AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS mille,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4 AS INT) AS bucket
+      |  FROM events),
+      |c AS (SELECT user_id, bucket, count(*) AS n, sum(mille) AS sm FROM e GROUP BY 1, 2)
+      |SELECT user_id, bucket,
+      |  CAST(sum(n) OVER w AS BIGINT) AS n_items,
+      |  CAST(sum(sm) OVER w AS BIGINT) AS sum_mille,
+      |  CAST(sum(CASE WHEN bucket >= 2 THEN n ELSE 0 END) OVER w AS BIGINT) AS late_items
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin
+
   /** [[stream_tws_ttl]]'s MAP-state sibling: a TTL'd `MapState` (per-user
     * per-type counters) drives the COMPOSITE-key TTL index — each
     * `$ttl_byType` row keys by `(expirationMs, (groupingKey, userKey))`,
@@ -1418,6 +1588,97 @@ object StreamingQueries {
       val v = EvolveS2(prev.cnt + n, prev.mille + add)
       st.update(v)
       Iterator.single((user, bucket, v.cnt, v.mille))
+    }
+  }
+
+  /** [[stream_tws_evolve_map]]'s two generations: the map VALUE class
+    * evolves from [[EvolveS1]] to [[EvolveS2]] under the same state name. */
+  private class EvolveMapV1Processor
+    extends StatefulProcessor[Long, (Long, String, Int, Long), (Long, Int, String, Long)] {
+    @transient private var byType: MapState[String, EvolveS1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      byType = getHandle.getMapState[String, EvolveS1]("byType", Encoders.STRING,
+        Encoders.product[EvolveS1], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, String, Long)] = {
+      var bucket = -1
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { r =>
+        bucket = r._3
+        touched.update(r._2, touched.getOrElse(r._2, 0L) + 1L)
+      }
+      touched.iterator.map { case (t, k) =>
+        val cnt = (if (byType.containsKey(t)) byType.getValue(t).cnt else 0L) + k
+        byType.updateValue(t, EvolveS1(cnt))
+        (user, bucket, t, cnt)
+      }.toVector.iterator
+    }
+  }
+
+  private class EvolveMapV2Processor
+    extends StatefulProcessor[Long, (Long, String, Int, Long), (Long, Int, String, Long, Long)] {
+    @transient private var byType: MapState[String, EvolveS2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      byType = getHandle.getMapState[String, EvolveS2]("byType", Encoders.STRING,
+        Encoders.product[EvolveS2], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, String, Long, Long)] = {
+      var bucket = -1
+      val cnts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val milles = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { r =>
+        bucket = r._3
+        cnts.update(r._2, cnts.getOrElse(r._2, 0L) + 1L)
+        milles.update(r._2, milles.getOrElse(r._2, 0L) + r._4)
+      }
+      cnts.iterator.map { case (t, k) =>
+        // pre-evolution entries decode with the added field at its default
+        val prev = if (byType.containsKey(t)) byType.getValue(t) else EvolveS2(0L, 0L)
+        val v = EvolveS2(prev.cnt + k, prev.mille + milles(t))
+        byType.updateValue(t, v)
+        (user, bucket, t, v.cnt, v.mille)
+      }.toVector.iterator
+    }
+  }
+
+  /** [[stream_tws_evolve_list]]'s two element generations. */
+  private case class EvolveL1(mille: Long)
+  private case class EvolveL2(mille: Long, w: Long)
+
+  private class EvolveListV1Processor
+    extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long, Long)] {
+    @transient private var vals: ListState[EvolveL1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      vals = getHandle.getListState[EvolveL1]("vals", Encoders.product[EvolveL1],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
+      var bucket = -1
+      rows.foreach { r => bucket = r._2; vals.appendValue(EvolveL1(r._3)) }
+      var items = 0L
+      var total = 0L
+      vals.get().foreach { v => items += 1; total += v.mille }
+      Iterator.single((user, bucket, items, total))
+    }
+  }
+
+  private class EvolveListV2Processor
+    extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long, Long, Long)] {
+    @transient private var vals: ListState[EvolveL2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      vals = getHandle.getListState[EvolveL2]("vals", Encoders.product[EvolveL2],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long, Long, Long)] = {
+      var bucket = -1
+      rows.foreach { r => bucket = r._2; vals.appendValue(EvolveL2(r._3, 1L)) }
+      var items = 0L
+      var total = 0L
+      var late = 0L
+      // pre-evolution elements decode with w at its default (0), so `late`
+      // counts exactly the post-evolution appends
+      vals.get().foreach { v => items += 1; total += v.mille; late += v.w }
+      Iterator.single((user, bucket, items, total, late))
     }
   }
 
@@ -3026,6 +3287,8 @@ object StreamingQueries {
     "stream_dedup_ttl" -> (stream_dedup_ttl(_, _)),
     "stream_tws_ttl_restart" -> (stream_tws_ttl_restart(_, _)),
     "stream_tws_evolve" -> (stream_tws_evolve(_, _)),
+    "stream_tws_evolve_map" -> (stream_tws_evolve_map(_, _)),
+    "stream_tws_evolve_list" -> (stream_tws_evolve_list(_, _)),
     "stream_fmgws_timeout" -> (stream_fmgws_timeout(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
     "stream_cdc" -> (stream_cdc(_, _)),
@@ -3085,6 +3348,8 @@ object StreamingQueries {
     "stream_dedup_ttl" -> stream_dedup_ttl_sql,
     "stream_tws_ttl_restart" -> stream_tws_ttl_restart_sql,
     "stream_tws_evolve" -> stream_tws_evolve_sql,
+    "stream_tws_evolve_map" -> stream_tws_evolve_map_sql,
+    "stream_tws_evolve_list" -> stream_tws_evolve_list_sql,
     "stream_fmgws_timeout" -> stream_fmgws_timeout_sql,
     "stream_statestore" -> stream_statestore_sql,
     "stream_cdc" -> stream_cdc_sql,

@@ -417,6 +417,43 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     } finally p3.close()
   }
 
+  test("value-schema evolution resolves fields by NAME: reorder + widen + remove + add") {
+    val ckpt = newCheckpointDir()
+    // v0: (a Int, b String, d Int); v1: (b String, a Long, c Long)
+    // — one evolution exercising all four Avro-resolution directions the
+    // built-in provider supports under Avro encoding: d removed, b/a
+    // reordered, a widened Int→Long, c added (reads null). A positional
+    // projection would mis-assign every field here.
+    val schemaV0 = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType), StructField("d", IntegerType)))
+    val schemaV1 = StructType(Seq(
+      StructField("b", StringType), StructField("a", LongType), StructField("c", LongType)))
+    class FakeSchemaProvider(current: Short) extends StateSchemaProvider {
+      override def getSchemaMetadataValue(key: StateSchemaMetadataKey): StateSchemaMetadataValue =
+        StateSchemaMetadataValue(if (key.schemaId == 0) schemaV0 else schemaV1, null)
+      override def getCurrentStateSchemaId(colFamilyName: String, isKey: Boolean): Short = current
+    }
+    val p1 = newProvider(ckpt, vSchema = schemaV0,
+      stateSchemaProvider = Some(new FakeSchemaProvider(0)))
+    try {
+      val s = p1.getStore(0, None)
+      val proj = UnsafeProjection.create(Array[DataType](IntegerType, StringType, IntegerType))
+      s.put(keyRow("a"), proj(InternalRow(7, UTF8String.fromString("x"), 99)).copy(),
+        StateStore.DEFAULT_COL_FAMILY_NAME)
+      s.commit()
+    } finally p1.close()
+    val p2 = newProvider(ckpt, vSchema = schemaV1,
+      stateSchemaProvider = Some(new FakeSchemaProvider(1)))
+    try {
+      val s = p2.getStore(1, None)
+      val old = s.get(keyRow("a"), StateStore.DEFAULT_COL_FAMILY_NAME)
+      assert(old.getUTF8String(0).toString === "x", "b follows its name across the reorder")
+      assert(old.getLong(1) === 7L, "a follows its name and widens Int -> Long")
+      assert(old.isNullAt(2), "c (added) null-pads")
+      s.abort()
+    } finally p2.close()
+  }
+
   test("latestIterator reads the newest committed version across restarts") {
     val ckpt = newCheckpointDir()
     assert(getLatestData(ckpt) === Map.empty) // no state yet

@@ -112,9 +112,107 @@ class StateSourceTwsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("key.value AS k").as[String].collect().toSet
     assert(timers === Set("a", "b", "c", "d"), "every key registered a timer")
   }
+
+  test("evolved list-state elements read back through the statestore source") {
+    import scala.jdk.CollectionConverters._
+    import StateSourceTwsSuite.{EvolveListP1, EvolveListP2}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    import s.implicits._
+    val inDir = Files.createTempDirectory("graft-evolve-src-in-")
+    val ckpt = Files.createTempDirectory("graft-evolve-src-ckpt-").toString
+    var tick = System.currentTimeMillis() - 3600000L
+    def stage(name: String, rows: Seq[(String, Int)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-evolve-src-stage-")
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part =
+        try st.iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
+        finally st.close()
+      val dst = inDir.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tick))
+      tick += 60000L
+    }
+    val schema = Seq(("x", 1)).toDF("k", "v").schema
+    def input = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString).as[(String, Int)]
+    def run(out: org.apache.spark.sql.DataFrame): Unit = {
+      val q = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // must process EVERY partition or the state commits fail
+          // validation — noop write drains the batch without a sink
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage("f1.parquet", Seq(("a", 1), ("a", 2), ("b", 3)))
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveListP1, TimeMode.None(), OutputMode.Update())
+      .toDF("k", "n"))
+    stage("f2.parquet", Seq(("a", 4)))
+    run(input.groupByKey(_._1)
+      .transformWithState(new EvolveListP2, TimeMode.None(), OutputMode.Update())
+      .toDF("k", "n", "w"))
+    // cold read of the EVOLVED list through the statestore source: the
+    // multi-value framing must decode pre-evolution elements into the
+    // evolved shape — the added field reads NULL through the reader
+    // (Spark's built-in provider behaves identically; inside the processor
+    // the non-nullable Long encoder surfaces the same null as 0) — in
+    // append order, with post-evolution appends carrying their written
+    // value. Nullable boxed tuple: a null w must stay observable.
+    val got = s.read.format("statestore").option("operatorId", "0")
+      .option("stateVarName", "vals").load(ckpt)
+      .selectExpr("key.value AS k", "list_element.mille AS mille",
+        "list_element.w AS w")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.filter(_._1 == "a").map(t => (t._2, t._3)) ===
+      Seq((1L, None), (2L, None), (4L, Some(1L))),
+      "old elements must decode (mille intact, added field null) in append order")
+    assert(got.toSet === Set(("a", 1L, None), ("a", 2L, None),
+      ("a", 4L, Some(1L)), ("b", 3L, None)))
+  }
 }
 
 object StateSourceTwsSuite {
+
+  /** Two element generations for the list-evolution read-back test. */
+  case class EvLA(mille: Long)
+  case class EvLB(mille: Long, w: Long)
+
+  class EvolveListP1 extends StatefulProcessor[String, (String, Int), (String, Long)] {
+    @transient private var vals: ListState[EvLA] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      vals = getHandle.getListState[EvLA]("vals", Encoders.product[EvLA], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      var n = 0L
+      rows.foreach { r => n += 1; vals.appendValue(EvLA(r._2.toLong)) }
+      Iterator.single((key, n))
+    }
+  }
+
+  class EvolveListP2 extends StatefulProcessor[String, (String, Int), (String, Long, Long)] {
+    @transient private var vals: ListState[EvLB] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      vals = getHandle.getListState[EvLB]("vals", Encoders.product[EvLB], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      var n = 0L
+      rows.foreach { r => n += 1; vals.appendValue(EvLB(r._2.toLong, 1L)) }
+      var w = 0L
+      vals.get().foreach(v => w += v.w)
+      Iterator.single((key, n, w))
+    }
+  }
+
   /** Top-level (serializable closure) — every tws state-variable type plus
     * a processing-time timer per key. */
   class AllStateProcessor extends StatefulProcessor[String, (String, Int), (String, Long)] {
