@@ -1866,7 +1866,7 @@ object Similarity {
     * alike), so the return value alone cannot detect a lost race: we check
     * dest up front, and after a "successful" rename we still verify the
     * done marker and sweep any nested tmp junk before trusting the layout. */
-  private[operators] def publishLayout(
+  private[graft] def publishLayout(
       s: SparkSession, p: String, doneMarker: String)(build: String => Unit): String = {
     val dest = new org.apache.hadoop.fs.Path(p)
     val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1876,6 +1876,18 @@ object Similarity {
         s"persisted layout $p exists but is incomplete (no $doneMarker) — " +
           "remove it and retrain")
     if (!fs.exists(marker)) {
+      // A NON-empty marker-less dest can never become the publish target
+      // (rename into an existing dir nests, not replaces) — decide the
+      // stale-partial refusal BEFORE paying the build, which at corpus
+      // scale is hours. requireComplete re-checks the marker, so a racer
+      // finishing between the two exists() calls passes instead of
+      // throwing; the post-rename sweep below still covers the true
+      // mid-build race.
+      if (fs.exists(dest) &&
+        !scala.util.Try(fs.listStatus(dest).isEmpty).getOrElse(false)) {
+        requireComplete()
+        return p
+      }
       val tmp = new org.apache.hadoop.fs.Path(
         p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       build(tmp.toString)
@@ -2102,14 +2114,49 @@ object Similarity {
             .write.parquet(s"$tmp/codes")
         }
       }
-      publishLayout(s, layoutPath("merged"), "codes/_SUCCESS") { tmp =>
-        s.read.parquet(s"$base/centroids").write.parquet(s"$tmp/centroids")
-        s.read.parquet(s"$base/codebook").write.parquet(s"$tmp/codebook")
-        shards.map(sp => s.read.parquet(s"$sp/cells")).reduce(_ unionByName _)
-          .write.parquet(s"$tmp/cells")
-        shards.map(sp => s.read.parquet(s"$sp/codes")).reduce(_ unionByName _)
-          .write.parquet(s"$tmp/codes")
+      mergeShardLayouts(s, base, shards, layoutPath("merged"))
+    }
+  }
+
+  /** A shard merge was asked to combine layouts whose vector-id sets
+    * OVERLAP — a re-filed vector. Blind concatenation would silently
+    * duplicate that vector's index rows (it would appear twice in every
+    * candidate list it reaches), so the merge refuses loudly; re-shard or
+    * compact the duplicate out first. */
+  final class OverlappingShardsException(sample: Seq[Long], shards: Seq[String])
+    extends IllegalStateException(
+      s"shard merge refused: vec_ids filed by more than one shard " +
+        s"(sample: ${sample.mkString(", ")}) across ${shards.mkString(", ")} — " +
+        "a blind union would duplicate their index rows; re-shard on a " +
+        "disjoint key or compact the duplicates out of one shard first")
+
+  /** Concatenate shard layouts (per-vector `cells`/`codes` tables) under
+    * the SHARED quantizer at `base` into one served layout at `dest` —
+    * pure unions, zero shuffle, zero trainer stages. Refuses with
+    * [[OverlappingShardsException]] when the shards' vector-id sets
+    * intersect (the re-filed-vector case): disjointness is the merge's
+    * correctness precondition, and the check is one id-column aggregate —
+    * 8 bytes a row — against a rewrite that would otherwise serve
+    * duplicates silently. */
+  private[graft] def mergeShardLayouts(
+      s: SparkSession, base: String, shards: Seq[String], dest: String): String = {
+    val dup = shards.zipWithIndex
+      .map { case (sp, i) =>
+        s.read.parquet(s"$sp/cells").select(col("vec_id")).withColumn("shard", lit(i))
       }
+      .reduce(_ unionByName _)
+      .groupBy(col("vec_id")).agg(countDistinct(col("shard")).as("ns"))
+      .filter(col("ns") > 1)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    if (dup.nonEmpty) throw new OverlappingShardsException(dup, shards)
+    publishLayout(s, dest, "codes/_SUCCESS") { tmp =>
+      s.read.parquet(s"$base/centroids").write.parquet(s"$tmp/centroids")
+      s.read.parquet(s"$base/codebook").write.parquet(s"$tmp/codebook")
+      shards.map(sp => s.read.parquet(s"$sp/cells")).reduce(_ unionByName _)
+        .write.parquet(s"$tmp/cells")
+      shards.map(sp => s.read.parquet(s"$sp/codes")).reduce(_ unionByName _)
+        .write.parquet(s"$tmp/codes")
     }
   }
 
@@ -2125,6 +2172,32 @@ object Similarity {
   /** The merged layout equals the one-shot build on the union by
     * construction, so the oracle is shared with [[sim_topk_ivfpq]]. */
   lazy val sim_index_merge_sql: String = sim_topk_ivfpq_sql
+
+  /** DELETE + COMPACT against the MERGED layout — the proof that a merged
+    * index is a first-class MUTABLE layout, not a terminal artifact:
+    * [[sim_index_compact]]'s tombstone rewrite applied to
+    * [[mergedIvfpqIndex]]'s per-vector tables (quantizer untouched), then
+    * served. With [[stream_ann_serve]]'s shape run against the merged
+    * layout (`stream_ann_serve_merged`), this closes the lifecycle matrix:
+    * every verb (serve, insert-by-filing, delete) runs against every
+    * layout origin (one-shot, compacted, merged). Oracle shared with
+    * [[sim_index_compact]] — merged ≡ one-shot row-for-row, so compaction
+    * over it must too. */
+  def sim_index_merge_compact(s: SparkSession, dir: String): DataFrame = {
+    val idx = mergedIvfpqIndex(s, dir)
+    val keep = expr(s"NOT ($TombstonePred)")
+    val p = graft.Staging.tempDir("graft-ivfpq-merged-compact-").toString
+    s.read.parquet(s"$idx/cells").filter(keep).write.parquet(s"$p/cells")
+    s.read.parquet(s"$idx/codes").filter(keep).write.parquet(s"$p/codes")
+    ivfpqSearchFor(Tables.embeddings(s, dir).filter(col("vec_id") < 50),
+      Tables.embeddingsDim(s, dir),
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$p/cells"),
+      s.read.parquet(s"$idx/codebook"),
+      s.read.parquet(s"$p/codes"))
+  }
+
+  lazy val sim_index_merge_compact_sql: String = sim_index_compact_sql
 
   /** The arriving-batch predicate of the SEMANTIC incremental-dedup gate —
     * ~2% of the corpus, deterministic and SQL-stateable on both engines. */
@@ -2405,6 +2478,7 @@ object Similarity {
     "sim_index_persist" -> sim_index_persist _,
     "sim_index_compact" -> sim_index_compact _,
     "sim_index_merge" -> sim_index_merge _,
+    "sim_index_merge_compact" -> sim_index_merge_compact _,
     "pipe_dedup_incremental_embedding" -> pipe_dedup_incremental_embedding _,
     "sim_topk_pq" -> sim_topk_pq _,
     "sim_pq_distortion" -> sim_pq_distortion _,
@@ -2440,6 +2514,7 @@ object Similarity {
     "sim_index_persist" -> sim_index_persist_sql,
     "sim_index_compact" -> sim_index_compact_sql,
     "sim_index_merge" -> sim_index_merge_sql,
+    "sim_index_merge_compact" -> sim_index_merge_compact_sql,
     "pipe_dedup_incremental_embedding" -> pipe_dedup_incremental_embedding_sql,
     "sim_topk_pq" -> sim_topk_pq_sql,
     "sim_pq_distortion" -> sim_pq_distortion_sql,

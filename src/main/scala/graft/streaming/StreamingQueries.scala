@@ -2327,13 +2327,26 @@ object StreamingQueries {
     * batch's rows, and nothing retrains or reshuffles the corpus; the
     * steady-state cost of a serving cluster is O(queries × probes), not
     * O(corpus). */
-  def stream_ann_serve(s0: SparkSession, dir: String): DataFrame = {
+  def stream_ann_serve(s0: SparkSession, dir: String): DataFrame =
+    annServeOver(s0, dir, graft.operators.Similarity.persistedIvfpqIndex)
+
+  /** [[stream_ann_serve]] against the MERGED layout
+    * ([[graft.operators.Similarity.mergedIvfpqIndex]]): the serve half of
+    * the merged-index lifecycle proof — a layout built by shard
+    * concatenation must serve streaming queries exactly like the one-shot
+    * build (merged ≡ one-shot row-for-row, so the oracle is shared). */
+  def stream_ann_serve_merged(s0: SparkSession, dir: String): DataFrame =
+    annServeOver(s0, dir, graft.operators.Similarity.mergedIvfpqIndex)
+
+  private def annServeOver(
+      s0: SparkSession, dir: String,
+      idxOf: (SparkSession, String) => String): DataFrame = {
     import graft.operators.Similarity
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val idx = Similarity.persistedIvfpqIndex(s, dir)
+    val idx = idxOf(s, dir)
     val dim = Tables.embeddingsDim(s, dir)
     val outDir = graft.Staging.tempDir("graft-annserve-out-").toString
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
@@ -2373,6 +2386,9 @@ object StreamingQueries {
   /** Deterministic integer-exact training + per-query independence make
     * the streamed serve equal the one-shot batch search — shared oracle. */
   lazy val stream_ann_serve_sql: String = graft.operators.Similarity.sim_topk_ivfpq_sql
+
+  lazy val stream_ann_serve_merged_sql: String =
+    graft.operators.Similarity.sim_topk_ivfpq_sql
 
   /** Streaming ANN index UPDATE — the INSERT half of the persisted-index
     * lifecycle ([[stream_ann_serve]] is the query half): vectors arrive as
@@ -3311,6 +3327,7 @@ object StreamingQueries {
     "stream_semdedup" -> (stream_semdedup(_, _)),
     "stream_quantile" -> (stream_quantile(_, _)),
     "stream_ann_serve" -> (stream_ann_serve(_, _)),
+    "stream_ann_serve_merged" -> (stream_ann_serve_merged(_, _)),
     "stream_index_update" -> (stream_index_update(_, _)),
     "stream_index_delete" -> (stream_index_delete(_, _)),
     "stream_mm_dedup" -> (stream_mm_dedup(_, _)),
@@ -3372,6 +3389,7 @@ object StreamingQueries {
     "stream_semdedup" -> stream_semdedup_sql,
     "stream_quantile" -> stream_quantile_sql,
     "stream_ann_serve" -> stream_ann_serve_sql,
+    "stream_ann_serve_merged" -> stream_ann_serve_merged_sql,
     "stream_index_update" -> stream_index_update_sql,
     "stream_index_delete" -> stream_index_delete_sql,
     "stream_mm_dedup" -> stream_mm_dedup_sql)

@@ -85,6 +85,39 @@ class IndexRootSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(durable === staged, "durable-root merged search equals the staging-memo search")
   }
 
+  test("merging shards with overlapping vec_ids refuses loudly, before any write") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val root = Files.createTempDirectory("graft-overlap-root-").toString
+    val s2 = spark.newSession()
+    s2.conf.set(Similarity.IndexRootConf, root)
+    // the shared quantizer + two OVERLAPPING shard layouts: vec_id % 2 == 0
+    // and vec_id % 3 == 0 — every multiple of 6 is filed twice
+    val base = Similarity.sim_index_persist(s2, sfDir) // ensures the layout
+    val slug = Similarity.corpusSlug(sfDir)
+    val basePath = s"$root/ivfpq-$slug"
+    val dim = Tables.embeddingsDim(s2, sfDir)
+    val shardPaths = Seq(2, 3).map { m =>
+      val p = s"$root/ivfpq-$slug-ovl$m"
+      Similarity.publishLayout(s2, p, "codes/_SUCCESS") { tmp =>
+        val filed = Similarity.ivfpqFileFor(
+          Tables.embeddings(s2, sfDir).filter(pmod(col("vec_id"), lit(m)) === 0),
+          dim,
+          s2.read.parquet(s"$basePath/centroids"),
+          s2.read.parquet(s"$basePath/codebook"))
+        filed.select(col("vec_id"), col("cell")).distinct().write.parquet(s"$tmp/cells")
+        filed.select(col("vec_id"), col("m"), col("cid")).write.parquet(s"$tmp/codes")
+      }
+    }
+    val dest = s"$root/ivfpq-$slug-ovl-merged"
+    val e = intercept[Similarity.OverlappingShardsException] {
+      Similarity.mergeShardLayouts(s2, basePath, shardPaths, dest)
+    }
+    assert(e.getMessage.contains("0")) // vec_id 0 is in both shards
+    assert(!Files.exists(Paths.get(dest)),
+      "a refused merge must not leave a partial destination layout")
+    base // silence unused warning; persist path asserted by its own test
+  }
+
   test("corpus LSH signature table lands under the root and is reused, not re-signed") {
     val root = Files.createTempDirectory("graft-lsh-root-").toString
     val s2 = spark.newSession()
