@@ -1759,6 +1759,85 @@ object StreamingQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM d p WHERE p.user_id = d.user_id
       |  AND p.event_type = d.event_type AND p.bucket = d.bucket - 1)""".stripMargin
 
+  /** [[stream_dedup_ttl]] across a mid-drain KILL + RESTART — the failover
+    * proof for the USER-FACING strict-TTL path (`implicits.stateTimeout`,
+    * the reference README's flagship dedup-with-expiry shape), completing
+    * what [[stream_tws_ttl_restart]] proved for the native tws `TTLConfig`
+    * path: the provider's persisted deadline CF — the direct answer to the
+    * reference's in-heap Guava expiry cache
+    * (`RocksDbStateStoreProvider.scala:711-726`), which died with the
+    * executor — must drive expiry AFTER recovery. The query is stopped
+    * entirely after bucket 1 and a brand-new query resumes from the
+    * checkpoint for buckets 2-3 under the same pinned per-batch clock, so
+    * every bucket 2-3 re-emission in the oracle happens only if the
+    * RECOVERED deadlines expire the bucket-0/1 seen-set on schedule, and
+    * every suppression only if surviving entries rode recovery intact
+    * (over-eager expiry re-emits, lost deadlines suppress — both break the
+    * hash). Oracle identical to [[stream_dedup_ttl]]'s. Restart mechanics:
+    * halved mtime-sequenced feed + idempotent per-batch dynamic-overwrite
+    * parquet ([[stream_tws_ttl_restart]] discipline). */
+  def stream_dedup_ttl_restart(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.STRICT_EXPIRE, "true")
+    val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
+    val bucketFiles = stagedBucketFiles(s, dir)
+    val inDir = graft.Staging.tempDir("graft-dedupttlrs-in-")
+    val outDir = graft.Staging.tempDir("graft-dedupttlrs-out-").toString
+    val ckptRoot = graft.Staging.tempDir("graft-ckpt-").toString
+    var tick = System.currentTimeMillis() - 3600000L
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      val dst = inDir.resolve(p.getFileName.toString)
+      java.nio.file.Files.copy(p, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tick))
+      tick += 60000L
+    }
+    val base = 1700000000000L // arbitrary fixed epoch for the pinned clock
+    def runPhase(): Unit =
+      graft.state.RocksDbStateStoreProvider.withTtlClock(() => base) {
+        import graft.state.implicits._
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .select(col("user_id"), col("event_type"), col("bucket"))
+          .dropDuplicates("user_id", "event_type")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // pin the TTL clock for THIS batch before its stateful plan
+            // runs; batch ids CONTINUE across the restart, so recovered
+            // deadlines written under batches 0-1 face clocks 2 h/3 h later
+            graft.state.RocksDbStateStoreProvider.clock = () => base + batchId * 3600000L
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .format("parquet")
+              .partitionBy("batch_id")
+              .option("partitionOverwriteMode", "dynamic")
+              .save(outDir)
+          }
+          .stateTimeout(s.conf, queryName = "dedupttlrestart", expirySecs = 5400,
+            checkpointLocation = ckptRoot)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
+    feed(firstHalf)
+    runPhase() // buckets 0-1, then the query is STOPPED entirely
+    feed(secondHalf)
+    runPhase() // a new query resumes from the checkpoint for buckets 2-3
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("event_type"), col("bucket"))
+  }
+
+  /** Same oracle as the single-run gate: the kill/restart must be
+    * invisible in the emitted rows. */
+  val stream_dedup_ttl_restart_sql: String = stream_dedup_ttl_sql
+
   /** One staged copy of `documents` per scale-factor dir for the streaming
     * corpus-ingestion entries (same pattern as the events staging). */
   private val stagedDocDirs = new graft.Memo[String]
@@ -3301,6 +3380,7 @@ object StreamingQueries {
     "stream_tws_ttl_map" -> (stream_tws_ttl_map(_, _)),
     "stream_tws_ttl_list" -> (stream_tws_ttl_list(_, _)),
     "stream_dedup_ttl" -> (stream_dedup_ttl(_, _)),
+    "stream_dedup_ttl_restart" -> (stream_dedup_ttl_restart(_, _)),
     "stream_tws_ttl_restart" -> (stream_tws_ttl_restart(_, _)),
     "stream_tws_evolve" -> (stream_tws_evolve(_, _)),
     "stream_tws_evolve_map" -> (stream_tws_evolve_map(_, _)),
@@ -3363,6 +3443,7 @@ object StreamingQueries {
     "stream_tws_ttl_map" -> stream_tws_ttl_map_sql,
     "stream_tws_ttl_list" -> stream_tws_ttl_list_sql,
     "stream_dedup_ttl" -> stream_dedup_ttl_sql,
+    "stream_dedup_ttl_restart" -> stream_dedup_ttl_restart_sql,
     "stream_tws_ttl_restart" -> stream_tws_ttl_restart_sql,
     "stream_tws_evolve" -> stream_tws_evolve_sql,
     "stream_tws_evolve_map" -> stream_tws_evolve_map_sql,
