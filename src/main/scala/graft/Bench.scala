@@ -164,18 +164,23 @@ object Bench {
           f""""spread":$spread%.2f,"load":${loads.map(l => f"$l%.1f").mkString("[", ",", "]")}}"""
       } else s""""$k":{"min":-1,"median":-1,"max":-1,"n":0,"spread":-1,"load":[]}"""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, ts, _) if ts.isEmpty => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val partial = results.collect {
-      case (k, ts, _) if ts.nonEmpty && ts.size < expectedPasses(k) => "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    // ONE collector per flag: the artifact's name arrays AND the summary
+    // line's counts both derive from these, so the predicates cannot drift
+    // apart (they did live in two places through r15).
+    val failedNames = results.collect { case (k, ts, _) if ts.isEmpty => k }
+    val partialNames = results.collect {
+      case (k, ts, _) if ts.nonEmpty && ts.size < expectedPasses(k) => k
+    }
     // self-diagnosis: queries whose passes disagree by >SpreadFlagRatio ran
     // on a loaded host — their medians are suspect, their plans are not
-    val contended = results.collect {
+    val contendedNames = results.collect {
       case (k, ts, _) if ts.size >= 2 && ts.min > 0 && ts.max / ts.min > SpreadFlagRatio &&
-        ts.max - ts.min > SpreadFlagFloorSecs =>
-        "\"" + k + "\""
-    }.mkString("[", ",", "]")
+        ts.max - ts.min > SpreadFlagFloorSecs => k
+    }
+    def nameArr(ks: Seq[String]): String = ks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = nameArr(failedNames)
+    val partial = nameArr(partialNames)
+    val contended = nameArr(contendedNames)
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
     val steadyTotal = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"steady":$steady,"repeats":$repeats,"stats":$stats,"failed":$failed,"partial":$partial,"contended":$contended,"sf":"$sfDir"}"""
@@ -211,12 +216,9 @@ object Bench {
     // therefore appear here as COUNTS ONLY (the full artifact file keeps the
     // names), and a structural backstop drops the queries map if the line
     // still somehow exceeds 1 KB.
-    val nFailed = results.count(_._2.isEmpty)
-    val nPartial = results.count { case (k, ts, _) => ts.nonEmpty && ts.size < expectedPasses(k) }
-    val nContended = results.count { case (_, ts, _) =>
-      ts.size >= 2 && ts.min > 0 && ts.max / ts.min > SpreadFlagRatio &&
-        ts.max - ts.min > SpreadFlagFloorSecs
-    }
+    val nFailed = failedNames.size
+    val nPartial = partialNames.size
+    val nContended = contendedNames.size
     def mkSummary(slowestJson: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"n":$nOk,""" +
         s""""queries":$slowestJson,"failed":$nFailed,"partial":$nPartial,"contended":$nContended,""" +

@@ -340,6 +340,11 @@ object StateRepartition extends Logging {
           if (inner0.length == 1) opStores
           else {
             def orderAt(p: Int): Option[Seq[String]] = {
+              // only partition 0's slot width is validated above; a
+              // malformed/truncated other partition whose ids all match
+              // uniquely would otherwise yield an order SHORTER than the
+              // store count and a commit rewrite with too few slots
+              if (oldArr(p).length != opStores.length) return None
               val matches = oldArr(p).toSeq.map { id =>
                 opStores.filter(st =>
                   storeHasCommitFile(fs, oldRoot, op, p, st, version, id))
