@@ -132,6 +132,26 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
         "build-time artifacts, not a serve-time fan-in")
   }
 
+  test("sim_index_merge_compact: compacted-merged search runs zero trainer stages") {
+    val df = operators.Similarity.sim_index_merge_compact(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("vec_sum_long"),
+      "compaction of the merged layout is a filtered rewrite + loaded " +
+        "search — no Lloyd update may appear anywhere in the executed plan")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-merged-compact"))),
+      "search must read the COMPACTED per-vector tables")
+    // quantizer tables come off the MERGED layout (membership-independent)
+    assert(scans.exists(_.metadata.get("Location").exists(l =>
+      l.contains("graft-ivfpq-merged-") && !l.contains("merged-compact"))),
+      "quantizer tables come off the merged layout")
+    assert(!scans.exists(_.metadata.get("Location").exists(_.contains("graft-ivfpq-shard"))),
+      "no shard table may be read — compaction operates on the merged layout only")
+  }
+
   test("pipe_dedup_incremental_lsh: corpus comes off the persisted signature table") {
     operators.Dedup.pipe_dedup_incremental_lsh(spark, sfDir).collect() // builds the layout
     val df = operators.Dedup.pipe_dedup_incremental_lsh(spark, sfDir)

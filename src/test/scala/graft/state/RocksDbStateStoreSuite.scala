@@ -450,6 +450,11 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       assert(old.getUTF8String(0).toString === "x", "b follows its name across the reorder")
       assert(old.getLong(1) === 7L, "a follows its name and widens Int -> Long")
       assert(old.isNullAt(2), "c (added) null-pads")
+      // a RENAME is indistinguishable from remove+add under name resolution:
+      // the renamed field reads null, exactly as Avro without aliases — this
+      // pin is the documented SCALE.md contract, not an accident
+      assert(old.isNullAt(2) && !schemaV1.fieldNames.contains("d"),
+        "d (removed/renamed away) contributes nothing to the projected row")
       s.abort()
     } finally p2.close()
   }
