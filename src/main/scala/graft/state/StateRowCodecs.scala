@@ -213,8 +213,46 @@ final class ValueSchemaEvolution(
   @transient private lazy val cache =
     scala.collection.mutable.HashMap.empty[Short, (UnsafeProjection, Int)]
 
+  /** Adapt an expression of type `from` to type `to` with Avro-resolution
+    * semantics, RECURSIVELY through structs: fields follow their NAME
+    * (added = null, removed = dropped, reordered = matched), leaf type
+    * changes cast if castable. Recursion matters because the engine NESTS
+    * user state classes — a TTL'd value is `(value: <user struct>,
+    * ttlExpirationMs)` — so the evolving struct is a FIELD of the stored
+    * row, where a flat `Cast(struct, struct)` of differing arity reads
+    * past the old struct's end. A null struct stays null rather than
+    * becoming a struct of nulls. Anything name-matched but uncastable
+    * (e.g. an array element whose own struct shape changed) throws a
+    * typed error instead of decoding garbage. */
+  private def adapt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      from: DataType, to: DataType): org.apache.spark.sql.catalyst.expressions.Expression =
+    if (from == to) e
+    else (from, to) match {
+      case (f: StructType, t: StructType) =>
+        val entries = t.fields.flatMap { tf =>
+          val i = f.fields.indexWhere(_.name == tf.name)
+          val v: org.apache.spark.sql.catalyst.expressions.Expression =
+            if (i < 0) Literal(null, tf.dataType)
+            else adapt(
+              org.apache.spark.sql.catalyst.expressions.GetStructField(e, i, Some(f(i).name)),
+              f(i).dataType, tf.dataType)
+          Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(tf.name),
+            org.apache.spark.sql.types.StringType), v)
+        }
+        org.apache.spark.sql.catalyst.expressions.If(
+          org.apache.spark.sql.catalyst.expressions.IsNull(e),
+          Literal(null, t),
+          org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(entries.toIndexedSeq))
+      case _ if Cast.canCast(from, to) => Cast(e, to)
+      case _ => throw new UnsupportedOperationException(
+        s"state value schema evolution cannot adapt a field of type " +
+          s"${from.catalogString} to ${to.catalogString} (column family $cfName)")
+    }
+
   /** Projection from the row layout of `oldId` to the current schema:
-    * fields resolved by NAME (cast if widened), unmatched fields null. */
+    * fields resolved by NAME, recursively ([[adapt]]); unmatched fields
+    * null. */
   def projectionFor(oldId: Short): (UnsafeProjection, Int) = cache.synchronized {
     cache.getOrElseUpdate(oldId, {
       val oldSchema = provider.getSchemaMetadataValue(
@@ -223,8 +261,8 @@ final class ValueSchemaEvolution(
         oldSchema.fields.indexWhere(_.name == f.name) match {
           case -1 => Literal(null, f.dataType): org.apache.spark.sql.catalyst.expressions.Expression
           case i =>
-            val ref = BoundReference(i, oldSchema(i).dataType, nullable = true)
-            if (oldSchema(i).dataType == f.dataType) ref else Cast(ref, f.dataType)
+            adapt(BoundReference(i, oldSchema(i).dataType, nullable = true),
+              oldSchema(i).dataType, f.dataType)
         }
       }
       (UnsafeProjection.create(exprs.toIndexedSeq), oldSchema.length)

@@ -1148,6 +1148,102 @@ object StreamingQueries {
       |FROM c
       |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin
 
+  /** [[stream_tws_evolve]] with the evolving state TTL'd — the
+    * INTERSECTION of the evolution and TTL surfaces, and the shape that
+    * crashed this provider before round 16: the engine stores a TTL'd
+    * value as `(value: <user struct>, ttlExpirationMs)`, so the evolving
+    * struct is a NESTED FIELD of the stored row, and a flat positional (or
+    * flat Cast) projection reads past the old struct's end
+    * (ArrayIndexOutOfBounds — found by probing, fixed by recursive
+    * name-based adaptation in `ValueSchemaEvolution.adapt`, pinned by
+    * `RocksDbStateStoreSuite`'s nested-struct test). The gate proves the
+    * fix end-to-end: a 1 h-TTL'd `EvolveS1` state evolves to `EvolveS2`
+    * across a full stop + checkpoint resume, with the oracle shared with
+    * [[stream_tws_evolve]] (the TTL provably expires nothing during the
+    * drain, so the emitted rows must be identical). TTL requires
+    * `TimeMode.ProcessingTime`, which self-schedules batches forever —
+    * each phase uses [[stream_tws_ttl_restart]]'s paced-trigger + poll +
+    * two-advance settle harness instead of AvailableNow. */
+  def stream_tws_evolve_ttl(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      classOf[RocksDbStateStoreProvider].getName)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
+    s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
+    val bucketFiles = stagedBucketFiles(s, dir)
+    val inDir = graft.Staging.tempDir("graft-twsevolvettl-in-")
+    val out1 = graft.Staging.tempDir("graft-twsevolvettl-out1-").toString
+    val out2 = graft.Staging.tempDir("graft-twsevolvettl-out2-").toString
+    val ckptDir = graft.Staging.tempDir("graft-twsevolvettl-ckpt-").toString
+    var tick = System.currentTimeMillis() - 3600000L
+    def feed(parts: Seq[java.nio.file.Path]): Unit = parts.foreach { p =>
+      val dst = inDir.resolve(p.getFileName.toString)
+      java.nio.file.Files.copy(p, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tick))
+      tick += 60000L
+    }
+    import s.implicits._
+    def input = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .select(col("user_id"), col("bucket"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("mille"))
+      .as[(Long, Int, Long)]
+    def runUntil(out: DataFrame, outDir: String, bucket: Int): Unit = {
+      val q = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        def emitted: Boolean = scala.util.Try(
+          s.read.parquet(outDir).filter(col("bucket") === bucket).limit(1).count() == 1L
+        ).getOrElse(false)
+        val deadline = System.nanoTime() + 240L * 1000000000L
+        while (!emitted && System.nanoTime() < deadline) Thread.sleep(150)
+        require(emitted,
+          s"stream_tws_evolve_ttl: poll deadline reached before bucket $bucket was emitted")
+        // two batchId advances prove the writing batch's dynamic-overwrite
+        // commit settled before stop() (stream_tws_ttl_restart discipline)
+        def progressId: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        val seenAt = progressId
+        while (progressId <= seenAt + 1 && System.nanoTime() < deadline) Thread.sleep(100)
+        require(progressId > seenAt + 1,
+          s"stream_tws_evolve_ttl: bucket $bucket emitted but the writing " +
+            "batch never settled before the poll deadline")
+      } finally q.stop()
+    }
+    val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
+    feed(firstHalf)
+    runUntil(input.groupByKey(_._1)
+      .transformWithState(new EvolveTtlV1Processor, TimeMode.ProcessingTime(),
+        OutputMode.Update())
+      .toDF("user_id", "bucket", "n_cum"), out1, BucketCount / 2 - 1)
+    feed(secondHalf)
+    runUntil(input.groupByKey(_._1)
+      .transformWithState(new EvolveTtlV2Processor, TimeMode.ProcessingTime(),
+        OutputMode.Update())
+      .toDF("user_id", "bucket", "n_cum", "late_mille"), out2, BucketCount - 1)
+    s.read.parquet(out1)
+      .select(col("user_id"), col("bucket"), col("n_cum"), lit(0L).as("late_mille"))
+      .unionByName(s.read.parquet(out2)
+        .select(col("user_id"), col("bucket"), col("n_cum"), col("late_mille")))
+  }
+
+  /** The 1 h TTL expires nothing during the drain, so the emitted rows
+    * must equal the un-TTL'd evolve gate's — shared oracle. */
+  lazy val stream_tws_evolve_ttl_sql: String = stream_tws_evolve_sql
+
   /** [[stream_tws_evolve]]'s MAP-STATE sibling: the state class that
     * evolves is the map's VALUE class — per-(user, event_type) counters
     * stored in a `MapState[String, EvolveS1]` gain a field across the
@@ -1638,6 +1734,46 @@ object StreamingQueries {
         byType.updateValue(t, v)
         (user, bucket, t, v.cnt, v.mille)
       }.toVector.iterator
+    }
+  }
+
+  /** [[stream_tws_evolve_ttl]]'s two generations: [[EvolveS1]] →
+    * [[EvolveS2]] under a 1 h `TTLConfig` (the nested-wrapper codec
+    * path). */
+  private class EvolveTtlV1Processor
+    extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long)] {
+    @transient private var st: ValueState[EvolveS1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EvolveS1]("agg", Encoders.product[EvolveS1],
+        TTLConfig(java.time.Duration.ofHours(1)))
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long)] = {
+      var bucket = -1
+      var n = 0L
+      rows.foreach { r => bucket = r._2; n += 1 }
+      val cnt = (if (st.exists()) st.get().cnt else 0L) + n
+      st.update(EvolveS1(cnt))
+      Iterator.single((user, bucket, cnt))
+    }
+  }
+
+  private class EvolveTtlV2Processor
+    extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long, Long)] {
+    @transient private var st: ValueState[EvolveS2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EvolveS2]("agg", Encoders.product[EvolveS2],
+        TTLConfig(java.time.Duration.ofHours(1)))
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
+      var bucket = -1
+      var n = 0L
+      var add = 0L
+      rows.foreach { r => bucket = r._2; n += 1; add += r._3 }
+      // pre-evolution rows decode with the added field at its default (0)
+      val prev = if (st.exists()) st.get() else EvolveS2(0L, 0L)
+      val v = EvolveS2(prev.cnt + n, prev.mille + add)
+      st.update(v)
+      Iterator.single((user, bucket, v.cnt, v.mille))
     }
   }
 
@@ -3384,6 +3520,7 @@ object StreamingQueries {
     "stream_tws_ttl_restart" -> (stream_tws_ttl_restart(_, _)),
     "stream_tws_evolve" -> (stream_tws_evolve(_, _)),
     "stream_tws_evolve_map" -> (stream_tws_evolve_map(_, _)),
+    "stream_tws_evolve_ttl" -> (stream_tws_evolve_ttl(_, _)),
     "stream_tws_evolve_list" -> (stream_tws_evolve_list(_, _)),
     "stream_fmgws_timeout" -> (stream_fmgws_timeout(_, _)),
     "stream_statestore" -> (stream_statestore(_, _)),
@@ -3447,6 +3584,7 @@ object StreamingQueries {
     "stream_tws_ttl_restart" -> stream_tws_ttl_restart_sql,
     "stream_tws_evolve" -> stream_tws_evolve_sql,
     "stream_tws_evolve_map" -> stream_tws_evolve_map_sql,
+    "stream_tws_evolve_ttl" -> stream_tws_evolve_ttl_sql,
     "stream_tws_evolve_list" -> stream_tws_evolve_list_sql,
     "stream_fmgws_timeout" -> stream_fmgws_timeout_sql,
     "stream_statestore" -> stream_statestore_sql,

@@ -75,19 +75,77 @@ object EvolveReadProbeMain {
       spark.stop()
       sys.exit(0)
     }
+    if (mode == "ttl") {
+      // proc-time tws self-schedules forever: paced trigger + poll + stop
+      val outDir = Files.createTempDirectory("probe-ttlout-").toString
+      def runTtl(p: StatefulProcessor[String, (String, Int), (String, String)],
+          expect: (String, String)): Unit = {
+        val q = input.groupByKey(_._1)
+          .transformWithState(p, TimeMode.ProcessingTime(), OutputMode.Update())
+          .toDF("k", "dump")
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+              .write.mode("overwrite").format("parquet").partitionBy("batch_id")
+              .option("partitionOverwriteMode", "dynamic").save(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .start()
+        try {
+          import org.apache.spark.sql.functions.col
+          def seen: Boolean = scala.util.Try(
+            spark.read.parquet(outDir).filter(col("k") === expect._1 &&
+              col("dump") === expect._2).limit(1).count() == 1L).getOrElse(false)
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (!seen && System.nanoTime() < deadline &&
+            q.exception.isEmpty) Thread.sleep(150)
+          q.exception.foreach(e => throw e)
+          if (!seen) {
+            val rows = scala.util.Try(
+              spark.read.parquet(outDir).collect().mkString(", ")).getOrElse("<unreadable>")
+            require(seen, s"probe: expected $expect never emitted; sink = $rows")
+          }
+          def progressId: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          val at = progressId
+          while (progressId <= at + 1 && System.nanoTime() < deadline) Thread.sleep(100)
+        } finally q.stop()
+      }
+      stage("f1.parquet", Seq(("a", 1), ("a", 2), ("b", 3)))
+      runTtl(new TtlEvP1, ("a", "2"))
+      stage("f2.parquet", Seq(("a", 4)))
+      try {
+        runTtl(new TtlEvP2, ("a", "3/1"))
+        val got = spark.read.format("statestore").option("operatorId", "0")
+          .option("stateVarName", "agg").load(ckpt)
+          .selectExpr("key.value AS k", "to_json(value) AS el")
+          .collect().toSeq
+        println("PROBE provider=" + provider + " mode=ttl")
+        println("PROBE rows=" + got.mkString(", "))
+      } catch {
+        case e: Throwable =>
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          println(s"PROBE provider=$provider mode=ttl REJECTED: " +
+            s"${c.getClass.getSimpleName}: ${String.valueOf(c.getMessage).take(400)}")
+      }
+      spark.stop()
+      sys.exit(0)
+    }
     val (p1, p2) = mode match {
       case "widen" => (() => new WidenP1, () => new WidenP2)
       case "remove" => (() => new RemoveP1, () => new RemoveP2)
       case "reorder" => (() => new ReorderP1, () => new ReorderP2)
     }
+    val tm = TimeMode.None()
     stage("f1.parquet", Seq(("a", 1), ("a", 2), ("b", 3)))
     run(input.groupByKey(_._1)
-      .transformWithState(p1(), TimeMode.None(), OutputMode.Update())
+      .transformWithState(p1(), tm, OutputMode.Update())
       .toDF("k", "n"))
     stage("f2.parquet", Seq(("a", 4)))
     try {
       run(input.groupByKey(_._1)
-        .transformWithState(p2(), TimeMode.None(), OutputMode.Update())
+        .transformWithState(p2(), tm, OutputMode.Update())
         .toDF("k", "dump"))
       val got = spark.read.format("statestore").option("operatorId", "0")
         .option("stateVarName", "vals").load(ckpt)
@@ -159,6 +217,40 @@ object EvolveReadProbeMain {
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, String)] = {
       rows.foreach(r => vals.appendValue(Rb(r._2.toLong)))
       Iterator.single((key, vals.get().map(_.mille).mkString("|")))
+    }
+  }
+
+  case class Ta(cnt: Long)
+  case class Tb(cnt: Long, extra: Long)
+  class TtlEvP1 extends StatefulProcessor[String, (String, Int), (String, String)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Ta] = _
+    override def init(o: OutputMode, t: TimeMode): Unit =
+      st = getHandle.getValueState[Ta]("agg",
+        org.apache.spark.sql.Encoders.product[Ta],
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, String)] = {
+      var n = 0L
+      rows.foreach(_ => n += 1)
+      val cnt = (if (st.exists()) st.get().cnt else 0L) + n
+      st.update(Ta(cnt))
+      Iterator.single((key, cnt.toString))
+    }
+  }
+  class TtlEvP2 extends StatefulProcessor[String, (String, Int), (String, String)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Tb] = _
+    override def init(o: OutputMode, t: TimeMode): Unit =
+      st = getHandle.getValueState[Tb]("agg",
+        org.apache.spark.sql.Encoders.product[Tb],
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, String)] = {
+      var n = 0L
+      rows.foreach(_ => n += 1)
+      val prev = if (st.exists()) st.get() else Tb(0L, 0L)
+      val v = Tb(prev.cnt + n, prev.extra + 1L)
+      st.update(v)
+      Iterator.single((key, s"${v.cnt}/${v.extra}"))
     }
   }
 

@@ -459,6 +459,49 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     } finally p2.close()
   }
 
+  test("value-schema evolution recurses through NESTED structs (the TTL wrapper shape)") {
+    val ckpt = newCheckpointDir()
+    // the engine nests user state classes: a TTL'd value row is
+    // (value: <user struct>, ttlExpirationMs) — the evolving struct is a
+    // FIELD. v0 inner: (cnt Long); v1 inner: (cnt Long, extra Long).
+    val innerV0 = StructType(Seq(StructField("cnt", LongType)))
+    val innerV1 = StructType(Seq(StructField("cnt", LongType), StructField("extra", LongType)))
+    val schemaV0 = StructType(Seq(
+      StructField("value", innerV0), StructField("ttlExpirationMs", LongType)))
+    val schemaV1 = StructType(Seq(
+      StructField("value", innerV1), StructField("ttlExpirationMs", LongType)))
+    class FakeSchemaProvider(current: Short) extends StateSchemaProvider {
+      override def getSchemaMetadataValue(key: StateSchemaMetadataKey): StateSchemaMetadataValue =
+        StateSchemaMetadataValue(if (key.schemaId == 0) schemaV0 else schemaV1, null)
+      override def getCurrentStateSchemaId(colFamilyName: String, isKey: Boolean): Short = current
+    }
+    val p1 = newProvider(ckpt, vSchema = schemaV0,
+      stateSchemaProvider = Some(new FakeSchemaProvider(0)))
+    try {
+      val s = p1.getStore(0, None)
+      val proj = UnsafeProjection.create(schemaV0)
+      s.put(keyRow("a"),
+        proj(InternalRow(InternalRow(7L), 1234L)).copy(), StateStore.DEFAULT_COL_FAMILY_NAME)
+      s.put(keyRow("n"),
+        proj(InternalRow(null, 99L)).copy(), StateStore.DEFAULT_COL_FAMILY_NAME)
+      s.commit()
+    } finally p1.close()
+    val p2 = newProvider(ckpt, vSchema = schemaV1,
+      stateSchemaProvider = Some(new FakeSchemaProvider(1)))
+    try {
+      val s = p2.getStore(1, None)
+      val a = s.get(keyRow("a"), StateStore.DEFAULT_COL_FAMILY_NAME)
+      val inner = a.getStruct(0, 2)
+      assert(inner.getLong(0) === 7L, "nested cnt decodes intact")
+      assert(inner.isNullAt(1), "nested added field null-pads")
+      assert(a.getLong(1) === 1234L, "sibling leaf field untouched")
+      val n = s.get(keyRow("n"), StateStore.DEFAULT_COL_FAMILY_NAME)
+      assert(n.isNullAt(0), "a NULL struct stays null, not a struct of nulls")
+      assert(n.getLong(1) === 99L)
+      s.abort()
+    } finally p2.close()
+  }
+
   test("latestIterator reads the newest committed version across restarts") {
     val ckpt = newCheckpointDir()
     assert(getLatestData(ckpt) === Map.empty) // no state yet
