@@ -572,10 +572,15 @@ object Dedup extends Logging {
         (col("common") * 1000).divide(col("union_size")).cast("long").as("jaccard_per_mille"))
   }
 
-  val dedup_minhash_lsh_sql: String = {
+  /** The one-shot banded-LSH SQL over an arbitrary document relation —
+    * `docsRel` must expose (doc_id, text). The lifecycle oracles (delete =
+    * a takedown-filtered corpus) reuse the identical pipeline with a
+    * restricted relation, so the Jaccard both engines state stays over the
+    * same hash sets whatever the membership. */
+  private def minhashLshSqlOver(docsRel: String): String = {
     val aArr = hashAs.mkString("[", ",", "]")
     val bArr = hashBs.mkString("[", ",", "]")
-    s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM documents),
+    s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM $docsRel),
        |sh AS (SELECT doc_id, $shingleHashesD AS sh FROM tok),
        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, ${NumHashes - 1}), j ->
        |          list_min(list_transform(sh, h ->
@@ -594,6 +599,8 @@ object Dedup extends Logging {
        |       CAST((common * 1000) // un AS BIGINT) AS jaccard_per_mille
        |FROM v WHERE common * 10 >= un * 6""".stripMargin
   }
+
+  val dedup_minhash_lsh_sql: String = minhashLshSqlOver("documents")
 
   // ------------------------------------------- incremental near-dup dedup
 
@@ -650,24 +657,40 @@ object Dedup extends Logging {
     * banding bounds candidates exactly as the one-shot path. */
   def pipe_dedup_incremental_lsh(s: SparkSession, dir: String): DataFrame = {
     val sigsDir = persistedCorpusLshSigs(s, dir)
-    val corpus = s.read.parquet(s"$sigsDir/sigs")
-    val batch = Tables.documents(s, dir)
-      .filter(expr(s"CAST(substring(source, 4) AS INT) >= ${Pipeline.IncrCorpusSources}"))
+    lshScreen(s.read.parquet(s"$sigsDir/sigs"),
+      signedBatch(s, dir, Pipeline.IncrCorpusSources))
+  }
+
+  /** Sign the arriving documents (source index >= `fromSource`) fresh:
+    * `(doc_id, sh, sig)` with the batch's one [[graft.functions.MinHashSig]]
+    * node behind a repartition barrier so bands and both verify sides read
+    * one materialization. */
+  private def signedBatch(s: SparkSession, dir: String, fromSource: Int): DataFrame =
+    Tables.documents(s, dir)
+      .filter(expr(s"CAST(substring(source, 4) AS INT) >= $fromSource"))
       .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh"))
       .withColumn("sig",
         graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
       .repartition(col("doc_id")) // materialize once: bands + both verify sides
+
+  /** Screen a freshly-signed batch against a PERSISTED signature relation
+    * (both sides `(doc_id, sh, sig)`): band-bucket candidates between the
+    * batch and (index ∪ batch), exact-Jaccard verify off the stored hash
+    * sets. Shared by every lifecycle verb — initial corpus, filed delta
+    * segments, takedown-compacted tables — so the screen plan is one
+    * definition whatever the index's provenance. */
+  private def lshScreen(index: DataFrame, batch: DataFrame): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame =
       df.select(col("doc_id"), posexplode(expr(bandKeysExpr))).toDF("doc_id", "band", "bkey")
     val batchBands = bandsOf(batch)
-    val allBands = bandsOf(corpus).unionByName(batchBands)
+    val allBands = bandsOf(index).unionByName(batchBands)
       .toDF("doc_id_o", "band", "bkey")
     val cand = batchBands.join(allBands, Seq("band", "bkey"))
       .filter(col("doc_id") =!= col("doc_id_o"))
       .select(least(col("doc_id"), col("doc_id_o")).as("doc_id_a"),
         greatest(col("doc_id"), col("doc_id_o")).as("doc_id_b"))
       .distinct()
-    val shAll = corpus.select(col("doc_id"), col("sh"))
+    val shAll = index.select(col("doc_id"), col("sh"))
       .unionByName(batch.select(col("doc_id"), col("sh")))
     cand.join(shAll.toDF("doc_id_a", "sh_a"), "doc_id_a")
       .join(shAll.toDF("doc_id_b", "sh_b"), "doc_id_b")
@@ -687,6 +710,174 @@ object Dedup extends Logging {
        |FROM pairs
        |WHERE doc_id_a IN (SELECT doc_id FROM b)
        |   OR doc_id_b IN (SELECT doc_id FROM b)""".stripMargin
+
+  // --------------------- persisted-LSH lifecycle: FILE (delta) + DELETE
+
+  /** Source split between the FILED delta segment
+    * ([[Pipeline.IncrCorpusSources]], this) and the arriving batch
+    * (>= this) for the signature-table lifecycle gates. */
+  private[graft] val FiledBatchSplit = 15
+
+  private val lshDeltaDirMemo = new graft.Memo[String]
+  private val lshCompactDirMemo = new graft.Memo[String]
+
+  /** The FILE verb of the signature-table lifecycle: an admitted batch's
+    * signatures persisted as a DELTA SEGMENT next to the corpus table —
+    * the LSM discipline (segments accumulate, serve = union over
+    * segments, compaction folds them) that makes filing O(batch) at any
+    * corpus size: the corpus table is never rewritten, never re-read,
+    * never re-hashed to admit a segment. */
+  private[graft] def persistedDeltaLshSigs(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption(Similarity.IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    lshDeltaDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val p = root match {
+        case Some(r) => s"$r/lsh-delta-${Similarity.corpusSlug(dir)}"
+        case None => graft.Staging.tempDir("graft-lsh-delta-").toString
+      }
+      Similarity.publishLayout(s, p, "sigs/_SUCCESS") { tmp =>
+        Tables.documents(s, dir)
+          .filter(expr(s"CAST(substring(source, 4) AS INT) >= ${Pipeline.IncrCorpusSources}" +
+            s" AND CAST(substring(source, 4) AS INT) < $FiledBatchSplit"))
+          .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh"))
+          .withColumn("sig",
+            graft.functions.MinHashSig.of(col("sh"), hashAs, hashBs, MinHashP))
+          .write.parquet(s"$tmp/sigs")
+      }
+    }
+  }
+
+  /** The DELETE verb: the corpus signature table rewritten WITHOUT the
+    * taken-down documents (`doc_id % 7 = 0` here — any engine-portable
+    * predicate), published as its own layout. A takedown is a filtered
+    * rewrite of the signature artifact — ~8 bytes/shingle scanned, the
+    * corpus text never touched, nothing re-hashed — so the erased
+    * documents can never appear in a candidate pair again. */
+  private[graft] def compactedCorpusLshSigs(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption(Similarity.IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    lshCompactDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val p = root match {
+        case Some(r) => s"$r/lsh-compact-${Similarity.corpusSlug(dir)}"
+        case None => graft.Staging.tempDir("graft-lsh-compact-").toString
+      }
+      val src = persistedCorpusLshSigs(s, dir)
+      Similarity.publishLayout(s, p, "sigs/_SUCCESS") { tmp =>
+        s.read.parquet(s"$src/sigs")
+          .filter(col("doc_id") % 7 =!= 0)
+          .write.parquet(s"$tmp/sigs")
+      }
+    }
+  }
+
+  /** Incremental screen AFTER FILING: a previously-admitted batch
+    * (sources [IncrCorpusSources, [[FiledBatchSplit]])) was filed as a
+    * persisted delta segment; the next batch (sources >= FiledBatchSplit)
+    * screens against corpus ∪ delta — BOTH read from their stored
+    * signature tables, only the arriving batch is hashed. Emits the
+    * one-shot [[dedup_minhash_lsh]] pairs with at least one arriving-batch
+    * member: corpus-corpus, corpus-delta and delta-delta pairs were all
+    * settled when their members were filed. */
+  def pipe_lsh_file_batch(s: SparkSession, dir: String): DataFrame = {
+    val corpus = s.read.parquet(s"${persistedCorpusLshSigs(s, dir)}/sigs")
+    val delta = s.read.parquet(s"${persistedDeltaLshSigs(s, dir)}/sigs")
+    lshScreen(corpus.unionByName(delta), signedBatch(s, dir, FiledBatchSplit))
+  }
+
+  lazy val pipe_lsh_file_batch_sql: String =
+    s"""WITH pairs AS MATERIALIZED (SELECT * FROM ($dedup_minhash_lsh_sql)),
+       |b AS (SELECT doc_id FROM documents
+       |  WHERE CAST(substr(source, 4) AS INT) >= $FiledBatchSplit)
+       |SELECT doc_id_a, doc_id_b, common, union_size, jaccard_per_mille
+       |FROM pairs
+       |WHERE doc_id_a IN (SELECT doc_id FROM b)
+       |   OR doc_id_b IN (SELECT doc_id FROM b)""".stripMargin
+
+  private val lshFoldDirMemo = new graft.Memo[String]
+
+  /** Segments whose doc_id sets intersect cannot be folded blindly: a
+    * doc_id filed by two segments would carry two signature rows into the
+    * folded table, and every pair it verifies would emit once per copy.
+    * The fold refuses loudly (same discipline as the ANN shard merge,
+    * [[Similarity.OverlappingShardsException]]); re-file or compact the
+    * duplicate out first. */
+  final class OverlappingSegmentsException(sample: Seq[Long], segments: Seq[String])
+    extends IllegalStateException(
+      s"segment fold refused: doc_ids filed by more than one segment " +
+        s"(sample: ${sample.mkString(", ")}) across ${segments.mkString(", ")} — " +
+        "a blind union would duplicate their signature rows and every pair " +
+        "they verify would emit once per copy; re-file or compact first")
+
+  /** Fold signature segments (each a `(doc_id, sh, sig)` parquet table)
+    * into one published table at `dest` — pure concatenation under a
+    * disjointness check (one 8-byte id-column aggregate), zero hashing,
+    * zero signing: the per-row artifacts are membership-independent, so
+    * compaction is I/O-bound at any corpus size. */
+  private[graft] def foldSegments(
+      s: SparkSession, segments: Seq[String], dest: String): String = {
+    val dup = segments.zipWithIndex
+      .map { case (sp, i) =>
+        s.read.parquet(sp).select(col("doc_id")).withColumn("seg", lit(i))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id")).agg(countDistinct(col("seg")).as("ns"))
+      .filter(col("ns") > 1)
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    if (dup.nonEmpty) throw new OverlappingSegmentsException(dup, segments)
+    Similarity.publishLayout(s, dest, "sigs/_SUCCESS") { tmp =>
+      segments.map(s.read.parquet(_)).reduce(_ unionByName _)
+        .write.parquet(s"$tmp/sigs")
+    }
+  }
+
+  /** corpus + delta folded into one table ([[foldSegments]]) — the LSM
+    * compaction that bounds segment count between ingest cycles. */
+  private[graft] def foldedLshSigs(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption(Similarity.IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    lshFoldDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val p = root match {
+        case Some(r) => s"$r/lsh-fold-${Similarity.corpusSlug(dir)}"
+        case None => graft.Staging.tempDir("graft-lsh-fold-").toString
+      }
+      foldSegments(s,
+        Seq(s"${persistedCorpusLshSigs(s, dir)}/sigs",
+          s"${persistedDeltaLshSigs(s, dir)}/sigs"), p)
+    }
+  }
+
+  /** Screen AFTER THE FOLD: byte-identical pairs to
+    * [[pipe_lsh_file_batch]] (compaction changes the layout, never the
+    * membership), so the oracle is shared — but the plan must read the
+    * ONE folded table and neither pre-fold segment (plan-pinned). */
+  def pipe_lsh_fold(s: SparkSession, dir: String): DataFrame =
+    lshScreen(s.read.parquet(s"${foldedLshSigs(s, dir)}/sigs"),
+      signedBatch(s, dir, FiledBatchSplit))
+
+  lazy val pipe_lsh_fold_sql: String = pipe_lsh_file_batch_sql
+
+  /** Incremental screen AFTER A TAKEDOWN: corpus documents with
+    * `doc_id % 7 = 0` are erased from the signature table
+    * ([[compactedCorpusLshSigs]]); the arriving batch screens against the
+    * compacted table, so no erased document can surface as a near-dup
+    * candidate. Oracle = the one-shot pipeline over `documents` MINUS the
+    * taken-down corpus rows, restricted to pairs touching the batch —
+    * identical because signatures are per-document (erasing a row changes
+    * no surviving signature). */
+  def pipe_lsh_delete(s: SparkSession, dir: String): DataFrame = {
+    val compact = s.read.parquet(s"${compactedCorpusLshSigs(s, dir)}/sigs")
+    lshScreen(compact, signedBatch(s, dir, Pipeline.IncrCorpusSources))
+  }
+
+  lazy val pipe_lsh_delete_sql: String = {
+    val survivors = "(SELECT * FROM documents WHERE NOT " +
+      s"(CAST(substr(source, 4) AS INT) < ${Pipeline.IncrCorpusSources} AND doc_id % 7 = 0))"
+    s"""WITH pairs AS MATERIALIZED (SELECT * FROM (${minhashLshSqlOver(survivors)})),
+       |b AS (SELECT doc_id FROM documents
+       |  WHERE CAST(substr(source, 4) AS INT) >= ${Pipeline.IncrCorpusSources})
+       |SELECT doc_id_a, doc_id_b, common, union_size, jaccard_per_mille
+       |FROM pairs
+       |WHERE doc_id_a IN (SELECT doc_id FROM b)
+       |   OR doc_id_b IN (SELECT doc_id FROM b)""".stripMargin
+  }
 
   // -------------------------------------------------------- LSH recall QA
 
@@ -1108,6 +1299,9 @@ object Dedup extends Logging {
     "dedup_containment" -> dedup_containment _,
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
     "pipe_dedup_incremental_lsh" -> pipe_dedup_incremental_lsh _,
+    "pipe_lsh_file_batch" -> pipe_lsh_file_batch _,
+    "pipe_lsh_fold" -> pipe_lsh_fold _,
+    "pipe_lsh_delete" -> pipe_lsh_delete _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_embedding" -> dedup_embedding _,
     "dedup_clusters" -> dedup_clusters _,
@@ -1128,6 +1322,9 @@ object Dedup extends Logging {
     "dedup_containment" -> dedup_containment_sql,
     "dedup_minhash_lsh" -> dedup_minhash_lsh_sql,
     "pipe_dedup_incremental_lsh" -> pipe_dedup_incremental_lsh_sql,
+    "pipe_lsh_file_batch" -> pipe_lsh_file_batch_sql,
+    "pipe_lsh_fold" -> pipe_lsh_fold_sql,
+    "pipe_lsh_delete" -> pipe_lsh_delete_sql,
     "dedup_simhash" -> dedup_simhash_sql,
     "dedup_embedding" -> dedup_embedding_sql,
     "dedup_clusters" -> dedup_clusters_sql,

@@ -153,6 +153,63 @@ class IndexRootSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LSH lifecycle: delta segment holds only the filed batch; takedown rows erased") {
+    val root = Files.createTempDirectory("graft-lsh-lc-root-").toString
+    val s2 = spark.newSession()
+    s2.conf.set(Similarity.IndexRootConf, root)
+    val filed = operators.Dedup.pipe_lsh_file_batch(s2, sfDir).collect().map(_.toSeq).toSet
+    // FILE is a segment write: the delta table carries exactly the filed
+    // sources' rows, and the corpus table is not rewritten to admit them
+    val slug = Similarity.corpusSlug(sfDir)
+    val corpusMarker = Paths.get(root, s"lsh-sigs-$slug", "sigs", "_SUCCESS")
+    assert(Files.exists(corpusMarker))
+    val corpusMtime = Files.getLastModifiedTime(corpusMarker)
+    val deltaIds = s2.read.parquet(Paths.get(root, s"lsh-delta-$slug", "sigs").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectIds = Tables.documents(s2, sfDir)
+      .filter("CAST(substring(source, 4) AS INT) >= 10 AND CAST(substring(source, 4) AS INT) < 15")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds === expectIds, "delta segment = the filed batch, nothing else")
+    // DELETE is a filtered rewrite: every taken-down corpus doc is gone
+    // from the compacted table and from every emitted pair
+    val erased = Tables.documents(s2, sfDir)
+      .filter("CAST(substring(source, 4) AS INT) < 10 AND doc_id % 7 = 0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(erased.nonEmpty, "fixture must exercise a non-empty takedown set")
+    val pairs = operators.Dedup.pipe_lsh_delete(s2, sfDir).collect()
+    val remaining = s2.read.parquet(Paths.get(root, s"lsh-compact-$slug", "sigs").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(remaining.nonEmpty && remaining.intersect(erased).isEmpty,
+      "compacted table must not contain any taken-down document")
+    pairs.foreach { r =>
+      assert(!erased.contains(r.getLong(0)) && !erased.contains(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) touches an erased document")
+    }
+    assert(Files.getLastModifiedTime(corpusMarker) === corpusMtime,
+      "neither verb may rewrite the corpus signature table in place")
+    // durable-root runs equal the staging-memo runs
+    assert(filed === operators.Dedup.pipe_lsh_file_batch(spark, sfDir)
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("folding segments with overlapping doc_ids refuses loudly, before any write") {
+    val tmp = Files.createTempDirectory("graft-lsh-fold-ovl-")
+    val s = spark
+    import s.implicits._
+    // two synthetic segments sharing doc_id 3 — the re-filed-document case
+    Seq((1L, Seq(11L), Seq(1L)), (3L, Seq(12L), Seq(2L)))
+      .toDF("doc_id", "sh", "sig").write.parquet(s"$tmp/segA")
+    Seq((3L, Seq(13L), Seq(3L)), (4L, Seq(14L), Seq(4L)))
+      .toDF("doc_id", "sh", "sig").write.parquet(s"$tmp/segB")
+    val dest = s"$tmp/folded"
+    val e = intercept[operators.Dedup.OverlappingSegmentsException] {
+      operators.Dedup.foldSegments(spark, Seq(s"$tmp/segA", s"$tmp/segB"), dest)
+    }
+    assert(e.getMessage.contains("3"), "the refusal names the duplicated doc_id")
+    assert(!Files.exists(Paths.get(dest)),
+      "a refused fold must not leave a partial destination layout")
+  }
+
   test("persisted BPE merges land under the configured root; encode equals staged path") {
     val root = Files.createTempDirectory("graft-bpe-root-").toString
     val s2 = spark.newSession()

@@ -172,6 +172,61 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       s"expected one signature-computing node (the batch), found $signingNodes")
   }
 
+  test("pipe_lsh_file_batch: both persisted segments read, only the arriving batch signed") {
+    operators.Dedup.pipe_lsh_file_batch(spark, sfDir).collect() // builds the layouts
+    val df = operators.Dedup.pipe_lsh_file_batch(spark, sfDir)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-lsh-sigs"))),
+      "the corpus segment must be read from its persisted signature table")
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-lsh-delta"))),
+      "the filed delta segment must be read from its persisted table — " +
+        "filing is a segment write, never a corpus rewrite")
+    val signingNodes = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.MinHashSig])) => p
+    }.map(System.identityHashCode).distinct.size
+    assert(signingNodes === 1,
+      s"expected one signature-computing node (the arriving batch), found $signingNodes")
+  }
+
+  test("pipe_lsh_fold: screen reads the one folded table, neither pre-fold segment") {
+    operators.Dedup.pipe_lsh_fold(spark, sfDir).collect() // builds the layouts
+    val df = operators.Dedup.pipe_lsh_fold(spark, sfDir)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-lsh-fold"))),
+      "the screen must read the folded signature table")
+    assert(!scans.exists(_.metadata.get("Location").exists(l =>
+      l.contains("graft-lsh-sigs") || l.contains("graft-lsh-delta"))),
+      "after compaction neither pre-fold segment may be read — the fold " +
+        "replaced them, a lingering segment scan doubles the index I/O")
+  }
+
+  test("pipe_lsh_delete: screen reads the compacted table only, one signing node") {
+    operators.Dedup.pipe_lsh_delete(spark, sfDir).collect() // builds the layouts
+    val df = operators.Dedup.pipe_lsh_delete(spark, sfDir)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-lsh-compact"))),
+      "the screen must read the takedown-compacted signature table")
+    assert(!scans.exists(_.metadata.get("Location").exists(_.contains("graft-lsh-sigs"))),
+      "the pre-takedown corpus table must NOT be read at serve time — " +
+        "erased documents stay erased only if every read goes through the rewrite")
+    val signingNodes = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.MinHashSig])) => p
+    }.map(System.identityHashCode).distinct.size
+    assert(signingNodes === 1,
+      s"expected one signature-computing node (the arriving batch), found $signingNodes")
+  }
+
   test("pipe_dedup_incremental_embedding: batch probes the persisted index, zero trainer stages") {
     val df = operators.Similarity.pipe_dedup_incremental_embedding(spark, sfDir)
     df.collect()
