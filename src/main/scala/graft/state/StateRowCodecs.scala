@@ -216,7 +216,8 @@ final class ValueSchemaEvolution(
   /** Adapt an expression of type `from` to type `to` with Avro-resolution
     * semantics, RECURSIVELY through structs: fields follow their NAME
     * (added = null, removed = dropped, reordered = matched), leaf type
-    * changes cast if castable. Recursion matters because the engine NESTS
+    * changes cast only if they are Avro-permitted WIDENINGS ([[widens]] —
+    * narrowing refuses loudly). Recursion matters because the engine NESTS
     * user state classes — a TTL'd value is `(value: <user struct>,
     * ttlExpirationMs)` — so the evolving struct is a FIELD of the stored
     * row, where a flat `Cast(struct, struct)` of differing arity reads
@@ -244,11 +245,36 @@ final class ValueSchemaEvolution(
           org.apache.spark.sql.catalyst.expressions.IsNull(e),
           Literal(null, t),
           org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(entries.toIndexedSeq))
-      case _ if Cast.canCast(from, to) => Cast(e, to)
+      case _ if widens(from, to) => Cast(e, to)
       case _ => throw new UnsupportedOperationException(
         s"state value schema evolution cannot adapt a field of type " +
           s"${from.catalogString} to ${to.catalogString} (column family $cfName)")
     }
+
+  /** The leaf type changes evolution accepts: exactly the WIDENING
+    * promotions Avro schema resolution permits (int→long, int/long→
+    * float/double, float→double, and their byte/short analogues;
+    * string↔binary), recursively through array elements and map entries.
+    * `Cast.canCast` is deliberately NOT the gate here: Spark can cast
+    * long→int (wraps), double→int (truncates), string→int (nulls) — all
+    * "castable", all silent garbage when applied to recovered state.
+    * Narrowing or repurposing a state field refuses with the typed error
+    * above, matching what Spark's built-in Avro mode does. Structs are
+    * excluded — at top level they resolve BY NAME (the case above);
+    * inside an array or map a Cast would resolve them positionally,
+    * mis-assigning on reorder, so that shape change also refuses. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => true
+    case (ArrayType(fe, _), ArrayType(te, _)) => widens(fe, te)
+    case (MapType(fk, fv, _), MapType(tk, tv, _)) => widens(fk, tk) && widens(fv, tv)
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | FloatType | DoubleType) => true
+    case (LongType, FloatType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (StringType, BinaryType) | (BinaryType, StringType) => true
+    case _ => false
+  }
 
   /** Projection from the row layout of `oldId` to the current schema:
     * fields resolved by NAME, recursively ([[adapt]]); unmatched fields

@@ -2067,11 +2067,22 @@ object StreamingQueries {
     * whose corpus side is the compact signature table; state carries only
     * seen (batch, corpus) ID pairs. This is [[stream_ann_serve]]'s shape
     * with the lexical index in place of the vector index. */
-  def stream_lsh_serve(s: SparkSession, dir: String): DataFrame = {
+  def stream_lsh_serve(s: SparkSession, dir: String): DataFrame =
+    lshServeAgainst(s, dir,
+      s2 => s"${graft.operators.Dedup.persistedCorpusLshSigs(s2, dir)}/sigs",
+      graft.operators.Pipeline.IncrCorpusSources, "stream_lsh_serve")
+
+  /** The serve loop over ANY signature-table generation: `sigsTable`
+    * resolves the layout (corpus, folded, compacted — the lifecycle
+    * verbs all publish the same `(doc_id, sh, sig)` shape), `split` is
+    * the source index where arrivals begin. One definition so the
+    * streaming path provably serves every generation the batch verbs
+    * can produce. */
+  private def lshServeAgainst(s: SparkSession, dir: String,
+      sigsTable: SparkSession => String, split: Int, name: String): DataFrame = {
     import graft.operators.Dedup
     runToTable(s, { s2 =>
-      val sigsDir = Dedup.persistedCorpusLshSigs(s2, dir)
-      val corpus = s2.read.parquet(s"$sigsDir/sigs")
+      val corpus = s2.read.parquet(sigsTable(s2))
       // the corpus-side tables are O(N) (bands, shingle sets): they stay
       // parquet scans per micro-batch rather than memory-cached — at
       // corpus scale they do not fit executor memory, and the compact
@@ -2081,8 +2092,7 @@ object StreamingQueries {
         .select(col("doc_id"), posexplode(expr(Dedup.bandKeysExpr)))
         .toDF("corpus_id", "band", "bkey")
       val arrivals = documentsStream(s2, dir)
-        .filter(expr(s"CAST(substring(source, 4) AS INT) >= " +
-          s"${graft.operators.Pipeline.IncrCorpusSources}"))
+        .filter(expr(s"CAST(substring(source, 4) AS INT) >= $split"))
         .select(col("doc_id"), col("text"))
       val cand = Dedup.lshBandRows(arrivals)
         .join(corpusBands, Seq("band", "bkey"))
@@ -2093,8 +2103,7 @@ object StreamingQueries {
       // the persisted signature table below, and every candidate's
       // doc_id is a batch doc by construction
       val batchSh = Tables.documents(s2, dir)
-        .filter(expr(s"CAST(substring(source, 4) AS INT) >= " +
-          s"${graft.operators.Pipeline.IncrCorpusSources}"))
+        .filter(expr(s"CAST(substring(source, 4) AS INT) >= $split"))
         .select(col("doc_id"), graft.functions.WordShingleHashes.of(col("text"), 3).as("sh_b"))
       val corpusSh = corpus.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
       cand.join(batchSh, "doc_id")
@@ -2105,13 +2114,24 @@ object StreamingQueries {
         .select(col("doc_id"), col("corpus_id"), col("common"), col("union_size"),
           (col("common") * 1000).divide(col("union_size")).cast("long")
             .as("jaccard_per_mille"))
-    }, OutputMode.Append(), "stream_lsh_serve")
+    }, OutputMode.Append(), name)
   }
+
+  /** [[stream_lsh_serve]] against the FOLDED signature table
+    * ([[graft.operators.Dedup.foldedLshSigs]] — corpus + filed delta
+    * compacted into one layout): the serve path provably works off the
+    * compaction's output, closing the lexical lifecycle the way
+    * [[stream_ann_serve_merged]] closed the vector one. Arrivals begin
+    * where the filed segment ends, and the oracle is the one-shot screen
+    * with exactly one side past that split. */
+  def stream_lsh_serve_folded(s: SparkSession, dir: String): DataFrame =
+    lshServeAgainst(s, dir,
+      s2 => s"${graft.operators.Dedup.foldedLshSigs(s2, dir)}/sigs",
+      graft.operators.Dedup.FiledBatchSplit, "stream_lsh_serve_folded")
 
   /** The one-shot LSH pairs with exactly one batch side, oriented
     * (batch doc, corpus doc). */
-  lazy val stream_lsh_serve_sql: String = {
-    val split = graft.operators.Pipeline.IncrCorpusSources
+  private def lshServeSqlAt(split: Int): String =
     s"""WITH pairs AS MATERIALIZED (
        |  SELECT * FROM (${graft.operators.Dedup.dedup_minhash_lsh_sql})),
        |cls AS (SELECT doc_id, CAST(substr(source, 4) AS INT) >= $split AS is_batch
@@ -2123,7 +2143,12 @@ object StreamingQueries {
        |JOIN cls a ON a.doc_id = pairs.doc_id_a
        |JOIN cls b ON b.doc_id = pairs.doc_id_b
        |WHERE a.is_batch != b.is_batch""".stripMargin
-  }
+
+  lazy val stream_lsh_serve_sql: String =
+    lshServeSqlAt(graft.operators.Pipeline.IncrCorpusSources)
+
+  lazy val stream_lsh_serve_folded_sql: String =
+    lshServeSqlAt(graft.operators.Dedup.FiledBatchSplit)
 
   /** Streaming CORPUS MATERIALIZATION — the end-to-end ingest pipeline a
     * continuously-crawling corpus build runs, as ONE chained stateful
@@ -3536,6 +3561,7 @@ object StreamingQueries {
     "stream_doc_dedup" -> (stream_doc_dedup(_, _)),
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
     "stream_lsh_serve" -> (stream_lsh_serve(_, _)),
+    "stream_lsh_serve_folded" -> (stream_lsh_serve_folded(_, _)),
     "stream_kmv" -> (stream_kmv(_, _)),
     "stream_drift" -> (stream_drift(_, _)),
     "stream_corpus" -> (stream_corpus(_, _)),
@@ -3600,6 +3626,7 @@ object StreamingQueries {
     "stream_doc_dedup" -> stream_doc_dedup_sql,
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_lsh_serve" -> stream_lsh_serve_sql,
+    "stream_lsh_serve_folded" -> stream_lsh_serve_folded_sql,
     "stream_kmv" -> stream_kmv_sql,
     "stream_drift" -> stream_drift_sql,
     "stream_corpus" -> stream_corpus_sql,

@@ -40,6 +40,8 @@ class IndexFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     s2.conf.set(Similarity.IndexRootConf, root)
     Similarity.sim_index_merge(s2, sfDir).collect() // base + 2 shards + merged
     Dedup.pipe_dedup_incremental_lsh(s2, sfDir).collect() // lsh-sigs
+    Dedup.pipe_lsh_fold(s2, sfDir).collect() // + lsh-delta + lsh-fold
+    Dedup.pipe_lsh_delete(s2, sfDir).collect() // + lsh-compact
     TextAnalysis.text_bpe_persist(s2, sfDir).collect() // bpe-merges
   }
 
@@ -77,6 +79,11 @@ class IndexFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"ivfpq-$slug-shard1" -> "ivfpq-shard",
       s"ivfpq-$slug-merged" -> "ivfpq",
       s"lsh-sigs-$slug" -> "lsh-sigs",
+      // the lifecycle generations publish the same sigs-table shape, so
+      // fsck classifies and verifies them with no special-casing
+      s"lsh-delta-$slug" -> "lsh-sigs",
+      s"lsh-fold-$slug" -> "lsh-sigs",
+      s"lsh-compact-$slug" -> "lsh-sigs",
       s"bpe-merges-$slug" -> "bpe-merges")
     expect.foreach { case (l, fam) =>
       val lr = rs.getOrElse(l, fail(s"no report row for $l"))

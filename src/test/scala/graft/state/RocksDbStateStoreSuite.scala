@@ -459,6 +459,40 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     } finally p2.close()
   }
 
+  test("value-schema evolution REFUSES narrowing: Long -> Int is a typed error, not a wrap") {
+    val ckpt = newCheckpointDir()
+    // v0: (a Long); v1: (a Int). Cast.canCast says yes (and would wrap
+    // 2^32+5 to 5 silently); Avro resolution says no — recovered state
+    // must never decode to in-range garbage.
+    val schemaV0 = StructType(Seq(StructField("a", LongType)))
+    val schemaV1 = StructType(Seq(StructField("a", IntegerType)))
+    class FakeSchemaProvider(current: Short) extends StateSchemaProvider {
+      override def getSchemaMetadataValue(key: StateSchemaMetadataKey): StateSchemaMetadataValue =
+        StateSchemaMetadataValue(if (key.schemaId == 0) schemaV0 else schemaV1, null)
+      override def getCurrentStateSchemaId(colFamilyName: String, isKey: Boolean): Short = current
+    }
+    val p1 = newProvider(ckpt, vSchema = schemaV0,
+      stateSchemaProvider = Some(new FakeSchemaProvider(0)))
+    try {
+      val s = p1.getStore(0, None)
+      val proj = UnsafeProjection.create(Array[DataType](LongType))
+      s.put(keyRow("a"), proj(InternalRow((1L << 32) + 5L)).copy(),
+        StateStore.DEFAULT_COL_FAMILY_NAME)
+      s.commit()
+    } finally p1.close()
+    val p2 = newProvider(ckpt, vSchema = schemaV1,
+      stateSchemaProvider = Some(new FakeSchemaProvider(1)))
+    try {
+      val s = p2.getStore(1, None)
+      val e = intercept[UnsupportedOperationException] {
+        s.get(keyRow("a"), StateStore.DEFAULT_COL_FAMILY_NAME)
+      }
+      assert(e.getMessage.contains("bigint") && e.getMessage.contains("int"),
+        s"the refusal names both types: ${e.getMessage}")
+      s.abort()
+    } finally p2.close()
+  }
+
   test("value-schema evolution recurses through NESTED structs (the TTL wrapper shape)") {
     val ckpt = newCheckpointDir()
     // the engine nests user state classes: a TTL'd value row is
