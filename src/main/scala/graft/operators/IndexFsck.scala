@@ -121,10 +121,11 @@ object IndexFsck extends Logging {
     else if (has("codes"))
       ivfpqReport(spark, fs, p, "ivfpq-shard", Seq("cells", "codes"))
     else if (has("sigs")) lshReport(spark, fs, p)
+    else if (has("fps")) fpReport(spark, fs, p)
     else if (has("merges")) bpeReport(spark, fs, p)
     else LayoutReport(name, "unknown", complete = false, 0, 0, 0, 0, 0, 0, 0,
       "unrecognized layout: no known table directory (centroids/cells/" +
-        "codebook/codes, sigs, merges) — a foreign directory in the index root")
+        "codebook/codes, sigs, fps, merges) — a foreign directory in the index root")
   }
 
   /** (readable tables by name, missing count, unreadable count, issues). */
@@ -214,6 +215,25 @@ object IndexFsck extends Logging {
       if (arityErrors > 0) issues += s"$arityErrors rows with null signature/shingle set"
     }
     LayoutReport(p.getName, "lsh-sigs", complete, tables.size, missing, unreadable,
+      keyMismatches, arityErrors, 0L, 0L, issues.result().mkString("; "))
+  }
+
+  private def fpReport(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): LayoutReport = {
+    val complete = fs.exists(new Path(p, "fps/_SUCCESS"))
+    val (tables, missing, unreadable, tblIssues) = readTables(spark, fs, p, Seq("fps"))
+    val issues = Seq.newBuilder[String]
+    issues ++= tblIssues
+    if (!complete) issues += "publish marker fps/_SUCCESS absent (crashed publish?)"
+    var keyMismatches = 0L
+    var arityErrors = 0L
+    tables.get("fps").foreach { fps =>
+      keyMismatches = fps.count() - fps.select(col("fp")).distinct().count()
+      if (keyMismatches > 0) issues += s"$keyMismatches duplicate fingerprint rows"
+      arityErrors = fps.filter(col("fp").isNull || col("corpus_rep").isNull).count()
+      if (arityErrors > 0) issues += s"$arityErrors rows with null fp/representative"
+    }
+    LayoutReport(p.getName, "fp-reps", complete, tables.size, missing, unreadable,
       keyMismatches, arityErrors, 0L, 0L, issues.result().mkString("; "))
   }
 

@@ -107,7 +107,7 @@ object IndexGc extends Logging {
   private def debrisKind(fs: FileSystem, st: FileStatus): Option[String] = {
     val p = st.getPath
     if (p.getName.contains(".tmp-")) return Some("build-tmp")
-    val markers = Seq("codes", "sigs", "merges")
+    val markers = Seq("codes", "sigs", "fps", "merges")
     markers.find(t => fs.exists(new Path(p, t))) match {
       case Some(t) if !fs.exists(new Path(p, s"$t/_SUCCESS")) =>
         Some("stale-partial")

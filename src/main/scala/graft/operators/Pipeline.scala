@@ -876,20 +876,46 @@ object Pipeline {
     * (source index >= [[IncrCorpusSources]]) are deduplicated against the
     * EXISTING corpus (source index below it) and against each other, each
     * new doc labeled `dup_of_corpus` / `dup_in_batch` / `new` with the
-    * representative it collided with. At production scale the corpus side
-    * is the accumulated fingerprint table (one 16-byte fp + one id per
-    * unique doc, NOT the corpus text) — the join ships fingerprints only,
-    * and everything keys on `fp`, so the corpus aggregate, the batch
-    * window, and the join share one shuffle family. */
+    * representative it collided with. The corpus side is the PERSISTED
+    * accumulated fingerprint table ([[persistedCorpusFps]] — one md5 + one
+    * id per unique doc, NOT the corpus text, plan-pinned): the join ships
+    * fingerprints only, the batch window and the join key on `fp` and
+    * share one shuffle family, and per-batch cost is O(batch) however
+    * large the corpus grows. */
   private[graft] val IncrCorpusSources = 10
 
+  private val fpDirMemo = new graft.Memo[String]
+
+  /** The accumulated corpus fingerprint table persisted ONCE as data —
+    * `(fp, corpus_rep)`, one md5 + one id per unique corpus document —
+    * under the index root, the exact-dedup member of the persisted-
+    * artifact family next to the LSH signature table
+    * ([[Dedup.persistedCorpusLshSigs]]) and the IVF×PQ layout. Each
+    * arriving batch fingerprints only ITS documents and joins this table:
+    * the corpus text is never re-read, never re-hashed — the table IS
+    * what a production incremental dedup accumulates batch over batch. */
+  private[graft] def persistedCorpusFps(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption(Similarity.IndexRootConf).map(_.trim).filter(_.nonEmpty)
+    fpDirMemo.getOrStage(root.getOrElse("<staging>") + "|" + dir) {
+      val p = root match {
+        case Some(r) => s"$r/fp-reps-${Similarity.corpusSlug(dir)}"
+        case None => graft.Staging.tempDir("graft-fp-reps-").toString
+      }
+      Similarity.publishLayout(s, p, "fps/_SUCCESS") { tmp =>
+        Tables.documents(s, dir)
+          .filter(expr(s"CAST(substring(source, 4) AS INT) < $IncrCorpusSources"))
+          .select(col("doc_id"), md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_rep"))
+          .write.parquet(s"$tmp/fps")
+      }
+    }
+  }
+
   def pipe_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-      md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+    val corpus = s.read.parquet(s"${persistedCorpusFps(s, dir)}/fps")
     val isCorpus = expr(s"CAST(substring(source, 4) AS INT) < $IncrCorpusSources")
-    val corpus = docs.filter(isCorpus)
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_rep"))
-    docs.filter(!isCorpus)
+    Tables.documents(s, dir).filter(!isCorpus)
+      .select(col("doc_id"), md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
       .withColumn("batch_rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .join(corpus, Seq("fp"), "left")
       .withColumn("status",

@@ -42,6 +42,7 @@ class IndexFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.pipe_dedup_incremental_lsh(s2, sfDir).collect() // lsh-sigs
     Dedup.pipe_lsh_fold(s2, sfDir).collect() // + lsh-delta + lsh-fold
     Dedup.pipe_lsh_delete(s2, sfDir).collect() // + lsh-compact
+    operators.Pipeline.pipe_dedup_incremental(s2, sfDir).collect() // fp-reps
     TextAnalysis.text_bpe_persist(s2, sfDir).collect() // bpe-merges
   }
 
@@ -84,6 +85,7 @@ class IndexFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"lsh-delta-$slug" -> "lsh-sigs",
       s"lsh-fold-$slug" -> "lsh-sigs",
       s"lsh-compact-$slug" -> "lsh-sigs",
+      s"fp-reps-$slug" -> "fp-reps",
       s"bpe-merges-$slug" -> "bpe-merges")
     expect.foreach { case (l, fam) =>
       val lr = rs.getOrElse(l, fail(s"no report row for $l"))

@@ -172,6 +172,21 @@ class PlanShapeSuite extends AnyFunSuite with BeforeAndAfterAll
       s"expected one signature-computing node (the batch), found $signingNodes")
   }
 
+  test("pipe_dedup_incremental: corpus side off the persisted fingerprint table") {
+    Pipeline.pipe_dedup_incremental(spark, sfDir).collect() // builds the table
+    val df = Pipeline.pipe_dedup_incremental(spark, sfDir)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains("graft-fp-reps"))),
+      "the corpus side must be read from the persisted fingerprint table")
+    // exactly two scans: the fingerprint table + the batch's documents —
+    // a third means the corpus text was re-read to rebuild the aggregate
+    assert(scans.map(System.identityHashCode).distinct.size === 2,
+      s"expected 2 scans (fp table + batch docs), found ${scans.size}")
+  }
+
   test("pipe_lsh_file_batch: both persisted segments read, only the arriving batch signed") {
     operators.Dedup.pipe_lsh_file_batch(spark, sfDir).collect() // builds the layouts
     val df = operators.Dedup.pipe_lsh_file_batch(spark, sfDir)
