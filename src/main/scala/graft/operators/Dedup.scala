@@ -801,25 +801,30 @@ object Dedup extends Logging {
     * duplicate out first. */
   final class OverlappingSegmentsException(sample: Seq[Long], segments: Seq[String])
     extends IllegalStateException(
-      s"segment fold refused: doc_ids filed by more than one segment " +
+      s"segment fold refused: doc_ids with more than one signature row " +
         s"(sample: ${sample.mkString(", ")}) across ${segments.mkString(", ")} — " +
-        "a blind union would duplicate their signature rows and every pair " +
-        "they verify would emit once per copy; re-file or compact first")
+        "filed by two segments, or duplicated within one; a blind union " +
+        "would make every pair such a doc verifies emit once per copy; " +
+        "re-file or compact first")
 
   /** Fold signature segments (each a `(doc_id, sh, sig)` parquet table)
     * into one published table at `dest` — pure concatenation under a
-    * disjointness check (one 8-byte id-column aggregate), zero hashing,
-    * zero signing: the per-row artifacts are membership-independent, so
-    * compaction is I/O-bound at any corpus size. */
+    * uniqueness check (one 8-byte id-column aggregate, catching doc_ids
+    * filed by two segments AND duplicated within one — fsck's duplicate-
+    * row damage class folds through a cross-segment-only test), zero
+    * hashing, zero signing: the per-row artifacts are membership-
+    * independent, so compaction is I/O-bound at any corpus size. An
+    * already-published dest short-circuits before the scan — the serve
+    * side's cold-start path is metadata-only. */
   private[graft] def foldSegments(
       s: SparkSession, segments: Seq[String], dest: String): String = {
-    val dup = segments.zipWithIndex
-      .map { case (sp, i) =>
-        s.read.parquet(sp).select(col("doc_id")).withColumn("seg", lit(i))
-      }
+    val marker = new org.apache.hadoop.fs.Path(s"$dest/sigs/_SUCCESS")
+    if (marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+      return dest
+    val dup = segments.map(sp => s.read.parquet(sp).select(col("doc_id")))
       .reduce(_ unionByName _)
-      .groupBy(col("doc_id")).agg(countDistinct(col("seg")).as("ns"))
-      .filter(col("ns") > 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+      .filter(col("nr") > 1)
       .select(col("doc_id")).orderBy(col("doc_id")).limit(5)
       .collect().map(_.getLong(0)).toSeq
     if (dup.nonEmpty) throw new OverlappingSegmentsException(dup, segments)

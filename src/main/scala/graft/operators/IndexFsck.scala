@@ -99,7 +99,7 @@ object IndexFsck extends Logging {
     val entries = fs.listStatus(root).filter(_.isDirectory).toSeq
     val reports = entries.map { st =>
       val name = st.getPath.getName
-      if (name.contains(".tmp-")) {
+      if (IndexGc.StagingSuffix.matcher(name).find()) {
         val bytes = Try(fs.getContentSummary(st.getPath).getLength).getOrElse(0L)
         LayoutReport(name, "build-tmp", complete = false, 0, 0, 0, 0, 0, 0, bytes,
           s"orphan publish staging dir ($bytes bytes) — crashed or in-flight " +

@@ -46,6 +46,11 @@ object IndexGc extends Logging {
 
   val QuiesceConf = "spark.graft.indexops.quiesceMs"
 
+  /** [[Similarity.publishLayout]] staging-dir name suffix: `.tmp-` + 8 hex
+    * chars of a UUID, at the END of the name. */
+  private[operators] val StagingSuffix =
+    java.util.regex.Pattern.compile("\\.tmp-[0-9a-f]{8}$")
+
   /** One debris entry. `action` ∈ would-delete | deleted | skipped-fresh |
     * delete-failed. */
   case class GcEntry(layout: String, kind: String, bytes: Long,
@@ -53,7 +58,10 @@ object IndexGc extends Logging {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
-    require(pos.length == 1, "usage: IndexGc [--apply] [--force] <indexRoot>")
+    val unknown = flags.filterNot(Set("--apply", "--force"))
+    require(unknown.isEmpty && pos.length == 1,
+      s"usage: IndexGc [--apply] [--force] <indexRoot>" +
+        (if (unknown.nonEmpty) s" — unknown flag(s): ${unknown.mkString(", ")}" else ""))
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
@@ -106,7 +114,11 @@ object IndexGc extends Logging {
     * dir with NO known table is foreign and never touched. */
   private def debrisKind(fs: FileSystem, st: FileStatus): Option[String] = {
     val p = st.getPath
-    if (p.getName.contains(".tmp-")) return Some("build-tmp")
+    // suffix-anchored: publishLayout staging dirs END in ".tmp-<8 hex>".
+    // A substring test would claim a COMPLETE layout whose corpus slug
+    // happens to contain ".tmp-" (slugs keep dots and dashes) — report
+    // tools may shrug that off, a deleter may not
+    if (IndexGc.StagingSuffix.matcher(p.getName).find()) return Some("build-tmp")
     val markers = Seq("codes", "sigs", "fps", "merges")
     markers.find(t => fs.exists(new Path(p, t))) match {
       case Some(t) if !fs.exists(new Path(p, s"$t/_SUCCESS")) =>

@@ -2125,10 +2125,11 @@ object Similarity {
     * compact the duplicate out first. */
   final class OverlappingShardsException(sample: Seq[Long], shards: Seq[String])
     extends IllegalStateException(
-      s"shard merge refused: vec_ids filed by more than one shard " +
+      s"shard merge refused: vec_ids with more than one index row " +
         s"(sample: ${sample.mkString(", ")}) across ${shards.mkString(", ")} — " +
-        "a blind union would duplicate their index rows; re-shard on a " +
-        "disjoint key or compact the duplicates out of one shard first")
+        "filed by two shards, or duplicated within one; a blind union " +
+        "would serve them twice; re-shard on a disjoint key or compact " +
+        "the duplicates out first")
 
   /** Concatenate shard layouts (per-vector `cells`/`codes` tables) under
     * the SHARED quantizer at `base` into one served layout at `dest` —
@@ -2140,13 +2141,19 @@ object Similarity {
     * duplicates silently. */
   private[graft] def mergeShardLayouts(
       s: SparkSession, base: String, shards: Seq[String], dest: String): String = {
-    val dup = shards.zipWithIndex
-      .map { case (sp, i) =>
-        s.read.parquet(s"$sp/cells").select(col("vec_id")).withColumn("shard", lit(i))
-      }
+    // an already-published merge short-circuits before the disjointness
+    // scan: the serve side's cold-start path stays metadata-only
+    val marker = new org.apache.hadoop.fs.Path(s"$dest/codes/_SUCCESS")
+    if (marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+      return dest
+    // count ROWS, not distinct shards: a vec_id duplicated WITHIN one
+    // shard's cells table (fsck's duplicate-row damage class) is the same
+    // served-twice corruption as one filed by two shards
+    val dup = shards
+      .map(sp => s.read.parquet(s"$sp/cells").select(col("vec_id")))
       .reduce(_ unionByName _)
-      .groupBy(col("vec_id")).agg(countDistinct(col("shard")).as("ns"))
-      .filter(col("ns") > 1)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("nr"))
+      .filter(col("nr") > 1)
       .select(col("vec_id")).orderBy(col("vec_id")).limit(5)
       .collect().map(_.getLong(0)).toSeq
     if (dup.nonEmpty) throw new OverlappingShardsException(dup, shards)

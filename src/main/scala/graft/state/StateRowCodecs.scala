@@ -265,8 +265,12 @@ final class ValueSchemaEvolution(
     * mis-assigning on reorder, so that shape change also refuses. */
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (f, t) if f == t => true
-    case (ArrayType(fe, _), ArrayType(te, _)) => widens(fe, te)
-    case (MapType(fk, fv, _), MapType(tk, tv, _)) => widens(fk, tk) && widens(fv, tv)
+    // element nullability may only WIDEN too: stored null elements under a
+    // non-null target would bypass the typed refusal into an unresolvable
+    // Cast (or a schema that lies about its nulls)
+    case (ArrayType(fe, fn), ArrayType(te, tn)) => (!fn || tn) && widens(fe, te)
+    case (MapType(fk, fv, fn), MapType(tk, tv, tn)) =>
+      (!fn || tn) && widens(fk, tk) && widens(fv, tv)
     case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
     case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
     case (IntegerType, LongType | FloatType | DoubleType) => true

@@ -2069,20 +2069,24 @@ object StreamingQueries {
     * with the lexical index in place of the vector index. */
   def stream_lsh_serve(s: SparkSession, dir: String): DataFrame =
     lshServeAgainst(s, dir,
-      s2 => s"${graft.operators.Dedup.persistedCorpusLshSigs(s2, dir)}/sigs",
+      s"${graft.operators.Dedup.persistedCorpusLshSigs(s, dir)}/sigs",
       graft.operators.Pipeline.IncrCorpusSources, "stream_lsh_serve")
 
-  /** The serve loop over ANY signature-table generation: `sigsTable`
-    * resolves the layout (corpus, folded, compacted — the lifecycle
+  /** The serve loop over ANY signature-table generation: `sigsTablePath`
+    * is the resolved layout (corpus, folded, compacted — the lifecycle
     * verbs all publish the same `(doc_id, sh, sig)` shape), `split` is
     * the source index where arrivals begin. One definition so the
     * streaming path provably serves every generation the batch verbs
-    * can produce. */
+    * can produce. The layout is resolved by the CALLER on the outer
+    * session: the stream runs on a cloned session with an isolated
+    * SQLConf, where a runtime-set `spark.graft.index.root` is invisible
+    * — resolving there would silently rebuild the corpus into staging
+    * instead of serving the persisted generation. */
   private def lshServeAgainst(s: SparkSession, dir: String,
-      sigsTable: SparkSession => String, split: Int, name: String): DataFrame = {
+      sigsTablePath: String, split: Int, name: String): DataFrame = {
     import graft.operators.Dedup
     runToTable(s, { s2 =>
-      val corpus = s2.read.parquet(sigsTable(s2))
+      val corpus = s2.read.parquet(sigsTablePath)
       // the corpus-side tables are O(N) (bands, shingle sets): they stay
       // parquet scans per micro-batch rather than memory-cached — at
       // corpus scale they do not fit executor memory, and the compact
@@ -2126,7 +2130,7 @@ object StreamingQueries {
     * with exactly one side past that split. */
   def stream_lsh_serve_folded(s: SparkSession, dir: String): DataFrame =
     lshServeAgainst(s, dir,
-      s2 => s"${graft.operators.Dedup.foldedLshSigs(s2, dir)}/sigs",
+      s"${graft.operators.Dedup.foldedLshSigs(s, dir)}/sigs",
       graft.operators.Dedup.FiledBatchSplit, "stream_lsh_serve_folded")
 
   /** The one-shot LSH pairs with exactly one batch side, oriented

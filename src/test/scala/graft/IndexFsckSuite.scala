@@ -167,7 +167,7 @@ class IndexFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
   test("exit-contract predicate agrees with the per-row clean flag") {
     val r = sandbox(s"ivfpq-$slug-merged", s"bpe-merges-$slug")
     Files.delete(Paths.get(r, s"ivfpq-$slug-merged", "codes", "_SUCCESS"))
-    Files.createDirectories(Paths.get(r, s"x.tmp-1"))
+    Files.createDirectories(Paths.get(r, s"x.tmp-12ab34cd"))
     val df = IndexFsck.run(spark, r)
     val badByMain = df.filter(col("family") =!= "build-tmp" &&
       !(col("family") =!= "unknown" && col("complete") &&

@@ -95,9 +95,31 @@ class IndexGcSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(
       Paths.get(root, s"lsh-sigs-${Similarity.corpusSlug(sfDir)}", "sigs", "_SUCCESS")),
       "the complete layout must survive --apply")
-    // the unblocked slug republishes cleanly after the sweep
+  }
+
+  test("gc unblocks a crashed publish of the REAL slug: refuse, sweep, republish") {
+    // a marker-less layout at the slug publishLayout would target blocks
+    // every rebuild ("remove it and retrain") — gc is the removal tool,
+    // so the full cycle must work end-to-end on a FRESH root
+    val root2 = Files.createTempDirectory("graft-gc-root2-").toString
+    val slug = Similarity.corpusSlug(sfDir)
+    val stale = Paths.get(root2, s"lsh-sigs-$slug")
+    Files.createDirectories(stale.resolve("sigs"))
+    Files.writeString(stale.resolve("sigs/part-0.parquet"), "junk")
+    age(stale, 10 * 60 * 1000)
+    val s2 = spark.newSession()
+    s2.conf.set(Similarity.IndexRootConf, root2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.pipe_dedup_incremental_lsh(s2, sfDir).collect()
+    }
+    assert(e.getMessage.contains("incomplete"), s"wrong refusal: ${e.getMessage}")
+    val rs = IndexGc.run(spark, root2, apply = true).as(enc).collect()
+      .map(x => x.layout -> x).toMap
+    assert(rs(s"lsh-sigs-$slug").action === "deleted")
     val s3 = spark.newSession()
-    s3.conf.set(Similarity.IndexRootConf, root)
-    assert(Dedup.pipe_dedup_incremental_lsh(s3, sfDir).collect().nonEmpty)
+    s3.conf.set(Similarity.IndexRootConf, root2)
+    assert(Dedup.pipe_dedup_incremental_lsh(s3, sfDir).collect().nonEmpty,
+      "the swept slug must publish cleanly")
+    assert(Files.exists(Paths.get(root2, s"lsh-sigs-$slug", "sigs", "_SUCCESS")))
   }
 }

@@ -208,6 +208,14 @@ class IndexRootSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("3"), "the refusal names the duplicated doc_id")
     assert(!Files.exists(Paths.get(dest)),
       "a refused fold must not leave a partial destination layout")
+    // a doc_id duplicated WITHIN one segment (fsck's duplicate-row damage
+    // class) is the same served-twice corruption and must refuse too
+    Seq((7L, Seq(15L), Seq(5L)), (7L, Seq(16L), Seq(6L)))
+      .toDF("doc_id", "sh", "sig").write.parquet(s"$tmp/segC")
+    val e2 = intercept[operators.Dedup.OverlappingSegmentsException] {
+      operators.Dedup.foldSegments(spark, Seq(s"$tmp/segC"), s"$tmp/folded2")
+    }
+    assert(e2.getMessage.contains("7"))
   }
 
   test("persisted BPE merges land under the configured root; encode equals staged path") {

@@ -493,6 +493,40 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     } finally p2.close()
   }
 
+  test("value-schema evolution REFUSES narrowing array-element nullability") {
+    val ckpt = newCheckpointDir()
+    // v0: (xs array<long> nullable elems); v1: (xs array<long> non-null
+    // elems) — stored null elements under a non-null target must refuse
+    // like any narrowing, not slip past into an unresolvable Cast
+    val schemaV0 = StructType(Seq(StructField("xs", ArrayType(LongType, containsNull = true))))
+    val schemaV1 = StructType(Seq(StructField("xs", ArrayType(LongType, containsNull = false))))
+    class FakeSchemaProvider(current: Short) extends StateSchemaProvider {
+      override def getSchemaMetadataValue(key: StateSchemaMetadataKey): StateSchemaMetadataValue =
+        StateSchemaMetadataValue(if (key.schemaId == 0) schemaV0 else schemaV1, null)
+      override def getCurrentStateSchemaId(colFamilyName: String, isKey: Boolean): Short = current
+    }
+    val p1 = newProvider(ckpt, vSchema = schemaV0,
+      stateSchemaProvider = Some(new FakeSchemaProvider(0)))
+    try {
+      val s = p1.getStore(0, None)
+      val proj = UnsafeProjection.create(Array[DataType](ArrayType(LongType, containsNull = true)))
+      s.put(keyRow("a"),
+        proj(InternalRow(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](1L, null, 3L)))).copy(),
+        StateStore.DEFAULT_COL_FAMILY_NAME)
+      s.commit()
+    } finally p1.close()
+    val p2 = newProvider(ckpt, vSchema = schemaV1,
+      stateSchemaProvider = Some(new FakeSchemaProvider(1)))
+    try {
+      val s = p2.getStore(1, None)
+      intercept[UnsupportedOperationException] {
+        s.get(keyRow("a"), StateStore.DEFAULT_COL_FAMILY_NAME)
+      }
+      s.abort()
+    } finally p2.close()
+  }
+
   test("value-schema evolution recurses through NESTED structs (the TTL wrapper shape)") {
     val ckpt = newCheckpointDir()
     // the engine nests user state classes: a TTL'd value row is
