@@ -83,13 +83,8 @@ object SubstrHashes {
       // the substring() the interpreted pipeline and the oracle evaluate
       val window = t.substringSQL(pos, winLen)
       md.reset()
-      val d = md.digest(window.getBytes)
-      // first 15 hex nibbles as unsigned BIGINT = first 8 bytes big-endian,
-      // logical shift right one nibble (conv(substr(md5_hex,1,15),16,10))
-      var be = 0L
-      var i = 0
-      while (i < 8) { be = (be << 8) | (d(i) & 0xffL); i += 1 }
-      out(pos - 1) = new GenericInternalRow(Array[Any](pos, be >>> 4)): InternalRow
+      out(pos - 1) = new GenericInternalRow(
+        Array[Any](pos, H60.ofDigest(md.digest(window.getBytes)))): InternalRow
       pos += 1
     }
     new GenericArrayData(out)

@@ -54,14 +54,10 @@ case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression 
   @transient private lazy val md5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** First 15 hex chars of the md5 of `s`, parsed base-16: bytes 0..6 and
-    * the top nibble of byte 7 — 60 bits. */
+  /** First 15 hex chars of the md5 of `s`, parsed base-16 ([[H60]]). */
   private def h60(digest: MessageDigest, s: String): Long = {
     digest.reset()
-    val d = digest.digest(s.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
-      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-      ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+    H60.ofDigest(digest.digest(s.getBytes("UTF-8")))
   }
 
   def compute(input: UTF8String): ArrayData = {

@@ -657,8 +657,30 @@ object Dedup extends Logging {
     * banding bounds candidates exactly as the one-shot path. */
   def pipe_dedup_incremental_lsh(s: SparkSession, dir: String): DataFrame = {
     val sigsDir = persistedCorpusLshSigs(s, dir)
-    lshScreen(s.read.parquet(s"$sigsDir/sigs"),
+    lshScreen(readSigsTable(s, s"$sigsDir/sigs"),
       signedBatch(s, dir, Pipeline.IncrCorpusSources))
+  }
+
+  /** Load a persisted signature table, refusing a STALE layout loudly: a
+    * table whose `sh` column stores strings (the pre-hash-compaction
+    * format) would survive `unionByName` by coercing the batch's 60-bit
+    * hashes to decimal strings, making every cross `array_intersect`
+    * empty — the screen silently emits zero batch-vs-corpus pairs. A
+    * format change to the stored artifact must be a typed refusal on
+    * reuse, never a quiet wrong answer. */
+  private[graft] def readSigsTable(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val shTy = df.schema.fields.find(_.name == "sh").map(_.dataType)
+    val ok = shTy.exists {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    require(ok, s"signature table at $path stores sh as " +
+      s"${shTy.map(_.simpleString).getOrElse("<absent>")} — a stale " +
+      "pre-hash-compaction layout (or a foreign table); delete the layout " +
+      "and rebuild, or the screen would silently emit zero corpus pairs")
+    df
   }
 
   /** Sign the arriving documents (source index >= `fromSource`) fresh:
@@ -761,7 +783,7 @@ object Dedup extends Logging {
       }
       val src = persistedCorpusLshSigs(s, dir)
       Similarity.publishLayout(s, p, "sigs/_SUCCESS") { tmp =>
-        s.read.parquet(s"$src/sigs")
+        readSigsTable(s, s"$src/sigs")
           .filter(col("doc_id") % 7 =!= 0)
           .write.parquet(s"$tmp/sigs")
       }
@@ -777,8 +799,8 @@ object Dedup extends Logging {
     * member: corpus-corpus, corpus-delta and delta-delta pairs were all
     * settled when their members were filed. */
   def pipe_lsh_file_batch(s: SparkSession, dir: String): DataFrame = {
-    val corpus = s.read.parquet(s"${persistedCorpusLshSigs(s, dir)}/sigs")
-    val delta = s.read.parquet(s"${persistedDeltaLshSigs(s, dir)}/sigs")
+    val corpus = readSigsTable(s, s"${persistedCorpusLshSigs(s, dir)}/sigs")
+    val delta = readSigsTable(s, s"${persistedDeltaLshSigs(s, dir)}/sigs")
     lshScreen(corpus.unionByName(delta), signedBatch(s, dir, FiledBatchSplit))
   }
 
@@ -821,7 +843,7 @@ object Dedup extends Logging {
     val marker = new org.apache.hadoop.fs.Path(s"$dest/sigs/_SUCCESS")
     if (marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
       return dest
-    val dup = segments.map(sp => s.read.parquet(sp).select(col("doc_id")))
+    val dup = segments.map(sp => readSigsTable(s, sp).select(col("doc_id")))
       .reduce(_ unionByName _)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
       .filter(col("nr") > 1)
@@ -854,7 +876,7 @@ object Dedup extends Logging {
     * membership), so the oracle is shared — but the plan must read the
     * ONE folded table and neither pre-fold segment (plan-pinned). */
   def pipe_lsh_fold(s: SparkSession, dir: String): DataFrame =
-    lshScreen(s.read.parquet(s"${foldedLshSigs(s, dir)}/sigs"),
+    lshScreen(readSigsTable(s, s"${foldedLshSigs(s, dir)}/sigs"),
       signedBatch(s, dir, FiledBatchSplit))
 
   lazy val pipe_lsh_fold_sql: String = pipe_lsh_file_batch_sql
@@ -868,7 +890,7 @@ object Dedup extends Logging {
     * identical because signatures are per-document (erasing a row changes
     * no surviving signature). */
   def pipe_lsh_delete(s: SparkSession, dir: String): DataFrame = {
-    val compact = s.read.parquet(s"${compactedCorpusLshSigs(s, dir)}/sigs")
+    val compact = readSigsTable(s, s"${compactedCorpusLshSigs(s, dir)}/sigs")
     lshScreen(compact, signedBatch(s, dir, Pipeline.IncrCorpusSources))
   }
 

@@ -80,11 +80,10 @@ object IndexFsck extends Logging {
       .getOrCreate()
     val report = run(spark, args(0))
     report.show(1000, truncate = false)
-    val bad = report.filter(col("family") =!= "build-tmp" &&
-      !(col("family") =!= "unknown" && col("complete") &&
-        col("missingTables") === 0 && col("unreadableTables") === 0 &&
-        col("keyMismatches") === 0 && col("arityErrors") === 0 &&
-        col("danglingRefs") === 0)).count()
+    // the ONE clean definition (LayoutReport.clean) drives the exit code —
+    // a re-spelled Column predicate here would silently drift from it
+    val lrEnc = org.apache.spark.sql.Encoders.product[LayoutReport]
+    val bad = report.as(lrEnc).collect().count(!_.clean)
     if (bad > 0) {
       logError(s"index fsck: $bad layout(s) failed verification")
       sys.exit(1)
@@ -104,7 +103,16 @@ object IndexFsck extends Logging {
         LayoutReport(name, "build-tmp", complete = false, 0, 0, 0, 0, 0, 0, bytes,
           s"orphan publish staging dir ($bytes bytes) — crashed or in-flight " +
             "build; sweep if stale")
-      } else verifyLayout(spark, fs, st.getPath)
+      } else Try(verifyLayout(spark, fs, st.getPath)) match {
+        // damage tolerance: one layout whose table parses as parquet but
+        // carries a foreign schema (an AnalysisException out of a column
+        // reference) must cost ITS report row, never the whole root's run
+        case Success(lr) => lr
+        case Failure(e) =>
+          LayoutReport(name, "verify-error", complete = false, 0, 0, 1, 0, 0, 0, 0,
+            s"verification crashed: ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
     }
     reports.toDF()
   }
@@ -115,7 +123,11 @@ object IndexFsck extends Logging {
       p: Path): LayoutReport = {
     def has(t: String): Boolean = fs.exists(new Path(p, t))
     val name = p.getName
-    if (has("codes") && has("centroids"))
+    // EITHER quantizer table marks a full layout: a full layout whose
+    // centroids were deleted must report that missing table, not pass as
+    // a healthy shard (a true shard has only cells+codes; one with BOTH
+    // quantizer tables gone is indistinguishable and reports as a shard)
+    if (has("codes") && (has("centroids") || has("codebook")))
       ivfpqReport(spark, fs, p, "ivfpq",
         Seq("centroids", "cells", "codebook", "codes"))
     else if (has("codes"))
@@ -174,11 +186,28 @@ object IndexFsck extends Logging {
       // layouts validate against the shared quantizer's own codes shape)
       val arityDf = tables("codes").groupBy(col("vec_id"))
         .agg(countDistinct(col("m")).as("nm"), count(lit(1)).as("nr"))
-      val arities = arityDf.select(col("nm")).distinct().collect().map(_.getLong(0))
-      if (arities.length > 1) {
-        arityErrors = arityDf.groupBy(col("nm")).count()
-          .orderBy(col("count").asc).limit(1).collect()(0).getLong(1)
-        issues += s"codes arity split: subspace counts ${arities.sorted.mkString("/")}"
+      tables.get("codebook") match {
+        // the codebook states the expected subspace count — vectors are
+        // checked against IT, so a UNIFORM truncation (every vector lost
+        // the same subspaces) is caught, which a cross-vector comparison
+        // alone cannot see
+        case Some(cb) =>
+          val m = cb.select(countDistinct(col("m"))).collect()(0).getLong(0)
+          val short = arityDf.filter(col("nm") =!= m).count()
+          if (short > 0) {
+            arityErrors += short
+            issues += s"$short vectors with subspace count != codebook's $m"
+          }
+        // shard layouts carry no codebook: fall back to cross-vector
+        // agreement (uniform truncation is then caught at merge/serve,
+        // where the shared quantizer's shape applies)
+        case None =>
+          val arities = arityDf.select(col("nm")).distinct().collect().map(_.getLong(0))
+          if (arities.length > 1) {
+            arityErrors += arityDf.groupBy(col("nm")).count()
+              .orderBy(col("count").asc).limit(1).collect()(0).getLong(1)
+            issues += s"codes arity split: subspace counts ${arities.sorted.mkString("/")}"
+          }
       }
       arityErrors += arityDf.filter(col("nr") =!= col("nm")).count() // dup (vec,m)
       if (keyMismatches > 0)
@@ -213,6 +242,17 @@ object IndexFsck extends Logging {
       if (keyMismatches > 0) issues += s"$keyMismatches duplicate doc_id rows"
       arityErrors = sigs.filter(col("sig").isNull || col("sh").isNull).count()
       if (arityErrors > 0) issues += s"$arityErrors rows with null signature/shingle set"
+      // a pre-hash-compaction layout stores sh as strings: the serve path
+      // refuses it with a typed error (Dedup.readSigsTable) — fsck must
+      // flag it too, not pass the stale format as clean
+      sigs.schema.fields.find(_.name == "sh").map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _)) => ()
+        case other =>
+          arityErrors += 1
+          issues += s"sh stored as ${other.map(_.simpleString).getOrElse("<absent>")}" +
+            " — stale pre-hash-compaction format; delete the layout and rebuild"
+      }
     }
     LayoutReport(p.getName, "lsh-sigs", complete, tables.size, missing, unreadable,
       keyMismatches, arityErrors, 0L, 0L, issues.result().mkString("; "))

@@ -1883,8 +1883,12 @@ object Similarity {
       // finishing between the two exists() calls passes instead of
       // throwing; the post-rename sweep below still covers the true
       // mid-build race.
+      // a listStatus failure means the dir vanished between the two calls
+      // (concurrent cleanup) — that is the EMPTY case, not the stale-
+      // partial case; defaulting to "non-empty" would refuse a build over
+      // a directory that no longer exists
       if (fs.exists(dest) &&
-        !scala.util.Try(fs.listStatus(dest).isEmpty).getOrElse(false)) {
+        !scala.util.Try(fs.listStatus(dest).isEmpty).getOrElse(true)) {
         requireComplete()
         return p
       }

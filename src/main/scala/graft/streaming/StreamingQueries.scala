@@ -2086,7 +2086,7 @@ object StreamingQueries {
       sigsTablePath: String, split: Int, name: String): DataFrame = {
     import graft.operators.Dedup
     runToTable(s, { s2 =>
-      val corpus = s2.read.parquet(sigsTablePath)
+      val corpus = Dedup.readSigsTable(s2, sigsTablePath)
       // the corpus-side tables are O(N) (bands, shingle sets): they stay
       // parquet scans per micro-batch rather than memory-cached — at
       // corpus scale they do not fit executor memory, and the compact

@@ -157,6 +157,64 @@ class IndexFsckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rs(s"bpe-merges-$slug").clean)
   }
 
+  test("a full layout with its centroids deleted is NOT a healthy shard") {
+    val r = sandbox(s"ivfpq-$slug-merged")
+    rmTree(Paths.get(r, s"ivfpq-$slug-merged", "centroids"))
+    val lr = reports(r)(s"ivfpq-$slug-merged")
+    assert(lr.family === "ivfpq",
+      "the surviving codebook marks this a damaged FULL layout, not a shard")
+    assert(lr.missingTables === 1 && !lr.clean)
+  }
+
+  test("uniform subspace truncation is caught against the codebook's count") {
+    val r = sandbox(s"ivfpq-$slug")
+    val p = Paths.get(r, s"ivfpq-$slug", "codes")
+    val codes = spark.read.parquet(p.toString).cache()
+    val mMax = codes.agg(org.apache.spark.sql.functions.max("m"))
+      .collect()(0).getInt(0)
+    assert(mMax >= 1, "fixture must have at least two subspaces")
+    // drop the LAST subspace's rows for EVERY vector: cross-vector
+    // agreement still holds, only the codebook knows the true count
+    val cut = codes.filter(col("m") < mMax)
+    val tmp2 = Files.createTempDirectory("graft-fsck-cut-")
+    cut.write.parquet(s"$tmp2/codes")
+    codes.unpersist()
+    rmTree(p)
+    Files.walk(Paths.get(s"$tmp2/codes")).iterator().asScala.toSeq.foreach { f =>
+      val dst = p.resolve(Paths.get(s"$tmp2/codes").relativize(f))
+      if (Files.isDirectory(f)) Files.createDirectories(dst)
+      else { Files.createDirectories(dst.getParent); Files.copy(f, dst) }
+    }
+    val lr = reports(r)(s"ivfpq-$slug")
+    assert(lr.arityErrors > 0 && !lr.clean,
+      s"uniform truncation must fail arity vs the codebook: ${lr.issues}")
+  }
+
+  test("a stale string-typed signature table is flagged, never passed as clean") {
+    val r = Files.createTempDirectory("graft-fsck-stalefmt-").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, Seq("a b"), Seq(1L))).toDF("doc_id", "sh", "sig")
+      .write.parquet(s"$r/lsh-sigs-old/sigs")
+    val lr = reports(r)("lsh-sigs-old")
+    assert(!lr.clean && lr.issues.contains("stale pre-hash-compaction"),
+      s"stale format must be an integrity finding: ${lr.issues}")
+  }
+
+  test("a wrong-schema table costs its own report row, never the whole run") {
+    val r = Files.createTempDirectory("graft-fsck-alien-").toString
+    val s = spark
+    import s.implicits._
+    // parses as parquet, carries a foreign schema (no doc_id/sh/sig) —
+    // the column reference must not abort fsck of the rest of the root
+    Seq(("x", 1)).toDF("alien", "n").write.parquet(s"$r/lsh-sigs-weird/sigs")
+    Seq((1L, Seq(2L), Seq(3L))).toDF("doc_id", "sh", "sig")
+      .write.parquet(s"$r/lsh-sigs-good/sigs")
+    val rs = reports(r)
+    assert(!rs("lsh-sigs-weird").clean)
+    assert(rs("lsh-sigs-good").clean, s"healthy sibling: ${rs("lsh-sigs-good").issues}")
+  }
+
   test("a foreign directory in the root is an unrecognized layout") {
     val r = sandbox(s"bpe-merges-$slug")
     Files.createDirectories(Paths.get(r, "not-an-index"))

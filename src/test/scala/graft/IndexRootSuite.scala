@@ -218,6 +218,20 @@ class IndexRootSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("7"))
   }
 
+  test("a stale string-typed signature table refuses loudly at load") {
+    val tmp = Files.createTempDirectory("graft-lsh-stale-fmt-")
+    val s = spark
+    import s.implicits._
+    // the pre-hash-compaction format: sh as strings — unionByName would
+    // coerce the hashed batch side and silently zero every cross pair
+    Seq((1L, Seq("a b c"), Seq(1L))).toDF("doc_id", "sh", "sig")
+      .write.parquet(s"$tmp/sigs")
+    val e = intercept[IllegalArgumentException] {
+      operators.Dedup.readSigsTable(spark, s"$tmp/sigs")
+    }
+    assert(e.getMessage.contains("stale"), s"wrong refusal: ${e.getMessage}")
+  }
+
   test("persisted BPE merges land under the configured root; encode equals staged path") {
     val root = Files.createTempDirectory("graft-bpe-root-").toString
     val s2 = spark.newSession()
