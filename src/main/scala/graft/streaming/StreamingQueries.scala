@@ -2647,13 +2647,29 @@ object StreamingQueries {
     * continuous-ingest path of a vector store: the expensive trainer ran
     * once; keeping the index current costs one broadcast join per batch
     * and appends O(arrivals) rows, never touching existing index data. */
-  def stream_index_update(s0: SparkSession, dir: String): DataFrame = {
+  def stream_index_update(s0: SparkSession, dir: String): DataFrame =
+    indexUpdateAgainst(s0, dir,
+      graft.operators.Similarity.persistedIvfpqIndex(s0, dir))
+
+  /** [[stream_index_update]] pointed at the MERGED layout
+    * ([[graft.operators.Similarity.mergedIvfpqIndex]]): the INSERT verb
+    * against the merge's output, completing verb × layout-origin
+    * coverage (serve/delete/compact already run against merged). The
+    * merged quantizer tables are the shared trainer's output copied at
+    * merge time, so filing is bit-identical to filing against the base —
+    * one shared oracle states both. The layout resolves on the CALLER's
+    * session (a runtime-set index root is invisible to the stream's
+    * conf-isolated clone). */
+  def stream_index_update_merged(s0: SparkSession, dir: String): DataFrame =
+    indexUpdateAgainst(s0, dir,
+      graft.operators.Similarity.mergedIvfpqIndex(s0, dir))
+
+  private def indexUpdateAgainst(s0: SparkSession, dir: String, idx: String): DataFrame = {
     import graft.operators.Similarity
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val idx = Similarity.persistedIvfpqIndex(s, dir)
     val dim = Tables.embeddingsDim(s, dir)
     val outDir = graft.Staging.tempDir("graft-idxupd-out-").toString
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
@@ -3576,6 +3592,7 @@ object StreamingQueries {
     "stream_ann_serve" -> (stream_ann_serve(_, _)),
     "stream_ann_serve_merged" -> (stream_ann_serve_merged(_, _)),
     "stream_index_update" -> (stream_index_update(_, _)),
+    "stream_index_update_merged" -> (stream_index_update_merged(_, _)),
     "stream_index_delete" -> (stream_index_delete(_, _)),
     "stream_mm_dedup" -> (stream_mm_dedup(_, _)),
     "stream_limit" -> (stream_limit(_, _)))
@@ -3641,6 +3658,7 @@ object StreamingQueries {
     "stream_ann_serve" -> stream_ann_serve_sql,
     "stream_ann_serve_merged" -> stream_ann_serve_merged_sql,
     "stream_index_update" -> stream_index_update_sql,
+    "stream_index_update_merged" -> stream_index_update_sql,
     "stream_index_delete" -> stream_index_delete_sql,
     "stream_mm_dedup" -> stream_mm_dedup_sql)
 }
