@@ -577,7 +577,7 @@ object Dedup extends Logging {
     * a takedown-filtered corpus) reuse the identical pipeline with a
     * restricted relation, so the Jaccard both engines state stays over the
     * same hash sets whatever the membership. */
-  private def minhashLshSqlOver(docsRel: String): String = {
+  private[graft] def minhashLshSqlOver(docsRel: String): String = {
     val aArr = hashAs.mkString("[", ",", "]")
     val bArr = hashBs.mkString("[", ",", "]")
     s"""WITH tok AS (SELECT doc_id, trim(text) tx, string_split_regex(trim(text), '\\s+') toks FROM $docsRel),
@@ -894,9 +894,14 @@ object Dedup extends Logging {
     lshScreen(compact, signedBatch(s, dir, Pipeline.IncrCorpusSources))
   }
 
-  lazy val pipe_lsh_delete_sql: String = {
-    val survivors = "(SELECT * FROM documents WHERE NOT " +
+  /** The post-takedown document relation both delete-generation oracles
+    * state: `documents` minus the erased corpus rows. */
+  private[graft] val takedownSurvivorsRel: String =
+    "(SELECT * FROM documents WHERE NOT " +
       s"(CAST(substr(source, 4) AS INT) < ${Pipeline.IncrCorpusSources} AND doc_id % 7 = 0))"
+
+  lazy val pipe_lsh_delete_sql: String = {
+    val survivors = takedownSurvivorsRel
     s"""WITH pairs AS MATERIALIZED (SELECT * FROM (${minhashLshSqlOver(survivors)})),
        |b AS (SELECT doc_id FROM documents
        |  WHERE CAST(substr(source, 4) AS INT) >= ${Pipeline.IncrCorpusSources})

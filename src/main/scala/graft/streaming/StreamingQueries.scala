@@ -2133,11 +2133,22 @@ object StreamingQueries {
       s"${graft.operators.Dedup.foldedLshSigs(s, dir)}/sigs",
       graft.operators.Dedup.FiledBatchSplit, "stream_lsh_serve_folded")
 
-  /** The one-shot LSH pairs with exactly one batch side, oriented
-    * (batch doc, corpus doc). */
-  private def lshServeSqlAt(split: Int): String =
+  /** [[stream_lsh_serve]] against the takedown-COMPACTED table
+    * ([[graft.operators.Dedup.compactedCorpusLshSigs]]): the last cell of
+    * the verb × generation matrix — the streaming serve provably excludes
+    * erased documents because its index IS the rewrite. Oracle = the
+    * serve shape over the post-takedown document relation. */
+  def stream_lsh_serve_compact(s: SparkSession, dir: String): DataFrame =
+    lshServeAgainst(s, dir,
+      s"${graft.operators.Dedup.compactedCorpusLshSigs(s, dir)}/sigs",
+      graft.operators.Pipeline.IncrCorpusSources, "stream_lsh_serve_compact")
+
+  /** The one-shot LSH pairs over `docsRel` with exactly one batch side,
+    * oriented (batch doc, corpus doc). `cls` may classify from the full
+    * table: a doc absent from `docsRel` appears in no pair. */
+  private def lshServeSqlAt(split: Int, docsRel: String = "documents"): String =
     s"""WITH pairs AS MATERIALIZED (
-       |  SELECT * FROM (${graft.operators.Dedup.dedup_minhash_lsh_sql})),
+       |  SELECT * FROM (${graft.operators.Dedup.minhashLshSqlOver(docsRel)})),
        |cls AS (SELECT doc_id, CAST(substr(source, 4) AS INT) >= $split AS is_batch
        |  FROM documents)
        |SELECT CASE WHEN a.is_batch THEN doc_id_a ELSE doc_id_b END AS doc_id,
@@ -2153,6 +2164,10 @@ object StreamingQueries {
 
   lazy val stream_lsh_serve_folded_sql: String =
     lshServeSqlAt(graft.operators.Dedup.FiledBatchSplit)
+
+  lazy val stream_lsh_serve_compact_sql: String =
+    lshServeSqlAt(graft.operators.Pipeline.IncrCorpusSources,
+      graft.operators.Dedup.takedownSurvivorsRel)
 
   /** Streaming CORPUS MATERIALIZATION — the end-to-end ingest pipeline a
     * continuously-crawling corpus build runs, as ONE chained stateful
@@ -3582,6 +3597,7 @@ object StreamingQueries {
     "stream_lsh_dedup" -> (stream_lsh_dedup(_, _)),
     "stream_lsh_serve" -> (stream_lsh_serve(_, _)),
     "stream_lsh_serve_folded" -> (stream_lsh_serve_folded(_, _)),
+    "stream_lsh_serve_compact" -> (stream_lsh_serve_compact(_, _)),
     "stream_kmv" -> (stream_kmv(_, _)),
     "stream_drift" -> (stream_drift(_, _)),
     "stream_corpus" -> (stream_corpus(_, _)),
@@ -3648,6 +3664,7 @@ object StreamingQueries {
     "stream_lsh_dedup" -> stream_lsh_dedup_sql,
     "stream_lsh_serve" -> stream_lsh_serve_sql,
     "stream_lsh_serve_folded" -> stream_lsh_serve_folded_sql,
+    "stream_lsh_serve_compact" -> stream_lsh_serve_compact_sql,
     "stream_kmv" -> stream_kmv_sql,
     "stream_drift" -> stream_drift_sql,
     "stream_corpus" -> stream_corpus_sql,
