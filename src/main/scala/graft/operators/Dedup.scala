@@ -895,8 +895,12 @@ object Dedup extends Logging {
   }
 
   /** The post-takedown document relation both delete-generation oracles
-    * state: `documents` minus the erased corpus rows. */
-  private[graft] val takedownSurvivorsRel: String =
+    * state: `documents` minus the erased corpus rows. LAZY like every
+    * cross-object SQL val here: a strict val referencing Pipeline from
+    * Dedup's initializer creates an init CYCLE (Dedup init → Pipeline
+    * init → Pipeline's strict oracle vals read Dedup's not-yet-assigned
+    * SQL vals as null → "syntax error at or near null" in the oracle). */
+  private[graft] lazy val takedownSurvivorsRel: String =
     "(SELECT * FROM documents WHERE NOT " +
       s"(CAST(substr(source, 4) AS INT) < ${Pipeline.IncrCorpusSources} AND doc_id % 7 = 0))"
 
