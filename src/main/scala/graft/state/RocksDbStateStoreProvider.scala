@@ -266,9 +266,10 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     * complete, downloaded and replayed. Every candidate is verified to open
     * before being accepted. */
   private def tryMaterialize(v: Long): Option[File] = {
-    // Local move needs no verify-open: this provider wrote and flushed the
-    // dir itself; a second open would double store-open latency on every
-    // micro-batch's hot path.
+    // Local move needs no verify-open: this provider produced the dir itself
+    // — every dirty commit flushed before registering, and a clean (no-write)
+    // commit registers a dir already byte-identical to its version; a second
+    // open would double store-open latency on every micro-batch's hot path.
     val fromLocal = Option(localSnapshots.remove(v)).map(_.dir).filter(_.isDirectory).map { src =>
       val dest = freshDir()
       dest.delete()
@@ -278,12 +279,18 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     fromLocal.orElse {
       val snaps = snapshots.listVersions()
       val deltas = snapshots.listDeltaVersions().toSet
-      snaps.filter(_ <= v).sorted(Ordering.Long.reverse).iterator
+      // Base candidates: every full snapshot <= v, newest first, plus the
+      // EMPTY base (version 0) — a young chain legitimately has no full
+      // snapshot at all since the version-1 commit-path snapshot was
+      // retired (the cadence snapshot only lands after minDeltasForSnapshot
+      // commits), and its recovery is a replay of deltas 1..v from empty,
+      // exactly like the v2 lineage walk's v=0 terminal.
+      (snaps.filter(_ <= v).sorted(Ordering.Long.reverse).iterator ++ Iterator.single(0L))
         .filter(s => ((s + 1) to v).forall(deltas.contains))
         .flatMap { s =>
           Try {
             val dest = freshDir()
-            snapshots.download(s, dest)
+            if (s > 0) snapshots.download(s, dest)
             if (s < v) replayDeltas(dest, ((s + 1) to v).map(dv => (dv, Option.empty[String])))
             dest
           }.recoverWith { case e =>
@@ -723,6 +730,19 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       if (conf.changelogEnabled) changelog.put(cf, k, v)
     private def recordRemove(cf: String, k: Array[Byte]): Unit =
       if (conf.changelogEnabled) changelog.remove(cf, k)
+
+    /** True once any RocksDB mutation (data, deadline, or meta CF) landed in
+      * THIS store's memtables. Commit skips the memtable→SST flush when the
+      * batch wrote nothing — the loaded dir already materializes this
+      * version byte-for-byte, so the flush would only churn empty-memtable
+      * JNI calls and manifest writes. Measured round 16: a streaming gate
+      * runs hundreds of store commits and many are empty (settle batches,
+      * no-data triggers, partitions that received no rows); skipping their
+      * flushes removes the dominant fixed cost of an empty commit. Every
+      * mutation path below sets this flag, including read-path strict-TTL
+      * expiry deletes (they too must reach the SSTs before the local dir is
+      * reused as this version's snapshot). */
+    private var dbDirty = false
     /** Set when the changelog cannot express a change (column family drop):
       * this commit must publish a full snapshot. */
     private var forceFullSnapshot = false
@@ -842,7 +862,11 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         }
       } finally it.close()
     }
-    private val persistedCountsMap: Map[String, Long] = persistedCounts.result()
+    // Mutable: a CF drop deletes its meta entry mid-version, and the commit's
+    // write-only-on-change check below must then see "no persisted count" for
+    // a re-created family of the same name, not the stale pre-drop value.
+    private val persistedCountsMap: mutable.HashMap[String, Long] =
+      mutable.HashMap.from(persistedCounts.result())
     registerCf(DefaultCf, keySchema, valueSchema, keyEncoderSpec, useMultipleValuesPerKey,
       isInternal = false, deferSchemaConflict = true)
 
@@ -915,10 +939,26 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
 
     /** Auto-register a column family from its persisted registration record
       * — the read path for families the current session never created (see
-      * the self-describing note on [[persistedCfRegs]]). */
+      * the self-describing note on [[persistedCfRegs]]).
+      *
+      * The PHYSICAL family may legitimately be absent: column-family
+      * creation is not a changelog record, so a partition whose store
+      * created a family at init but never wrote a row to it (e.g. a tws
+      * variable or timer index on a partition that received no keys) loses
+      * the empty family across replay-from-empty recovery (possible since
+      * the version-1 chain-base snapshot was retired, round 16). Its
+      * registration record still rides the meta CF's changelog entries, and
+      * an empty family's content is exactly empty — recreate it. */
     private def autoRegisterPersistedCf(name: String): Option[CfInfo] =
-      persistedCfRegs.get(name).filter(_ => opened.handles.contains(name)).map { json =>
+      persistedCfRegs.get(name).map { json =>
         val (ks, vs, spec, mv, internal) = RocksDbStateStoreProvider.cfRegFromJson(json)
+        synchronized {
+          if (!opened.handles.contains(name)) {
+            val ttl = if (internal) 0 else compactionTtlFor(name)
+            opened.handles.put(name, db.createColumnFamilyWithTtl(
+              new ColumnFamilyDescriptor(name.getBytes("UTF-8"), cfOptions()), ttl))
+          }
+        }
         registerCf(name, ks, vs, spec, mv, internal)
       }
 
@@ -953,12 +993,14 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       if (existed) {
         // a CF drop is not expressible in the changelog record stream
         forceFullSnapshot = true
+        dbDirty = true
         // forget the persisted count, or a re-created CF of the same name
         // would resurrect it as a phantom numKeys base
         db.delete(metaHandle, name.getBytes("UTF-8"))
         // likewise the key schema: a re-created CF may legitimately differ
         db.delete(metaHandle, (KeySchemaMetaPrefix + name).getBytes("UTF-8"))
         db.delete(metaHandle, (CfRegMetaPrefix + name).getBytes("UTF-8"))
+        persistedCountsMap.remove(name)
         persistedKeySchemas.remove(name)
         persistedCfRegs.remove(name)
         cfKeySchemaJson.remove(name)
@@ -1015,6 +1057,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
 
     private def touch(cf: String, keyBytes: Array[Byte]): Unit = {
       val now = beLong(clock())
+      dbDirty = true
       db.put(deadlineHandle(cf), keyBytes, now)
       recordPut(deadlineCfName(cf), keyBytes, now)
     }
@@ -1033,6 +1076,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
             if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) != null) {
               info.numKeys -= 1
             }
+            dbDirty = true
             db.delete(handle(colFamilyName), kBytes)
             recordRemove(colFamilyName, kBytes)
             db.delete(deadlineHandle(colFamilyName), kBytes)
@@ -1149,6 +1193,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         info.numKeys += 1
       }
       val vBytes = info.valueCodec.encodeSingle(value)
+      dbDirty = true
       db.put(handle(colFamilyName), kBytes, vBytes)
       recordPut(colFamilyName, kBytes, vBytes)
       if (strictTtl) touch(colFamilyName, kBytes)
@@ -1165,6 +1210,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
         info.numKeys += 1
       }
       val vBytes = info.valueCodec.encodeFrames(values)
+      dbDirty = true
       db.put(handle(colFamilyName), kBytes, vBytes)
       recordPut(colFamilyName, kBytes, vBytes)
       if (strictTtl) touch(colFamilyName, kBytes)
@@ -1180,6 +1226,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       val existing = db.get(handle(colFamilyName), kBytes)
       if (conf.trackTotalNumberOfRows && existing == null) info.numKeys += 1
       val merged = info.valueCodec.appendFrame(existing, value)
+      dbDirty = true
       db.put(handle(colFamilyName), kBytes, merged)
       recordPut(colFamilyName, kBytes, merged)
       if (strictTtl) touch(colFamilyName, kBytes)
@@ -1204,6 +1251,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
           System.arraycopy(frames, 0, out, existing.length, frames.length)
           out
         }
+      dbDirty = true
       db.put(handle(colFamilyName), kBytes, merged)
       recordPut(colFamilyName, kBytes, merged)
       if (strictTtl) touch(colFamilyName, kBytes)
@@ -1217,6 +1265,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       if (conf.trackTotalNumberOfRows && db.get(handle(colFamilyName), kBytes) != null) {
         info.numKeys -= 1
       }
+      dbDirty = true
       db.delete(handle(colFamilyName), kBytes)
       recordRemove(colFamilyName, kBytes)
       // Deadline removed with the key — byte-keyed, so actually effective
@@ -1235,18 +1284,27 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       verify(!readOnly, "Cannot commit a read-only state store")
       try {
         // persist per-CF key counts in the meta CF so they ride both the
-        // full snapshot and the changelog delta
+        // full snapshot and the changelog delta. Written only when the count
+        // CHANGED since load (or the CF has no persisted entry yet): the
+        // previous commit's equal value is already durable in snapshot and
+        // chain, and unconditionally rewriting it dirtied the memtable of
+        // every otherwise-empty batch — forcing the flush below on commits
+        // that wrote nothing.
         cfs.values.foreach { i =>
-          val k = i.name.getBytes("UTF-8")
-          val v = beLong(i.numKeys)
-          db.put(metaHandle, k, v)
-          recordPut(MetaCf, k, v)
+          if (!persistedCountsMap.get(i.name).contains(i.numKeys)) {
+            val k = i.name.getBytes("UTF-8")
+            val v = beLong(i.numKeys)
+            dbDirty = true
+            db.put(metaHandle, k, v)
+            recordPut(MetaCf, k, v)
+          }
           // persist each CF's key schema once (write-once: a later change
           // is rejected at registerCf, so an existing entry never differs)
           if (!persistedKeySchemas.contains(i.name)) {
             cfKeySchemaJson.get(i.name).foreach { json =>
               val sk = (KeySchemaMetaPrefix + i.name).getBytes("UTF-8")
               val sv = json.getBytes("UTF-8")
+              dbDirty = true
               db.put(metaHandle, sk, sv)
               recordPut(MetaCf, sk, sv)
             }
@@ -1261,15 +1319,24 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
             if (!persistedCfRegs.get(i.name).contains(json)) {
               val rk = (CfRegMetaPrefix + i.name).getBytes("UTF-8")
               val rv = json.getBytes("UTF-8")
+              dbDirty = true
               db.put(metaHandle, rk, rv)
               recordPut(MetaCf, rk, rv)
               persistedCfRegs.put(i.name, json)
             }
           }
         }
-        val flushOptions = new FlushOptions().setWaitForFlush(true)
-        try db.flush(flushOptions, opened.handles.values.toSeq.asJava)
-        finally flushOptions.close()
+        // Memtable→SST flush only when this batch actually wrote: the local
+        // dir must materialize every committed byte before it is registered
+        // (and possibly move-reused) as this version's local snapshot, but a
+        // write-free commit's dir is already byte-identical to the loaded
+        // version, and flushing 8+ empty column families per store per batch
+        // was the dominant fixed cost of streaming gates' empty batches.
+        if (dbDirty) {
+          val flushOptions = new FlushOptions().setWaitForFlush(true)
+          try db.flush(flushOptions, opened.handles.values.toSeq.asJava)
+          finally flushOptions.close()
+        }
 
         if (conf.changelogEnabled) {
           val w = changelog // materialize even if the batch wrote nothing
@@ -1296,12 +1363,20 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     }
 
     /** Full snapshot on the commit path only when unavoidable: changelog
-      * off (the reference's per-commit behavior), the version-1 chain base,
-      * or a CF drop. The periodic cadence snapshot runs on the maintenance
-      * thread instead ([[snapshotIfDue]]) so steady-state commit latency
-      * never pays the O(state) upload. */
+      * off (the reference's per-commit behavior) or a CF drop. Version 1
+      * is NOT special-cased any more (round 16): a changelog chain replays
+      * from the EMPTY base (version 0) in every recovery path — v2 lineage
+      * walks stop at v=0, v1 [[tryMaterialize]] falls back to
+      * replay-from-empty, and StateFsck counts 0 as a legitimate base — so
+      * the version-1 full snapshot bought nothing while charging every
+      * streaming query's first batch a per-store Checkpoint+zip+upload
+      * (measured: batch-0 state commit 580-670 ms summed vs ~100 ms steady
+      * at 8 partitions; every fresh-checkpoint query paid it). The periodic
+      * cadence snapshot runs on the maintenance thread instead
+      * ([[snapshotIfDue]]) so steady-state commit latency never pays the
+      * O(state) upload. */
     private def fullSnapshotDue: Boolean =
-      !conf.changelogEnabled || forceFullSnapshot || newVersion == 1
+      !conf.changelogEnabled || forceFullSnapshot
 
     /** Maintenance-thread snapshot: upload a full snapshot from this
       * committed, still-open store when the newest durable one has fallen

@@ -901,13 +901,13 @@ object StreamingQueries {
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
       .start()
     try {
       def lastBucketSeen: Boolean =
         s.table(sink).filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L
       val deadline = System.nanoTime() + 240L * 1000000000L
-      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(100)
+      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(25)
       require(lastBucketSeen,
         "stream_tws_ttl: poll deadline reached before the final bucket was emitted")
     } finally q.stop()
@@ -1002,10 +1002,16 @@ object StreamingQueries {
       tick += 60000L
     }
     import s.implicits._
-    def emitted(bucket: Int): Boolean = scala.util.Try(
-      s.read.parquet(outDir).filter(col("bucket") === bucket).limit(1).count() == 1L
-    ).getOrElse(false)
     def runUntil(bucket: Int): Unit = {
+      // Done signal set INSIDE foreachBatch, after save() returned: at that
+      // point the batch's dynamic-overwrite commit has fully landed, and the
+      // check reads only the batch's OWN just-committed partition — so the
+      // signal is race-free by construction and stop() needs no settle wait
+      // (the old harness polled the live table, whose rows become visible
+      // while sibling files may still be moving, and then had to wait two
+      // more batchId advances at 100 ms pacing to prove the writer closed
+      // out — pure dead time on every phase, measured round 16).
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       val typed = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
         .select(col("user_id"), col("bucket")).as[(Long, Int)]
@@ -1021,29 +1027,19 @@ object StreamingQueries {
             .partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .save(outDir)
+          if (!done.get && scala.util.Try(
+              s.read.parquet(s"$outDir/batch_id=$batchId")
+                .filter(col("bucket") === bucket).limit(1).count() == 1L)
+              .getOrElse(false)) done.set(true)
         }
         .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .trigger(Trigger.ProcessingTime("25 milliseconds"))
         .start()
       try {
         val deadline = System.nanoTime() + 240L * 1000000000L
-        while (!emitted(bucket) && System.nanoTime() < deadline) Thread.sleep(150)
-        require(emitted(bucket),
+        while (!done.get && System.nanoTime() < deadline) Thread.sleep(25)
+        require(done.get,
           s"stream_tws_ttl_restart: poll deadline reached before bucket $bucket was emitted")
-        // Rows become VISIBLE while the writing batch's dynamic-overwrite
-        // commit may still be moving sibling files — stopping here could
-        // strand a partial partition, and after the FINAL phase no replay
-        // repairs it (mid-phase-1 partials are healed by the resume's
-        // idempotent re-run). Proc-time tws always schedules further
-        // batches, and lastProgress only advances when a batch has fully
-        // committed — so two more batchId advances prove the writer batch
-        // closed out.
-        def progressId: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-        val seenAt = progressId
-        while (progressId <= seenAt + 1 && System.nanoTime() < deadline) Thread.sleep(100)
-        require(progressId > seenAt + 1,
-          s"stream_tws_ttl_restart: bucket $bucket emitted but the writing " +
-            "batch never settled before the poll deadline")
       } finally q.stop()
     }
     val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
@@ -1193,6 +1189,15 @@ object StreamingQueries {
         expr("CAST(floor(value * 1000) AS BIGINT)").as("mille"))
       .as[(Long, Int, Long)]
     def runUntil(out: DataFrame, outDir: String, bucket: Int): Unit = {
+      // Race-free done signal from inside foreachBatch over the batch's own
+      // just-committed partition (stream_tws_ttl_restart discipline). UNLIKE
+      // that gate, the two phases here write to DIFFERENT outDirs (the
+      // evolved schema adds a column), so a phase-1 batch re-run at resume
+      // would land bucket-1 rows in out2 while out1 keeps its copy —
+      // duplicates, not an idempotent heal. Therefore after the done batch
+      // the harness also waits for ITS commit-log entry (a filesystem
+      // check, not a paced-trigger settle), which closes the phase exactly.
+      val done = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = out.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1201,26 +1206,25 @@ object StreamingQueries {
             .partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .save(outDir)
+          if (done.get < 0 && scala.util.Try(
+              s.read.parquet(s"$outDir/batch_id=$batchId")
+                .filter(col("bucket") === bucket).limit(1).count() == 1L)
+              .getOrElse(false)) done.set(batchId)
         }
         .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .trigger(Trigger.ProcessingTime("25 milliseconds"))
         .start()
       try {
-        def emitted: Boolean = scala.util.Try(
-          s.read.parquet(outDir).filter(col("bucket") === bucket).limit(1).count() == 1L
-        ).getOrElse(false)
         val deadline = System.nanoTime() + 240L * 1000000000L
-        while (!emitted && System.nanoTime() < deadline) Thread.sleep(150)
-        require(emitted,
+        while (done.get < 0 && System.nanoTime() < deadline) Thread.sleep(25)
+        require(done.get >= 0,
           s"stream_tws_evolve_ttl: poll deadline reached before bucket $bucket was emitted")
-        // two batchId advances prove the writing batch's dynamic-overwrite
-        // commit settled before stop() (stream_tws_ttl_restart discipline)
-        def progressId: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-        val seenAt = progressId
-        while (progressId <= seenAt + 1 && System.nanoTime() < deadline) Thread.sleep(100)
-        require(progressId > seenAt + 1,
-          s"stream_tws_evolve_ttl: bucket $bucket emitted but the writing " +
-            "batch never settled before the poll deadline")
+        val commitFile = java.nio.file.Paths.get(ckptDir, "commits", done.get.toString)
+        while (!java.nio.file.Files.exists(commitFile) &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+        require(java.nio.file.Files.exists(commitFile),
+          s"stream_tws_evolve_ttl: bucket $bucket emitted but batch ${done.get} " +
+            "never reached the commit log before the poll deadline")
       } finally q.stop()
     }
     val (firstHalf, secondHalf) = bucketFiles.splitAt(BucketCount / 2)
@@ -1444,13 +1448,13 @@ object StreamingQueries {
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
       .start()
     try {
       def lastBucketSeen: Boolean =
         s.table(sink).filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L
       val deadline = System.nanoTime() + 240L * 1000000000L
-      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(100)
+      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(25)
       require(lastBucketSeen,
         "stream_tws_ttl_map: poll deadline reached before the final bucket was emitted")
     } finally q.stop()
@@ -1548,7 +1552,7 @@ object StreamingQueries {
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
       .start()
     try {
       // ONE collect per poll: separate count() jobs could straddle a batch
@@ -1563,7 +1567,7 @@ object StreamingQueries {
         t.exists(r => r.getString(0) == "live" && r.getBoolean(1)) && live == flush
       }
       val deadline = System.nanoTime() + 240L * 1000000000L
-      while (!done && System.nanoTime() < deadline) Thread.sleep(100)
+      while (!done && System.nanoTime() < deadline) Thread.sleep(25)
       require(done,
         "stream_fmgws_timeout: poll deadline reached before every timeout flushed")
     } finally q.stop()
@@ -1609,13 +1613,13 @@ object StreamingQueries {
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
       .start()
     try {
       def lastBucketSeen: Boolean =
         s.table(sink).filter(col("bucket") === BucketCount - 1).limit(1).count() == 1L
       val deadline = System.nanoTime() + 240L * 1000000000L
-      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(100)
+      while (!lastBucketSeen && System.nanoTime() < deadline) Thread.sleep(25)
       require(lastBucketSeen,
         "stream_tws_ttl_list: poll deadline reached before the final bucket was emitted")
     } finally q.stop()
@@ -1646,9 +1650,15 @@ object StreamingQueries {
     }
   }
 
-  /** [[stream_tws_evolve]]'s two state generations: V2 adds one field. */
-  private case class EvolveS1(cnt: Long)
-  private case class EvolveS2(cnt: Long, mille: Long)
+  /** [[stream_tws_evolve]]'s two state generations: V2 adds one field.
+    * NOT `private`: Spark's encoder codegen compiles generated Java that
+    * constructs/reads these classes by name — on a private nested class
+    * Janino fails resolution ("No applicable constructor/method found"),
+    * logging a full ERROR stack and falling back to interpreted encoding
+    * on EVERY plan that touches them (384 such failures per full Verify
+    * pass, measured round 16). Public visibility restores codegen. */
+  case class EvolveS1(cnt: Long)
+  case class EvolveS2(cnt: Long, mille: Long)
 
   private class EvolveV1Processor
     extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long)] {
@@ -1777,9 +1787,10 @@ object StreamingQueries {
     }
   }
 
-  /** [[stream_tws_evolve_list]]'s two element generations. */
-  private case class EvolveL1(mille: Long)
-  private case class EvolveL2(mille: Long, w: Long)
+  /** [[stream_tws_evolve_list]]'s two element generations. Public for the
+    * same encoder-codegen reason as [[EvolveS1]]. */
+  case class EvolveL1(mille: Long)
+  case class EvolveL2(mille: Long, w: Long)
 
   private class EvolveListV1Processor
     extends StatefulProcessor[Long, (Long, Int, Long), (Long, Int, Long, Long)] {

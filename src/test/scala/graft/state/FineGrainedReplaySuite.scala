@@ -72,15 +72,17 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = { spark; () }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  /** Checkpoint with 4 committed versions and a full snapshot at v1 (chain
-    * base, always) and v2 (forced via maintenance with minDeltas=1):
-    * v1: a=1,b=1 | v2: a=2 | v3: -b, c=3 | v4: d=4. */
+  /** Checkpoint with 4 committed versions and full snapshots at v1 and v2
+    * (both via the maintenance cadence with minDeltas=1 — the commit path
+    * takes no version-1 snapshot since round 16; a chain replays from the
+    * empty base): v1: a=1,b=1 | v2: a=2 | v3: -b, c=3 | v4: d=4. */
   private def buildFixture(): (String, RocksDbStateStoreProvider) = {
     val dir = newCheckpointDir()
     val conf = storeConf(extra = Map(
       SQLConf.STATE_STORE_MIN_DELTAS_FOR_SNAPSHOT.key -> "1"))
     val p = newProvider(dir, conf)
     val s0 = p.getStore(0, None); put(s0, "a", 1); put(s0, "b", 1); s0.commit()
+    p.doMaintenance() // cadence snapshot at v1
     val s1 = p.getStore(1, None); put(s1, "a", 2); s1.commit()
     p.doMaintenance() // cadence snapshot at v2
     val s2 = p.getStore(2, None); remove(s2, "b"); put(s2, "c", 3); s2.commit()
@@ -158,10 +160,12 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
   test("replayStateFromSnapshot under v2 carries the replayed commit as its lineage") {
     val dir = newCheckpointDir()
     val conf = storeConf(extra = Map(
-      "spark.sql.streaming.stateStore.checkpointFormatVersion" -> "2"))
+      "spark.sql.streaming.stateStore.checkpointFormatVersion" -> "2",
+      SQLConf.STATE_STORE_MIN_DELTAS_FOR_SNAPSHOT.key -> "1"))
     val p = newProvider(dir, conf)
     try {
       val s0 = p.getStore(0, None); put(s0, "a", 1); s0.commit()
+      p.doMaintenance() // cadence snapshot at v1 (no commit-path v1 snapshot)
       val id1 = s0.getStateStoreCheckpointInfo().stateStoreCkptId
       val s1 = p.getStore(1, id1); put(s1, "b", 2); s1.commit()
       val id2 = s1.getStateStoreCheckpointInfo().stateStoreCkptId
@@ -285,14 +289,21 @@ class FineGrainedReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("key.k AS k", "value.count AS n")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(direct === Map("a" -> 3L, "b" -> 2L, "c" -> 3L))
-    // batch 0's state version always has a full snapshot (chain base);
+    // snapshotStartBatchId must name an EXISTING full snapshot, and since
+    // round 16 the commit path takes none (a young chain replays from the
+    // empty base; cadence snapshots ride maintenance) — so produce one the
+    // way an operator would: StateCompact squashes the chain into a full
+    // snapshot per store at the last committed version (3 = batchId 2).
+    // Snapshot+delta replay is covered by the direct-provider tests above.
+    val compacted = Files.createTempDirectory("graft-fgr-compact-").toString
+    StateCompact.run(spark, ckptDir, compacted, force = true)
     // snapshot reads are per-partition, so union all shuffle partitions
     val byPartition = (0 until 2).map { pid =>
       spark.read.format("statestore")
-        .option("snapshotStartBatchId", 0)
+        .option("snapshotStartBatchId", 2)
         .option("snapshotPartitionId", pid)
         .option("batchId", 2)
-        .load(ckptDir)
+        .load(compacted)
         .selectExpr("key.k AS k", "value.count AS n")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }

@@ -117,10 +117,11 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       }
     } finally provider.close()
 
-    // every commit published a delta; the commit path snapshots only the
-    // version-1 chain base (cadence snapshots run on the maintenance thread)
+    // every commit published a delta; the commit path takes NO snapshot at
+    // all (round 16: the chain replays from the empty base, cadence
+    // snapshots run on the maintenance thread)
     assert(deltaFiles(ckpt).sorted === (1L to 12L))
-    assert(snapshotFiles(ckpt).sorted === Seq(1L))
+    assert(snapshotFiles(ckpt).isEmpty)
 
     // recovery through a fresh provider = newest base + delta replay
     val expected = (0 until 12).map(v => s"k$v" -> v * 10).toMap - "k3" + ("a" -> 11)
@@ -178,10 +179,11 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       }
       provider.doMaintenance()
       // maintenance took a cadence snapshot from the open committed store
-      // (12 - 1 >= minDeltasForSnapshot); cleanup's base is the newest
-      // snapshot <= cutoff(10) = version 1, so only delta 1 is droppable
-      assert(snapshotFiles(ckpt).sorted === Seq(1L, 12L))
-      assert(deltaFiles(ckpt).sorted === (2L to 12L))
+      // (12 - 0 >= minDeltasForSnapshot); with no commit-path v1 snapshot
+      // (round 16) there is no base <= cutoff(10), so cleanup drops nothing
+      // and the whole chain stays
+      assert(snapshotFiles(ckpt).sorted === Seq(12L))
+      assert(deltaFiles(ckpt).sorted === (1L to 12L))
       // retained versions remain recoverable through a fresh provider
       (10 to 12).foreach { v => assert(getData(ckpt, v) === Map("a" -> (v - 1))) }
 
@@ -210,8 +212,11 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
       put(s1, "a", 999)
       s1.abort()
       assert(!s1.hasCommitted)
-      assert(snapshotFiles(ckpt).sorted === Seq(1L))
-      // reload version 1 (local dir was consumed then discarded -> FS download)
+      // no commit-path snapshot (round 16): version 1 is durable as delta 1
+      assert(snapshotFiles(ckpt).isEmpty)
+      assert(deltaFiles(ckpt).sorted === Seq(1L))
+      // reload version 1 (local dir was consumed then discarded -> replay
+      // of delta 1 from the empty base)
       assert(getData(ckpt, 1) === Map("a" -> 1))
       intercept[IllegalStateException] { put(s1, "b", 2) }
     } finally provider.close()
@@ -615,7 +620,7 @@ class RocksDbStateStoreSuite extends AnyFunSuite {
     // durable files are suffixed with the commit ID
     val partDir = new File(new File(new File(ckpt), "0"), "0")
     val names = Option(partDir.listFiles()).getOrElse(Array.empty[File]).map(_.getName)
-    assert(names.exists(_ == s"state.snapshot.1_${id1.get}")) // version-1 chain base
+    assert(names.exists(_ == s"state.delta.1_${id1.get}")) // empty-base chain, no v1 snapshot
     assert(names.exists(_ == s"state.delta.2_${id2.get}"))
 
     // executor restart: a fresh provider materializes the exact lineage
