@@ -1224,7 +1224,15 @@ object Pipeline {
           |ELSE transform(toks, t -> concat('u:', t)) END""".stripMargin)).as("g"))
       .select(col("doc_id"), col("lang"),
         expr(s"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets").as("f"))
+    // Materialize the per-doc feature counts ONCE: dm feeds four consumers
+    // (rawF, the lang='en' target slice, both scalar totals, and the final
+    // per-doc join), and the target slice's lang filter pushes below the
+    // aggregate into its own corpus scan — so without the barrier the
+    // n-gram explode ran up to 3× (plan: 10 documents scans, 0 reuse,
+    // plans/r16/pipe_dsir_before.txt). dm is bounded by docs×buckets rows,
+    // far smaller than the exploded grams it summarizes.
     val dm = fe.groupBy(col("doc_id"), col("lang"), col("f")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val rawF = dm.groupBy(col("f")).agg(sum(col("m")).as("rn"))
     val tgtF = dm.filter(col("lang") === "en").groupBy(col("f")).agg(sum(col("m")).as("tn"))
     val ft = rawF.join(tgtF, Seq("f"), "left")

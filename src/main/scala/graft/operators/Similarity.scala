@@ -144,11 +144,18 @@ object Similarity {
     // lexical branch: common-3-shingle count top-10 per query doc
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), graft.functions.WordShingles.of(col("text"), 3).as("sh"))
+    // Materialize the postings ONCE: they feed the df-cap aggregate AND both
+    // sides of the lexical join, and the qid<10 filter pushes into its own
+    // corpus scan — without the barrier the shingle explode ran up to 4×
+    // (plan: 12 documents scans, 0 reuse, plans/r16/sim_rrf_fusion_before
+    // .txt). Postings are (doc_id, 60-bit hash) rows — shingle-count-sized
+    // but 16 bytes/row, far lighter than re-running the explode kernel.
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), expr(Dedup.h60S("s0", "")).as("s"))
+      .localCheckpoint(true)
     val keep = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= RrfMaxDf).select(col("s"))
-    val capped = postings.join(keep, "s")
+    val capped = postings.join(keep, "s").localCheckpoint(true)
     val qp = capped.filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"), col("s"))
     val wl = Window.partitionBy(col("qid")).orderBy(col("common").desc, col("id").asc)

@@ -704,22 +704,30 @@ object TextAnalysis {
   private val BpeTopK = 10
 
   def text_bpe_pairs(s: SparkSession, dir: String): DataFrame = {
+    // DISTINCT word forms weighted by multiplicity (round 16, guide §2.3):
+    // pair counts are sums over word instances, so weighting each distinct
+    // form by its count yields identical totals while the explode+aggregate
+    // runs over the vocabulary, not the corpus word stream — the same
+    // algebraic rewrite as [[text_bpe_train]]. Materialized once: both
+    // rounds read it, and round 2's replace would otherwise re-derive it.
     val words = Tables.documents(s, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // adjacent symbol pairs of a word = its 2-char substrings (symbols are
     // single chars; sequence(1, n-1) is safe under the length>=2 filter)
     def pairsOf(name: String): Column =
       explode(expr(s"transform(sequence(1, length($name) - 1), i -> substr($name, i, 2))"))
-    val round1 = words.select(pairsOf("w").as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val round1 = words.select(pairsOf("w").as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
     val top1 = round1.orderBy(col("n").desc, col("pair").asc).limit(1)
       .select(col("pair").as("winner"))
     val round2 = words.crossJoin(broadcast(top1))
-      .select(expr("replace(w, winner, '0')").as("m"))
+      .select(expr("replace(w, winner, '0')").as("m"), col("c"))
       .filter(length(col("m")) >= 2)
-      .select(pairsOf("m").as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .select(pairsOf("m").as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
     round1.orderBy(col("n").desc, col("pair").asc).limit(BpeTopK)
       .withColumn("round", lit(1))
       .union(
@@ -761,20 +769,25 @@ object TextAnalysis {
     * narrow map (merge table broadcast; with a production-sized table, a
     * map over a broadcast array), so it scales as one corpus scan. */
   def text_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    // the two training rounds run over distinct weighted word forms — the
+    // [[text_bpe_train]] rewrite (identical totals, identical winners);
+    // materialized once so round 2 reuses round 1's vocabulary
     val words = Tables.documents(s, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     def pairsOf(name: String): Column =
       explode(expr(s"transform(sequence(1, length($name) - 1), i -> substr($name, i, 2))"))
-    val top1 = words.select(pairsOf("w").as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val top1 = words.select(pairsOf("w").as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("pair").asc).limit(1)
       .select(col("pair").as("win1"))
     val top2 = words.crossJoin(broadcast(top1))
-      .select(expr("replace(w, win1, '0')").as("m"))
+      .select(expr("replace(w, win1, '0')").as("m"), col("c"))
       .filter(length(col("m")) >= 2)
-      .select(pairsOf("m").as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .select(pairsOf("m").as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("pair").asc).limit(1)
       .select(col("pair").as("win2"))
     Tables.documents(s, dir)
@@ -845,14 +858,25 @@ object TextAnalysis {
     import s.implicits._
     def pairsOf(name: String): Column =
       explode(expr(s"transform(sequence(1, length($name) - 1), i -> substr($name, i, 2))"))
+    // Train over DISTINCT word forms weighted by multiplicity (round 16,
+    // guide §2.3 — shuffle/aggregate fewer rows): pair counts are sums over
+    // word instances, so counting `(distinct form, count)` and weighting by
+    // the count is algebraically identical — same per-round totals, same
+    // winners under the same (n DESC, pair ASC) order, bit-identical merge
+    // table — while every round's explode+aggregate runs over the distinct
+    // vocabulary (bounded by it, shrinking as merges collapse forms) instead
+    // of the full corpus word stream. Replaced forms that collide are NOT
+    // re-consolidated: the weighted sum is already exact, and the row count
+    // only shrinks.
     var words = Tables.documents(s, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
     (1 to BpeTrainRounds).foreach { r =>
-      val top = words.select(pairsOf("w").as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      val top = words.select(pairsOf("w").as("pair"), col("c"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("pair").asc).limit(1)
         .collect()
       require(top.nonEmpty, s"BPE round $r: no pairs left to merge")
@@ -861,7 +885,7 @@ object TextAnalysis {
         // marker for round r's merge: '0' for round 1, ... '6' for round 7
         val marker = ('0' + (r - 1)).toChar
         words = words
-          .select(expr(s"replace(w, '${top(0).getString(0)}', '$marker')").as("w"))
+          .select(expr(s"replace(w, '${top(0).getString(0)}', '$marker')").as("w"), col("c"))
           .filter(length(col("w")) >= 2)
           .localCheckpoint()
       }

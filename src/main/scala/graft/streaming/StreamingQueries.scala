@@ -212,6 +212,16 @@ object StreamingQueries {
     // grades — not an untested optional knob. Fixture state is far below
     // the cap; the suite proves exactness under a 32 MB squeeze.
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    // Exact per-CF key counting does a read-before-every-write purely to
+    // feed the numRowsTotal metric — the documented write-amplification
+    // trade-off this knob exists for (Spark's built-in RocksDB provider
+    // exposes the same switch for write-heavy state). The gates' outputs
+    // never read the metric, so they run the write-optimized profile at
+    // EVERY scale (measured round 16: the watermarked join family commits
+    // ~40k rows/batch across 4 stores; ~15% per-query). The provider
+    // default stays `true` — reference-compatible exact metrics — and the
+    // suite pins the exact-count behavior under that default.
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val sink = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
     val q = build(s).writeStream.format("memory").queryName(sink).outputMode(mode)
@@ -888,6 +898,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val sink = "stream_tws_ttl_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
@@ -988,6 +999,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
     val bucketFiles = stagedBucketFiles(s, dir)
     val inDir = graft.Staging.tempDir("graft-twsttl-restart-in-")
@@ -1080,6 +1092,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
     val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
     val bucketFiles = stagedBucketFiles(s, dir)
@@ -1167,6 +1180,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
     val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
     val bucketFiles = stagedBucketFiles(s, dir)
@@ -1268,6 +1282,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
     val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
     val bucketFiles = stagedBucketFiles(s, dir)
@@ -1353,6 +1368,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
     val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
     val bucketFiles = stagedBucketFiles(s, dir)
@@ -1434,6 +1450,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val sink = "stream_tws_ttl_map_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
@@ -1524,6 +1541,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val sink = "stream_fmgws_timeout_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
@@ -1598,6 +1616,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val sink = "stream_tws_ttl_list_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
@@ -1865,6 +1884,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     s.conf.set(graft.state.RocksDbConf.STRICT_EXPIRE, "true")
     val outDir = graft.Staging.tempDir("graft-dedupttl-out-").toString
     val ckptRoot = graft.Staging.tempDir("graft-ckpt-").toString
@@ -1930,6 +1950,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     s.conf.set(graft.state.RocksDbConf.STRICT_EXPIRE, "true")
     val schema = Tables.events(s, dir).withColumn("bucket", lit(0)).schema
     val bucketFiles = stagedBucketFiles(s, dir)
@@ -2910,6 +2931,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val outDir = graft.Staging.tempDir("graft-filesink-out-").toString
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
     val q = eventsOrdered(s, dir)
@@ -2945,6 +2967,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val outDir = graft.Staging.tempDir("graft-feb-out-").toString
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
     val q = events(s, dir)
@@ -3241,6 +3264,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val base = Tables.events(s, dir)
     // The shared staged dir provides the chunk files; feed them through a
     // fresh input dir in two halves so the checkpoint sees a true stop.
@@ -3311,6 +3335,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     if (v2) s.conf.set("spark.sql.streaming.stateStore.checkpointFormatVersion", "2")
     val base = Tables.events(s, dir)
     val stagedParts = stagedEventParts(s, dir)
@@ -3385,6 +3410,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
+    s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
     val base = Tables.events(s, dir)
     val stagedParts = stagedEventParts(s, dir)
     val inDir = graft.Staging.tempDir("graft-twsrepart-in-")
