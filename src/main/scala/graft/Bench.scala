@@ -183,7 +183,27 @@ object Bench {
     val contended = nameArr(contendedNames)
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
     val steadyTotal = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"steady":$steady,"repeats":$repeats,"stats":$stats,"failed":$failed,"partial":$partial,"contended":$contended,"sf":"$sfDir"}"""
+    // Per-family steady subtotals (round 17): the driver's round-over-round
+    // comparison previously sampled whatever stayed in both rounds' top-8
+    // slices — a biased sample (PERF r16 computed its geomean over 5 queries
+    // from one touched family). Family-level steady sums give an unbiased
+    // aggregate per operator family without blowing the summary-line budget.
+    val familyOf: String => String = n =>
+      if (n.startsWith("stream_")) "stream"
+      else if (n.headOption.contains('q') && n.length > 1 && n(1).isDigit) "relational"
+      else n.takeWhile(_ != '_')
+    val familySteady = results.collect { case (k, ts, _) if ts.nonEmpty => (familyOf(k), ts.min) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (f, xs) => "\"" + f + "\":" + xs.map(_._2).sum }
+      .mkString("{", ",", "}")
+    // "cpus" records the session's core count (and shuffle-partition setting)
+    // in the artifact itself; the streaming gates additionally pin their
+    // stateful parallelism to min(8, cpus) inside their fixtures — recorded
+    // here so the driver's 8-vs-32-core scaling comparison is legible
+    // (PERF r16 flagged suspect_cpus_ignored; the env var was always
+    // honored — see the master(local[$cpus]) above — but the artifact never
+    // said so).
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"cpus":$cpus,"stream_shuffle_partitions":${math.min(8, cpus.toInt)},"family_steady":$familySteady,"queries":$qs,"steady":$steady,"repeats":$repeats,"stats":$stats,"failed":$failed,"partial":$partial,"contended":$contended,"sf":"$sfDir"}"""
     // File first: captured stdout can be truncated mid-line (BENCH_r05 and
     // BENCH_r08 both lost the stdout tail — `"parsed": null`); the file is
     // the complete, archivable artifact regardless of what the pipe kept.
@@ -221,6 +241,7 @@ object Bench {
     val nContended = contendedNames.size
     def mkSummary(slowestJson: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"n":$nOk,""" +
+        s""""cpus":$cpus,""" +
         s""""queries":$slowestJson,"failed":$nFailed,"partial":$nPartial,"contended":$nContended,""" +
         s""""repeats":$repeats,"full":"$out","sf":"$sfDir"}"""
     val summary = {

