@@ -70,22 +70,58 @@ object SubstrHashes {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  /** JVM entry point shared by interpreted eval and generated code. */
+  /** JVM entry point shared by interpreted eval and generated code.
+    *
+    * Round 17: windows are hashed straight out of ONE byte image of the
+    * string. The previous spelling called `t.substringSQL(pos, winLen)` per
+    * window, and `UTF8String.substring` walks codepoints from byte 0 on
+    * every call — O(len) per window, O(len²) per document (measured: the
+    * dominant stage of the exact-substring dedup family) — plus two byte
+    * copies per window (the substring's buffer and `getBytes`). Window
+    * `pos` covers codepoints [pos-1, pos-1+winLen); its UTF-8 bytes are the
+    * contiguous slice between those codepoints' byte offsets, so one
+    * O(len) offset scan (identity on ASCII) replaces every walk, and
+    * `md.update(bytes, start, len)` hashes the slice with zero copies.
+    * The digested bytes are EXACTLY the bytes `substringSQL(...).getBytes`
+    * produced — same md5, bit-identical h60, oracle untouched. */
   def compute(t: UTF8String, winLen: Int): ArrayData = {
     val n = t.numChars()
     val count = n - winLen + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val md = digests.get()
     val out = new Array[Any](count)
-    var pos = 1
-    while (pos <= count) {
-      // SQL substring semantics (1-based, codepoint-aware) — identical to
-      // the substring() the interpreted pipeline and the oracle evaluate
-      val window = t.substringSQL(pos, winLen)
-      md.reset()
-      out(pos - 1) = new GenericInternalRow(
-        Array[Any](pos, H60.ofDigest(md.digest(window.getBytes)))): InternalRow
-      pos += 1
+    val bytes = t.getBytes
+    if (bytes.length == n) {
+      // ASCII fast path: codepoint index == byte index
+      var pos = 1
+      while (pos <= count) {
+        md.reset()
+        md.update(bytes, pos - 1, winLen)
+        out(pos - 1) = new GenericInternalRow(
+          Array[Any](pos, H60.ofDigest(md.digest()))): InternalRow
+        pos += 1
+      }
+    } else {
+      // general path: byte offset of each codepoint, one linear scan
+      // (identical traversal to UTF8String.substring's, done once)
+      val offsets = new Array[Int](n + 1)
+      var i = 0
+      var b = 0
+      while (i < n) {
+        offsets(i) = b
+        b += UTF8String.numBytesForFirstByte(bytes(b))
+        i += 1
+      }
+      offsets(n) = bytes.length
+      var pos = 1
+      while (pos <= count) {
+        val start = offsets(pos - 1)
+        md.reset()
+        md.update(bytes, start, offsets(pos - 1 + winLen) - start)
+        out(pos - 1) = new GenericInternalRow(
+          Array[Any](pos, H60.ofDigest(md.digest()))): InternalRow
+        pos += 1
+      }
     }
     new GenericArrayData(out)
   }
