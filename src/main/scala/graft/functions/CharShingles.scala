@@ -40,10 +40,37 @@ case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
     val n = input.numChars()
     if (n < k) return new GenericArrayData(Array[Any](input))
     val out = new Array[Any](n - k + 1)
-    var i = 0
-    while (i <= n - k) {
-      out(i) = input.substringSQL(i + 1, k)
-      i += 1
+    // Round 17: slice shingles from ONE byte image. The previous loop
+    // called substringSQL per position, and UTF8String.substring walks
+    // codepoints from byte 0 on every call — O(len) per shingle, O(len²)
+    // per document. Shingle i covers codepoints [i, i+k); its UTF-8 bytes
+    // are the contiguous slice between those codepoints' byte offsets
+    // (offset index built in one scan; identity on ASCII). Each slice is
+    // copied into its own array — same bytes, same memory behavior as the
+    // substring it replaces.
+    val bytes = input.getBytes
+    if (bytes.length == n) {
+      var i = 0
+      while (i <= n - k) {
+        out(i) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, i, i + k))
+        i += 1
+      }
+    } else {
+      val offsets = new Array[Int](n + 1)
+      var ci = 0
+      var b = 0
+      while (ci < n) {
+        offsets(ci) = b
+        b += UTF8String.numBytesForFirstByte(bytes(b))
+        ci += 1
+      }
+      offsets(n) = bytes.length
+      var i = 0
+      while (i <= n - k) {
+        out(i) = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + k)))
+        i += 1
+      }
     }
     new GenericArrayData(out)
   }
