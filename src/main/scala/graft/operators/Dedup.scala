@@ -1120,25 +1120,17 @@ object Dedup extends Logging {
   /** 60-bit SimHash over the (multiset of) tokens + a 16-bit band prefix for
     * bucketing. Pure integer pipeline, mirrored exactly by the oracle. */
   def dedup_simhash(s: SparkSession, dir: String): DataFrame = {
-    // Single fold over the token hashes maintaining all 60 bit counters,
-    // then one pass turning majority counters into fingerprint bits. The
-    // per-bit formulation (60 x aggregate over hs) re-hashed every token
-    // once per bit after Catalyst inlined the hs column into the bit lambda
-    // — same values, ~30x the work (measured at sf0.1).
-    val simhashExpr =
-      s"""aggregate(
-         |  zip_with(
-         |    aggregate(
-         |      transform($toksS, t -> ${h60S("t", "")}),
-         |      transform(sequence(1, 60), j -> 0),
-         |      (acc, h) -> zip_with(acc, sequence(0, 59), (c, b) ->
-         |        c + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))),
-         |    sequence(0, 59),
-         |    (c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
-         |              ELSE CAST(0 AS BIGINT) END),
-         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+    // Compiled single fold over the token hashes maintaining all 60 bit
+    // counters ([[graft.functions.SimHashBits]], round 17): the previous
+    // SQL aggregate/zip_with chain evaluated INTERPRETED — a fresh
+    // 60-element counter array per token plus boxed md5→conv lambdas
+    // (guide §4: no interpreted expressions in the hot path); the per-bit
+    // formulation before it re-hashed every token once per bit (~30x,
+    // measured round 12). Same per-token h60, same majority rule —
+    // bit-identical fingerprints, pinned by SimHashBitsSuite against the
+    // interpreted pipeline.
     Tables.documents(s, dir)
-      .withColumn("simhash", expr(simhashExpr))
+      .withColumn("simhash", graft.functions.SimHashBits.of(expr(toksS)))
       .select(col("doc_id"), col("simhash"),
         expr("simhash >> 44").as("band16"))
   }
