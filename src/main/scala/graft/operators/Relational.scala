@@ -1589,7 +1589,69 @@ object Relational {
        |FROM c CROSS JOIN g
        |ORDER BY n_events DESC, user_id ASC LIMIT $SkewTopK""".stripMargin
 
+  /** SCALING CANARY (round 17, VERDICT r16 item 2): a deliberately
+    * compute+shuffle-bound query whose 8-vs-32-core wall-clock ratio
+    * visibly tracks the core count — the bench's parallel-scaling
+    * measurement. Every other hot query in the suite is either a streaming
+    * gate (stateful parallelism pinned to min(8, cores), paced-trigger
+    * bound) or an overhead-dominated fixture-scale batch plan, so the
+    * driver's low-core sweep read ~1.0× ratios and flagged
+    * `suspect_cpus_ignored` even though `$SPARK_GRAFT_CPUS` was honored.
+    *
+    * Work: [[CanaryRep]] deterministic replicas of every lineitem row,
+    * each h60-fingerprinted (codegen'd md5 → 60-bit int, the engine-wide
+    * discipline), aggregated per fingerprint (the full-width shuffle +
+    * ~rows·Rep-key hash aggregate = the measured work) and rolled up into
+    * a 1024-bucket histogram (constant-size, exactly hashable output).
+    * Work per core scales linearly with input rows × Rep and parallelizes
+    * embarrassingly: the md5 pass is per-row compute, the aggregate is
+    * map-side-combined only at the final 1024-way rollup. DuckDB states
+    * the identical pipeline (same md5-derived h60, same buckets). */
+  private val CanaryRep = 32
+
+  def q45_scaling_canary(s: SparkSession, dir: String): DataFrame = {
+    // The fixture table is one parquet file well under maxPartitionBytes —
+    // without an explicit spread the whole replicate+hash map stage runs as
+    // ONE task and the canary cannot scale with cores (measured: 16 s flat
+    // at 8 and 32 cores); with an unpinned hash repartition AQE coalesces
+    // the 60 MB exchange back to ~1 partition (also measured flat).
+    // Hash-repartition on the row key (deterministic placement, no
+    // sort-before-repartition cost) to an EXPLICIT partition count = the
+    // session's core count — scale-adaptive via $SPARK_GRAFT_CPUS, never a
+    // host constant, and exempt from AQE coalescing as a user-pinned
+    // number, so the md5 map stage genuinely runs one task per core.
+    val keyed = Tables.lineitem(s, dir)
+      .repartition(s.sparkContext.defaultParallelism,
+        col("l_orderkey"), col("l_linenumber"))
+      .select(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_partkey").cast("string"), lit(":"),
+        col("l_suppkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("k"))
+      .select(col("k"), explode(expr(s"sequence(0, ${CanaryRep - 1})")).as("rep"))
+      .select(expr(
+        "CAST(conv(substring(md5(concat(k, ':', CAST(rep AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+    val perH = keyed.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    perH.groupBy(pmod(col("h"), lit(1024)).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).cast("long").as("n_rows"),
+        max(col("h")).as("max_h"))
+  }
+
+  val q45_sql: String =
+    s"""WITH keyed AS (
+       |  SELECT CAST(('0x' || substr(md5(
+       |           CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR) || ':' ||
+       |           CAST(l_suppkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' ||
+       |           CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM lineitem CROSS JOIN (SELECT unnest(range($CanaryRep)) AS rep)),
+       |per_h AS (SELECT h, count(*) AS n FROM keyed GROUP BY 1)
+       |SELECT h % 1024 AS bucket, count(*) AS n_keys,
+       |       CAST(sum(n) AS BIGINT) AS n_rows, max(h) AS max_h
+       |FROM per_h GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_scaling_canary" -> q45_scaling_canary _,
     "q41_unpivot" -> q41_unpivot _,
     "q42_scd2" -> q42_scd2 _,
     "q43_hll_distinct" -> q43_hll_distinct _,
@@ -1638,6 +1700,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_scaling_canary" -> q45_sql,
     "q41_unpivot" -> q41_sql,
     "q42_scd2" -> q42_sql,
     "q43_hll_distinct" -> q43_sql,
